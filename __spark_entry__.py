@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin shim over ``trignis_spark.queries`` — see that module for the
+operator inventory and determinism rules, and SURVEY.md §2 for the
+operator ↔ reference mapping.
 """
 
 from __future__ import annotations
@@ -13,26 +11,39 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from trignis_spark import queries as _q
+from trignis_spark.operators import changefeed as _cf
+from trignis_spark.tables import load as _load
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one full change-feed poll cycle over sf0.001 events —
+    incremental horizon-bounded outbox scan → no-op-update filter →
+    per-column $changed masking → base-table enrichment (the reference's
+    hot path, ChangeTrackingBackgroundService.cs:427-606, in miniature).
+    """
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    outbox = _cf.events_as_outbox(_load(spark, sf_dir, "events"))
+    horizon = _load(spark, sf_dir, "events").agg(F.max("event_id") - 2).first()[0]
+    scan = _cf.outbox_scan(outbox, from_version=_q.WM, horizon=horizon)
+    masked = _cf.mask_columns(
+        _cf.changed_filter(scan), tracked=("event_type", "value", "props")
+    )
+    base = _load(spark, sf_dir, "customer")
+    return masked.join(
+        F.broadcast(base), masked.user_key == base.c_custkey, "left_outer"
+    ).select(
+        "version", "operation", "user_key",
+        F.array_join("changed", ",").alias("changed_cols"),
+        "event_type", "value", "props", "c_name", "c_mktsegment",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracle_sql()

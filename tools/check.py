@@ -1,0 +1,124 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then
+compares row count, column names, and an order-insensitive multiset of
+stringified rows (stricter than any reasonable value-hash the driver
+could use). Usage:
+
+    python tools/check.py [--sf /root/testdata/sf0.01] [--only name,name]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as _dt
+import decimal
+import math
+import os
+import sys
+import time
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from trignis_spark.session import get_spark  # noqa: E402
+from trignis_spark.tables import TABLE_NAMES  # noqa: E402
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_norm(v[k])}" for k in sorted(v)) + "}"
+    return str(v)
+
+
+def _rows_multiset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    spark = get_spark("trignis-check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = {s for s in args.only.split(",") if s}
+    n_pass = n_fail = n_weak = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"WEAK {name}: rows={len(srows)} (no oracle, rows-only check)")
+            n_weak += 1
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = [d[0] for d in rel.description]
+            orows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        if not problems:
+            sm = _rows_multiset([tuple(r) for r in srows], scols)
+            om = _rows_multiset(orows, ocols)
+            if sm != om:
+                extra_s = list((sm - om).items())[:3]
+                extra_o = list((om - sm).items())[:3]
+                problems.append(
+                    f"values differ; spark-only={extra_s} oracle-only={extra_o}"
+                )
+        if problems:
+            print(f"FAIL {name}: " + " | ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name}: rows={len(srows)} ({dt:.2f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
