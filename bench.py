@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is executed to completion via the no-op sink (full pipeline
+runs — scan, shuffle, agg — without driver-side collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from trignis_spark import queries as q
+from trignis_spark.session import get_spark
+
+# Headline set: the change-feed hot path + the heaviest relational,
+# dedup, similarity and text operators. Names must exist in q.QUERIES.
+HEADLINE = [
+    "cf_outbox_scan",
+    "cf_column_mask",
+    "cf_snapshot_diff",
+    "j1_change_base_join",
+    "d1_dedup_content_hash",
+    "tpch_q1_pricing_summary",
+]
+# Optional entries appended as the inventory grows; missing names skipped.
+OPTIONAL = [
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "a3_ordered_export",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "dlq_due_for_replay",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("trignis-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = HEADLINE + [n for n in OPTIONAL if n in q.QUERIES]
+    registry = q.queries()
+
+    # Warm the JVM + file listing once so per-query numbers measure the
+    # pipelines, not session startup.
+    registry["cf_batch_watermark"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

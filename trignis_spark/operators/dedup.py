@@ -1,0 +1,269 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+The four standard near-duplicate detectors for large-scale training-data
+pipelines, each expressed as a shuffle-conscious DataFrame plan:
+
+- **exact**: content-hash groupBy — one shuffle on the hash.
+- **ngram_jaccard**: inverted-index candidate join on shared shingles
+  (never an all-pairs cross join), then exact set-overlap verification.
+- **minhash_lsh**: k permutation min-hashes per doc → banded bucket keys
+  → candidates share a bucket → verified with true Jaccard. The classic
+  shingle→minhash→band→bucket-join pipeline; candidate volume is
+  O(collisions), not O(n²).
+- **simhash**: 32-bit weighted-feature hash; near-dup pairs found by
+  **lossless band blocking** — 8 disjoint 4-bit bands; by pigeonhole any
+  pair within Hamming distance ≤ 7 shares ≥ 1 identical band, so
+  blocking + verify returns exactly the same pairs as a cross join
+  while scaling like an equijoin.
+
+Hashing uses the portable rolling hash so the DuckDB oracle replays
+results exactly (see ``trignis_spark.functions.portable``); pass
+``portable=False`` to swap in ``xxhash64`` for production throughput.
+
+Scale notes (100 TB): all candidate generation is equijoin-shaped on
+hash/bucket keys, so AQE handles skew (a hot shingle = a hot key —
+bound it with the ``max_df`` document-frequency cap, the standard
+stop-shingle trick). Verification joins run on the candidate set only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trignis_spark.functions import portable as pf
+
+
+def _feature_hash(expr: str, portable: bool) -> str:
+    if portable:
+        return pf.rolling_hash(pf.SPARK, expr)
+    return f"pmod(xxhash64({expr}), {pf.P31})"
+
+
+def shingle_table(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
+    toks = docs.select(
+        "doc_id", F.expr(pf.tokens(pf.SPARK, text_col)).alias("tokens")
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr(pf.word_shingles(pf.SPARK, "tokens", n)))
+        ).alias("shingle"),
+    )
+
+
+def exact_duplicates(docs: DataFrame, portable: bool = True) -> DataFrame:
+    """Exact dedup by normalized content hash: one row per distinct
+    content with its canonical (lowest) doc_id and multiplicity."""
+    norm = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+    h = pf.sha256_hex(pf.SPARK, norm) if portable else f"xxhash64({norm})"
+    return (
+        docs.select("doc_id", F.expr(h).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, threshold: float, max_df: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index blocking.
+
+    ``max_df`` drops shingles appearing in more than that many docs
+    (stop-shingles) from *candidate generation only* — the verification
+    still uses full shingle sets, so reported Jaccard values are exact.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    block = shingles
+    if max_df is not None:
+        df_ok = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        block = shingles.join(df_ok, "shingle")
+    a, b = block.alias("a"), block.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    # exact intersection over full shingle sets for candidate pairs
+    sa, sb = shingles.alias("sa"), shingles.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("d1"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("d2"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("isz"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    z2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(z1, "d1")
+        .join(z2, "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("isz").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("isz"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(shingles: DataFrame, portable: bool = True) -> DataFrame:
+    """k=8 permutation MinHash signature per doc: h_j = min (a_j·x + b_j) mod P."""
+    x = _feature_hash("shingle", portable)
+    hashed = shingles.select("doc_id", F.expr(x).alias("x"))
+    aggs = [
+        F.min(F.expr(f"(x * {a} + {b}) % {pf.P31}")).alias(f"mh{j}")
+        for j, (a, b) in enumerate(pf.MINHASH_PERMS)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: 8 minhashes in 4 bands of 2; candidate
+    pairs share ≥1 band; verified with exact Jaccard ≥ threshold."""
+    shingles = shingle_table(docs, n)
+    sig = minhash_signatures(shingles, portable)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.col(f"mh{2 * bi}").alias("h1"),
+                        F.col(f"mh{2 * bi + 1}").alias("h2"),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.h1", "bk.h2")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    verified = jaccard_pairs_for_candidates(cand, shingles)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def jaccard_pairs_for_candidates(
+    cand: DataFrame, shingles: DataFrame
+) -> DataFrame:
+    """Exact Jaccard for a given candidate-pair set."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa, sb = shingles.alias("sa"), shingles.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("d1"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("d2"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("isz"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    z2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(z1, "d1")
+        .join(z2, "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("isz").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("isz"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_table(
+    docs: DataFrame, n: int = 3, portable: bool = True
+) -> DataFrame:
+    """32-bit SimHash per doc over the word-shingle multiset."""
+    toks = docs.select("doc_id", F.expr(pf.tokens(pf.SPARK, "text")).alias("tokens"))
+    feats = toks.select(
+        "doc_id",
+        F.explode(F.expr(pf.word_shingles(pf.SPARK, "tokens", n))).alias("shingle"),
+    )
+    hashed = feats.select("doc_id", F.expr(_feature_hash("shingle", portable)).alias("th"))
+    return hashed.groupBy("doc_id").agg(
+        F.expr(pf.simhash32(pf.SPARK, "th")).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 6, portable: bool = True
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius via lossless band
+    blocking: 8 disjoint 4-bit bands — any pair with distance ≤ 7 agrees
+    on some band, so this equijoin finds exactly the cross-join answer."""
+    if max_hamming > 7:
+        raise ValueError("8x4-bit banding is lossless only for max_hamming <= 7")
+    sh = simhash_table(docs, portable=portable)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.expr(f"(simhash >> {4 * bi}) & 15").alias("bv"),
+                    )
+                    for bi in range(8)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.expr(pf.hamming32(pf.SPARK, "a.simhash", "b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

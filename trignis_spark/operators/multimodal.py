@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a typed
+metadata struct; decode / feature-extraction runs as Arrow-batched
+``mapInPandas`` (the Spark-idiomatic shape for per-blob Python work —
+one Python worker per partition, columnar Arrow transfer, no per-row
+pickling).
+
+The real decoders (PIL/librosa/ffmpeg) are not available in this
+container, so ``decode_and_extract`` computes deterministic features of
+the raw bytes and the declared modality — the Spark-side plumbing
+(schema, batching, partitioning) is real and oracle-checked; the codec
+call sites are clearly marked stubs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("checksum16", LongType()),
+        StructField("head_char", LongType()),
+    ]
+)
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Model documents as multimodal rows: binary payload + metadata.
+
+    ``payload`` is the UTF-8 encoding of the text (standing in for
+    image/audio bytes); ``meta`` is the typed sidecar a real pipeline
+    would carry (modality, declared size, source).
+    """
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text").alias("modality"),
+            F.col("n_chars").alias("declared_len"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(payload: bytes, modality: str) -> str:
+    """STUB: real decoders are unavailable in this environment.
+
+    A production deployment would dispatch here to PIL (image), soundfile
+    (audio) or pyav (video) and return decoded frames/samples. We decode
+    only the 'text' modality (UTF-8); anything else raises.
+    """
+    if modality == "text":
+        return payload.decode("utf-8")
+    raise NotImplementedError(f"decoder for modality {modality!r} not bundled")
+
+
+def decode_and_extract(mm: DataFrame) -> DataFrame:
+    """Arrow-batched decode + feature extraction over binary payloads.
+
+    Features are deterministic functions of the decoded content
+    (byte length, sum of the first 16 character codes, first char code),
+    so the DuckDB oracle can verify the full binary→decode→feature path.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = [
+                _decode_stub(p, m)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "byte_len": [len(p) for p in pdf["payload"]],
+                    "checksum16": [sum(ord(c) for c in t[:16]) for t in texts],
+                    "head_char": [ord(t[0]) if t else 0 for t in texts],
+                }
+            )
+
+    flat = mm.select("doc_id", "payload", F.col("meta.modality").alias("modality"))
+    return flat.mapInPandas(extract, FEATURE_SCHEMA)

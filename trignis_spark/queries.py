@@ -521,3 +521,365 @@ def queries() -> dict[str, SparkQuery]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# --------------------------------------------------------------------------
+# Ordered export + DLQ replay scheduling (SURVEY §2.4 A3, §2.8 T9)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a3_ordered_export",
+    f"""
+    WITH outbox AS ({_OUTBOX_SQL})
+    SELECT user_key,
+           string_agg(version, ',' ORDER BY version) AS version_seq,
+           count(*) AS n_events
+    FROM outbox WHERE version > {WM}
+    GROUP BY user_key
+    """,
+)
+def a3_ordered_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/W1: deterministic per-key ordered event aggregation — the
+    json_agg(... ORDER BY id) / FOR JSON PATH export shape, with the
+    ordering done via sort_array (no global sort)."""
+    scan = cf.outbox_scan(_outbox(spark, sf_dir), WM)
+    return scan.groupBy("user_key").agg(
+        F.expr(
+            "array_join(transform(sort_array(collect_list(version)), "
+            "v -> CAST(v AS STRING)), ',')"
+        ).alias("version_seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_DLQ_ANCHOR = "2024-02-01 00:00:00"
+
+
+@register(
+    "dlq_due_for_replay",
+    f"""
+    WITH dlq AS (
+      SELECT event_id AS source_key, user_id,
+             CAST(user_id % 6 AS INT) AS attempts, ts
+      FROM events WHERE event_type = 'error')
+    SELECT source_key, attempts,
+           strftime(ts + to_seconds(LEAST(60 * (1 << attempts), 21600)),
+                    '%Y-%m-%d %H:%M:%S') AS next_attempt_s
+    FROM dlq
+    WHERE attempts < 5
+      AND ts + to_seconds(LEAST(60 * (1 << attempts), 21600))
+          <= TIMESTAMP '{_DLQ_ANCHOR}'
+    ORDER BY ts, source_key
+    LIMIT 25
+    """,
+)
+def dlq_due_for_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: dead-letter replay sweep — rows whose exponential backoff
+    (60s·2^attempts, capped 6h) has elapsed, oldest first, batch of 25,
+    max 5 attempts (DeadLetterReplayService.cs:112-141)."""
+    dlq = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("source_key"),
+            F.expr("CAST(user_id % 6 AS INT)").alias("attempts"),
+            "ts",
+        )
+        .withColumn(
+            "next_attempt",
+            F.expr(
+                "ts + make_interval(0, 0, 0, 0, 0, 0, "
+                "LEAST(60 * (1 << attempts), 21600))"
+            ),
+        )
+    )
+    return (
+        dlq.filter(
+            (F.col("attempts") < 5)
+            & (F.col("next_attempt") <= F.lit(_DLQ_ANCHOR).cast("timestamp_ntz"))
+        )
+        .orderBy("ts", "source_key")
+        .select(
+            "source_key",
+            "attempts",
+            F.date_format("next_attempt", "yyyy-MM-dd HH:mm:ss").alias(
+                "next_attempt_s"
+            ),
+        )
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (token stats, quality, lang-id, fingerprints)
+# --------------------------------------------------------------------------
+
+from trignis_spark.functions import portable as pf  # noqa: E402
+from trignis_spark.operators import dedup as dd  # noqa: E402
+from trignis_spark.operators import multimodal as mm  # noqa: E402
+from trignis_spark.operators import similarity as sim  # noqa: E402
+from trignis_spark.operators import text as tx  # noqa: E402
+
+_DTOK = "string_split_regex(text, '\\s+')"
+_DNORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+@register(
+    "text_token_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_DTOK} AS tokens FROM documents)
+    SELECT doc_id,
+           CAST(len(tokens) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           CAST((length(text) + 3) // 4 AS BIGINT) AS n_subword_est,
+           {pf.sum_lengths(pf.DUCK, 'tokens')} AS token_chars
+    FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_stats(load(spark, sf_dir, "documents"))
+
+
+def _duck_quality_cols() -> str:
+    stop = pf.count_in_list(pf.DUCK, "tokens", tx.STOPWORDS)
+    toklen = pf.sum_lengths(pf.DUCK, "tokens")
+    return f"""
+      CAST(len(tokens) AS BIGINT) AS n_tokens,
+      CAST({stop} AS DOUBLE) / len(tokens) AS stopword_ratio,
+      CAST({toklen} AS DOUBLE) / len(tokens) AS avg_token_len,
+      CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        / length(text) AS punct_ratio
+    """
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_DTOK} AS tokens FROM documents),
+    d AS (SELECT doc_id, {_duck_quality_cols()} FROM t)
+    SELECT doc_id, n_tokens, stopword_ratio, avg_token_len, punct_ratio,
+           LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+             CAST(0.2 AS DOUBLE) + CAST(0.1 AS DOUBLE) * avg_token_len
+             - CAST(0.5 AS DOUBLE) * stopword_ratio
+             - CAST(2.0 AS DOUBLE) * punct_ratio)) AS quality_score
+    FROM d
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_scores(load(spark, sf_dir, "documents"))
+
+
+def _duck_lang_sql() -> str:
+    counts = ", ".join(
+        f"{pf.count_in_list(pf.DUCK, 'tokens', words)} AS c_{lg}"
+        for lg, words in tx.LANG_MARKERS.items()
+    )
+    langs = list(tx.LANG_MARKERS)
+    branches = []
+    for i, lg in enumerate(langs[:-1]):
+        geq = " AND ".join(f"c_{lg} >= c_{o}" for o in langs[i + 1 :])
+        branches.append(f"WHEN {geq} THEN '{lg}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {_DTOK} AS tokens FROM documents),
+    c AS (SELECT doc_id, lang, {counts} FROM t),
+    p AS (SELECT doc_id, lang, {case} AS predicted_lang FROM c)
+    SELECT doc_id, predicted_lang, predicted_lang = lang AS label_match FROM p
+    """
+
+
+@register("text_lang_id", _duck_lang_sql())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.lang_id(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           {pf.sha256_hex(pf.DUCK, _DNORM)} AS fp_sha256,
+           {pf.rolling_hash(pf.DUCK, _DNORM)} AS fp_rolling
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprints(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Dedup: exact / n-gram Jaccard / MinHash-LSH / SimHash
+# --------------------------------------------------------------------------
+
+_DSHINGLES = pf.word_shingles(pf.DUCK, "tokens", 3)
+_DSH_TABLE = f"""
+    toks AS (SELECT doc_id, {_DTOK} AS tokens FROM documents),
+    shl AS (SELECT doc_id, list_distinct({_DSHINGLES}) AS shingles FROM toks),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id)
+"""
+_DJACCARD = """
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS isz
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT d1, d2, CAST(isz AS DOUBLE) / (s1.sz + s2.sz - isz) AS jaccard
+      FROM inter
+      JOIN sizes s1 ON s1.doc_id = d1
+      JOIN sizes s2 ON s2.doc_id = d2)
+"""
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT {pf.sha256_hex(pf.DUCK, _DNORM)} AS content_hash,
+           min(doc_id) AS canonical_doc_id,
+           count(*) AS copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_DSH_TABLE}, {_DJACCARD}
+    SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dd.shingle_table(load(spark, sf_dir, "documents"))
+    return dd.jaccard_pairs(sh, threshold=0.8)
+
+
+def _duck_minhash_sql() -> str:
+    mins = ", ".join(
+        f"min((x * {a} + {b}) % {pf.P31}) AS mh{j}"
+        for j, (a, b) in enumerate(pf.MINHASH_PERMS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, mh{2*bi} AS h1, mh{2*bi+1} AS h2 FROM sig"
+        for bi in range(4)
+    )
+    return f"""
+    WITH {_DSH_TABLE},
+    xh AS (SELECT doc_id, {pf.rolling_hash(pf.DUCK, 'shingle')} AS x FROM ex),
+    sig AS (SELECT doc_id, {mins} FROM xh GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+       AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.d1, c.d2, count(*) AS isz
+      FROM cand c
+      JOIN ex sa ON sa.doc_id = c.d1
+      JOIN ex sb ON sb.doc_id = c.d2 AND sb.shingle = sa.shingle
+      GROUP BY 1, 2)
+    SELECT i.d1, i.d2,
+           CAST(isz AS DOUBLE) / (s1.sz + s2.sz - isz) AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON s1.doc_id = i.d1
+    JOIN sizes s2 ON s2.doc_id = i.d2
+    WHERE CAST(isz AS DOUBLE) / (s1.sz + s2.sz - isz) >= 0.5
+    """
+
+
+@register("dedup_minhash_lsh", _duck_minhash_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _duck_simhash_sql() -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, {_DTOK} AS tokens FROM documents),
+    feats AS (SELECT doc_id, unnest({_DSHINGLES}) AS shingle FROM toks),
+    th AS (SELECT doc_id, {pf.rolling_hash(pf.DUCK, 'shingle')} AS th FROM feats),
+    sh AS (SELECT doc_id, {pf.simhash32(pf.DUCK, 'th')} AS simhash
+           FROM th GROUP BY doc_id)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           {pf.hamming32(pf.DUCK, 'a.simhash', 'b.simhash')} AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE {pf.hamming32(pf.DUCK, 'a.simhash', 'b.simhash')} <= 6
+    """
+
+
+@register("dedup_simhash", _duck_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs: Spark side uses lossless 8x4-bit band blocking
+    (equijoin); oracle uses the naive cross join — identical output."""
+    pairs = dd.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=6)
+    return pairs.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_DDOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), (x, y) -> x + y)"
+)
+_DNORM2 = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({a}, x -> x * x)), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_DNORM2.format(a='v')} AS n2 FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id % 100 = 0),
+    s AS (
+      SELECT q.query_id, n.vec_id AS neighbor_id,
+             {_DDOT.format(a='q.qv', b='n.v')} / sqrt(q.qn2 * n.n2) AS cos
+      FROM q, n WHERE n.vec_id <> q.query_id),
+    r AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s)
+    SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors (vec_id % 100 = 0);
+    rank is tie-broken by neighbor id. (The IVF variant is
+    sim.ivf_topk — approximate, so it is exercised in tests, not
+    against the exactness oracle.)"""
+    topk = sim.cosine_topk(load(spark, sf_dir, "embeddings"))
+    return topk.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal: binary payload + Arrow-batched decode/feature extraction
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mm_feature_extract",
+    """
+    SELECT doc_id, 'text' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(substr(text, 1, 16), ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> a + b) AS checksum16,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_char
+    FROM documents
+    """,
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text → binary payload + metadata struct →
+    Arrow-batched mapInPandas decode + deterministic feature extraction.
+    The oracle verifies the whole binary→decode→feature path."""
+    docs = load(spark, sf_dir, "documents")
+    return mm.decode_and_extract(mm.attach_payload(docs))
