@@ -1,0 +1,28 @@
+"""Export sinks: file / HTTP / Kafka / in-memory, plus retry & breaker policies."""
+
+from trignis_spark.sinks.base import (  # noqa: F401
+    CircuitBreaker,
+    OversizePayloadError,
+    RetryPolicy,
+    Sink,
+    SinkFailure,
+    render_template,
+)
+from trignis_spark.sinks.file import FileSink  # noqa: F401
+from trignis_spark.sinks.http import HttpSink  # noqa: F401
+from trignis_spark.sinks.memory import MemorySink  # noqa: F401
+
+
+def build_sink(kind: str, name: str, options: dict) -> Sink:
+    """Sink factory keyed by config kind (SURVEY §2.10)."""
+    if kind == "file":
+        return FileSink(name, **options)
+    if kind == "http":
+        return HttpSink(name, **options)
+    if kind == "memory":
+        return MemorySink(name, **options)
+    if kind == "kafka":
+        from trignis_spark.sinks.kafka import KafkaSink
+
+        return KafkaSink(name, **options)
+    raise ValueError(f"unknown sink kind {kind!r}")

@@ -1,0 +1,233 @@
+"""The poll pipeline: one change-feed cycle per tracking object.
+
+Re-implements the reference's hot path
+(``ChangeTrackingBackgroundService.cs:327-606``, SURVEY §3.2) on
+DataFrames:
+
+  read watermark → decide mode (seed / full / incremental) → bounded
+  incremental scan → envelope → fan-out to every sink (failures
+  independent, dead-lettered) → advance watermark.
+
+Consistency contract (SURVEY §1.4 + §7.4):
+- the watermark advances after the export *attempt*, even when some
+  destinations failed — each failure is persisted to the DLQ first
+  (write-ordering: DLQ before state), so replays cannot be lost;
+- if the read or envelope step throws, nothing advances and the same
+  rows are re-fetched next cycle (at-least-once);
+- during seed, rows returned by a misbehaving source are discarded with
+  a warning and only the probed version is stored.
+
+The batch is collected once into one JSON envelope (the reference's
+unit of export); for 100 TB-scale objects the per-object batch is
+bounded by the horizon and ``max_records_per_batch`` chunking in the
+sinks, and the scan itself stays distributed until the final ordered
+serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trignis_spark.config import EnvironmentConfig, TrackingObject
+from trignis_spark.deadletter import DeadLetterStore
+from trignis_spark.operators import changefeed as cf
+from trignis_spark.sinks.base import ExportContext, RetryPolicy, Sink, SinkFailure
+from trignis_spark.state import PauseStore, StateStore
+
+log = logging.getLogger("trignis_spark.poller")
+
+
+@dataclass
+class CycleResult:
+    object_name: str
+    mode: str  # "seed" | "full" | "sync" | "paused" | "empty"
+    exported_rows: int = 0
+    new_watermark: int | None = None
+    failures: list[SinkFailure] = field(default_factory=list)
+
+
+def envelope_json(
+    batch_rows: list[dict], sync_version: int, sync_type: str, reason_code: int = 0
+) -> str:
+    """Serialize the change-batch envelope (FIXTURES F4)."""
+    return json.dumps(
+        {
+            "Metadata": {
+                "Sync": {
+                    "Version": sync_version,
+                    "Type": sync_type,
+                    "ReasonCode": reason_code,
+                }
+            },
+            "Data": batch_rows,
+        },
+        default=str,
+        separators=(",", ":"),
+    )
+
+
+def export_fanout(
+    payload: str,
+    sinks: list[Sink],
+    ctx: ExportContext,
+    retry: RetryPolicy,
+    breakers: dict[str, object] | None = None,
+) -> list[SinkFailure]:
+    """T6 + T7 + T8: deliver one payload to every sink; failures are
+    independent per destination (``ExportService.cs:51-154``)."""
+    failures: list[SinkFailure] = []
+    for sink in sinks:
+        try:
+            breaker = (breakers or {}).get(sink.name)
+            if breaker is not None:
+                breaker.run(retry.run, sink.write, payload, ctx)
+            else:
+                retry.run(sink.write, payload, ctx)
+        except Exception as e:  # noqa: BLE001 — every sink failure is recorded
+            retryable = getattr(e, "retryable", True)
+            failures.append(SinkFailure(sink.name, str(e), retryable))
+    return failures
+
+
+class PollPipeline:
+    """One environment's poller: objects processed sequentially (like the
+    reference); environments run concurrently under the Orchestrator."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        env: EnvironmentConfig,
+        source_fn,  # (spark, TrackingObject) -> outbox DataFrame
+        sinks: list[Sink],
+        state: StateStore,
+        dlq: DeadLetterStore,
+        pauses: PauseStore | None = None,
+        retry: RetryPolicy | None = None,
+        min_valid_version_fn=None,  # (TrackingObject) -> int, S7 probe
+        horizon_fn=None,  # (spark, TrackingObject) -> int | None, P3 probe
+    ):
+        self.spark = spark
+        self.env = env
+        self.source_fn = source_fn
+        self.sinks = sinks
+        self.state = state
+        self.dlq = dlq
+        self.pauses = pauses
+        self.retry = retry or RetryPolicy(
+            attempts=env.retry_count, delay_seconds=env.retry_delay_seconds
+        )
+        self.min_valid_version_fn = min_valid_version_fn
+        self.horizon_fn = horizon_fn
+
+    # -- one cycle ---------------------------------------------------------
+
+    def run_cycle(self) -> list[CycleResult]:
+        results = []
+        for obj in self.env.tracking_objects:
+            if self.pauses is not None and self.pauses.is_paused(
+                self.env.name, obj.name
+            ):
+                results.append(CycleResult(obj.name, "paused"))
+                continue
+            results.append(self.poll_object(obj))
+        return results
+
+    def poll_object(self, obj: TrackingObject) -> CycleResult:
+        outbox = self.source_fn(self.spark, obj)
+        last = self.state.get_last_version(self.env.name, obj.name)
+
+        # mode decision (ChangeTrackingBackgroundService.cs:447-480)
+        if last is None:
+            if obj.initial_sync_mode == "Full":
+                return self._full_sync(obj, outbox)
+            return self._seed(obj, outbox)
+
+        from_version = last
+        reason = 0
+        if self.min_valid_version_fn is not None:
+            from_version, reason = cf.min_valid_version_reset(
+                last, self.min_valid_version_fn(obj)
+            )
+            if reason == 1:
+                log.warning(
+                    "%s/%s: watermark %d below min valid version — full resync",
+                    self.env.name, obj.name, last,
+                )
+                return self._full_sync(obj, outbox, reason_code=1)
+        return self._sync(obj, outbox, from_version)
+
+    # -- modes -------------------------------------------------------------
+
+    def _seed(self, obj: TrackingObject, outbox: DataFrame) -> CycleResult:
+        """S6: store current max version, export nothing; discard any rows."""
+        row = outbox.agg(
+            F.coalesce(F.max(cf.VERSION), F.lit(0)).alias("v"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        if row["n"] > 0:
+            log.warning(
+                "%s/%s: source returned %d rows during seed; discarding",
+                self.env.name, obj.name, row["n"],
+            )
+        self.state.set_last_version(self.env.name, obj.name, row["v"])
+        return CycleResult(obj.name, "seed", 0, row["v"])
+
+    def _full_sync(
+        self, obj: TrackingObject, outbox: DataFrame, reason_code: int = 0
+    ) -> CycleResult:
+        batch = cf.full_snapshot(outbox)
+        return self._export(obj, batch, sync_type="Full", reason_code=reason_code,
+                            default_version=0)
+
+    def _sync(
+        self, obj: TrackingObject, outbox: DataFrame, from_version: int
+    ) -> CycleResult:
+        horizon = (
+            self.horizon_fn(self.spark, obj) if self.horizon_fn is not None else None
+        )
+        batch = cf.outbox_scan(outbox, from_version, horizon)
+        return self._export(obj, batch, sync_type="Diff", default_version=from_version)
+
+    # -- export + commit ---------------------------------------------------
+
+    def _export(
+        self,
+        obj: TrackingObject,
+        batch: DataFrame,
+        sync_type: str,
+        default_version: int,
+        reason_code: int = 0,
+    ) -> CycleResult:
+        ordered = batch.orderBy(cf.VERSION)
+        rows = [r.asDict(recursive=True) for r in ordered.collect()]
+        if not rows:
+            # empty diff: nothing to export, watermark unchanged
+            return CycleResult(obj.name, "empty", 0, default_version)
+        new_wm = max(r[cf.VERSION] for r in rows)
+        payload = envelope_json(rows, new_wm, sync_type, reason_code)
+        ctx = ExportContext(
+            environment=self.env.name,
+            database=obj.database,
+            object_name=obj.name,
+            key=f"{self.env.name}/{obj.name}",
+        )
+        failures = export_fanout(payload, self.sinks, ctx, self.retry)
+        # write-ordering: dead letters BEFORE the watermark advance, so a
+        # crash between the two re-fetches rather than losing the payload
+        for fail in failures:
+            self.dlq.save(
+                source_key=f"{self.env.name}/{obj.name}/{fail.sink_name}",
+                tracking_object_name=obj.name,
+                environment_name=self.env.name,
+                database_name=obj.database,
+                data=payload,
+                error_message=fail.error,
+            )
+        self.state.set_last_version(self.env.name, obj.name, new_wm)
+        return CycleResult(obj.name, sync_type.lower() if sync_type == "Full" else "sync",
+                           len(rows), new_wm, failures)
