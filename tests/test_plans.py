@@ -1,0 +1,79 @@
+"""Plan-shape regression tests: pushdown, pruning, broadcast, no-cartesian.
+
+These encode the 100 TB design requirements as assertions on the
+physical plan at sf0.001 — plan shape is scale-invariant, so a local
+explain() guards the cluster behavior.
+"""
+
+import pytest
+
+from trignis_spark import queries as q
+from trignis_spark.operators import dedup as dd
+from trignis_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian_product,
+    assert_pushed_filter,
+    assert_read_schema_pruned,
+)
+from trignis_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_outbox_scan_pushes_version_predicate(spark):
+    df = q.QUERIES["cf_outbox_scan"](spark, SF)
+    # version > WM is a filter on event_id, pushed into the parquet scan
+    assert_pushed_filter(df, "GreaterThan(event_id,500)")
+
+
+def test_q1_pushes_shipdate_and_prunes_columns(spark):
+    df = q.QUERIES["tpch_q1_pricing_summary"](spark, SF)
+    assert_pushed_filter(df, "LessThanOrEqual(l_shipdate")
+    assert_read_schema_pruned(
+        df,
+        required=("l_returnflag", "l_quantity"),
+        absent=("l_partkey", "l_suppkey", "l_orderkey"),
+    )
+
+
+def test_change_base_join_broadcasts_dim(spark):
+    df = q.QUERIES["j1_change_base_join"](spark, SF)
+    assert_broadcast_join(df)
+    assert_no_cartesian_product(df)
+
+
+def test_dedup_joins_never_cartesian(spark):
+    docs = load(spark, SF, "documents")
+    assert_no_cartesian_product(dd.minhash_lsh_pairs(docs))
+    assert_no_cartesian_product(dd.simhash_pairs(docs))
+    assert_no_cartesian_product(
+        dd.jaccard_pairs(dd.shingle_table(docs), threshold=0.8)
+    )
+
+
+def test_interval_selfjoin_is_equijoin_on_user(spark):
+    # the theta condition must ride on the user_id equijoin, not a
+    # cartesian pair enumeration
+    df = q.QUERIES["j4_interval_overlap"](spark, SF)
+    assert_no_cartesian_product(df)
+
+
+def test_topk_aggregation_partial_before_shuffle(spark):
+    df = q.QUERIES["a5_top_failing_objects"](spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    # map-side partial aggregation present (two HashAggregate phases)
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan  # limit+sort fused, no global sort
+
+
+@pytest.mark.parametrize(
+    "name", ["text_quality_score", "text_lang_id", "text_token_stats"]
+)
+def test_text_ops_are_shuffle_free(spark, name):
+    df = q.QUERIES[name](spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan  # pure map-only pipeline

@@ -883,3 +883,227 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle verifies the whole binary→decode→feature path."""
     docs = load(spark, sf_dir, "documents")
     return mm.decode_and_extract(mm.attach_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# Remaining join/agg/function coverage (SURVEY §2.3 J2/J5, §2.4 A9,
+# §2.7 F1/F2) + TPC-H-style headliners for the bench workload.
+# --------------------------------------------------------------------------
+
+_DEC = "DECIMAL(20,6)"
+
+
+@register(
+    "j2_deadletter_antijoin",
+    """
+    WITH existing AS (
+      SELECT user_id, props FROM events
+      WHERE event_type = 'error' AND event_id % 7 = 0),
+    incoming AS (
+      SELECT event_id, user_id, props FROM events WHERE event_type = 'error')
+    SELECT i.event_id, i.user_id, i.props
+    FROM incoming i
+    WHERE NOT EXISTS (
+      SELECT 1 FROM existing e
+      WHERE e.user_id = i.user_id AND e.props = i.props)
+    """,
+)
+def j2_deadletter_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: dead-letter dedup anti-join — insert only failures whose
+    (source, hash) pair is not already stored (DeadLetterService.cs:106-136)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    existing = ev.filter(F.expr("event_id % 7 = 0")).select("user_id", "props")
+    incoming = ev.select("event_id", "user_id", "props")
+    return incoming.join(existing, ["user_id", "props"], "left_anti").select(
+        "event_id", "user_id", "props"
+    )
+
+
+@register(
+    "j5_state_config_join",
+    """
+    WITH state AS (
+      SELECT event_type AS object_name, max(event_id) AS last_version
+      FROM events GROUP BY event_type),
+    config(object_name, procedure_name) AS (VALUES
+      ('click', 'p_click'), ('view', 'p_view'), ('purchase', 'p_purchase'),
+      ('signup', 'p_signup'), ('retired_object', 'p_retired'))
+    SELECT c.object_name, c.procedure_name, s.last_version
+    FROM config c LEFT OUTER JOIN state s ON s.object_name = c.object_name
+    """,
+)
+def j5_state_config_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: health/state surface — configured objects left-joined to their
+    stored watermarks; unmatched config rows surface as never-synced
+    (Program.cs:906-949)."""
+    state = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("object_name"))
+        .agg(F.max("event_id").alias("last_version"))
+    )
+    config = spark.createDataFrame(
+        [
+            ("click", "p_click"),
+            ("view", "p_view"),
+            ("purchase", "p_purchase"),
+            ("signup", "p_signup"),
+            ("retired_object", "p_retired"),
+        ],
+        "object_name string, procedure_name string",
+    )
+    return config.join(F.broadcast(state), "object_name", "left_outer").select(
+        "object_name", "procedure_name", "last_version"
+    )
+
+
+@register(
+    "a9_distinct_envs",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY event_type
+    """,
+)
+def a9_distinct_envs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: count-distinct readiness probe (exact here; at 100 TB swap in
+    approx_count_distinct — a one-token change)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("distinct_users"))
+    )
+
+
+@register(
+    "f1_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def f1_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: JSON path extraction from the payload column."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        )
+    )
+
+
+@register(
+    "f2_json_construct",
+    f"""
+    WITH outbox AS ({_OUTBOX_SQL})
+    SELECT version,
+           json_object('version', version, 'operation', operation,
+                       'user_key', user_key)::VARCHAR AS envelope_json
+    FROM outbox WHERE version > {WM}
+    """,
+)
+def f2_json_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: JSON envelope construction (to_json over a struct — the
+    FOR JSON PATH / json_build_object equivalent)."""
+    scan = cf.outbox_scan(_outbox(spark, sf_dir), WM)
+    return scan.select(
+        "version",
+        F.to_json(F.struct("version", "operation", "user_key")).alias(
+            "envelope_json"
+        ),
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS {_DEC})) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective dim filter → two joins → top-k by
+    revenue. The customer dim filter is broadcast; revenue accumulates
+    in exact decimal."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate < TIMESTAMP_NTZ'1998-03-15 00:00:00'")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate > TIMESTAMP_NTZ'1998-03-15 00:00:00'")
+    )
+    rev = F.expr(f"CAST(l_extendedprice * (1 - l_discount) AS {_DEC})")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    f"""
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS {_DEC})) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: star join through two dims with a same-nation
+    constraint; dims broadcast, fact joins shuffle on their keys."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND "
+            "o_orderdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'"
+        )
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.expr(f"CAST(l_extendedprice * (1 - l_discount) AS {_DEC})")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )

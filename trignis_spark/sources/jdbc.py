@@ -1,0 +1,191 @@
+"""JDBC incremental sources: per-RDBMS dialect table + pushdown queries.
+
+The reference delegates all relational work to the source database
+through a stored procedure per object (SURVEY §2.1, §2.9); here the
+engine *generates* the equivalent incremental read and pushes it down as
+a JDBC subquery, so the source database still does the scan/join/filter
+work and Spark adds partitioned parallel reads on top — the main
+100 TB-scale upgrade over the reference's one-connection-per-object
+model (SURVEY §4 "Partition/parallelism").
+
+Dialect records mirror ``Source/Data/SqlDialect.cs:14-143``: provider
+name, JDBC driver class, URL shape, session-prep statement, version /
+horizon probes, and the incremental query builders:
+
+- SQL Server change tracking (S1): ``CHANGETABLE(CHANGES t, @from)``
+  right-outer-joined to the base table so deletes survive
+  (``02-stored-procedure.sqlserver.table.sql:31-56``).
+- PostgreSQL outbox + transaction horizon (S3): ``id > :from AND
+  xact_id < pg_snapshot_xmin(pg_current_snapshot())`` so in-flight
+  transactions are deferred, not skipped
+  (``02-stored-procedure.postgres.table.sql:43-60``).
+
+Everything here is pure query/option generation (unit-tested like the
+reference's SqlDialectParityTests); ``read_incremental`` wires it to
+``spark.read.jdbc`` when a live database exists.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from trignis_spark.config import TrackingObject
+
+DEFAULT_FETCH_SIZE = 10_000
+DEFAULT_NUM_PARTITIONS = 8
+DEFAULT_QUERY_TIMEOUT_S = 300  # reference procedure timeout
+
+
+@dataclass(frozen=True)
+class SqlDialect:
+    provider: str
+    driver: str
+    url_template: str  # {host} {port} {database}
+    session_init: str | None
+    current_version_sql: str | None  # S5 server watermark probe
+    horizon_sql: str | None  # P3 commit-horizon probe
+
+    def jdbc_url(self, host: str, port: int, database: str) -> str:
+        return self.url_template.format(host=host, port=port, database=database)
+
+
+SQLSERVER = SqlDialect(
+    provider="sqlserver",
+    driver="com.microsoft.sqlserver.jdbc.SQLServerDriver",
+    url_template="jdbc:sqlserver://{host}:{port};databaseName={database}",
+    session_init="SET ANSI_WARNINGS OFF",
+    current_version_sql="SELECT CHANGE_TRACKING_CURRENT_VERSION()",
+    horizon_sql=None,  # CT versions are commit-gated by snapshot isolation
+)
+
+POSTGRES = SqlDialect(
+    provider="postgres",
+    driver="org.postgresql.Driver",
+    url_template="jdbc:postgresql://{host}:{port}/{database}",
+    session_init=None,
+    current_version_sql="SELECT COALESCE(MAX(id), 0) FROM {outbox}",
+    horizon_sql="SELECT pg_snapshot_xmin(pg_current_snapshot())::text::bigint",
+)
+
+DIALECTS: dict[str, SqlDialect] = {d.provider: d for d in (SQLSERVER, POSTGRES)}
+
+
+def incremental_query(
+    dialect: SqlDialect, obj: TrackingObject, from_version: int,
+    horizon: int | None = None,
+) -> str:
+    """The pushdown subquery for one incremental read.
+
+    The *entire* change scan executes inside the source RDBMS (total
+    pushdown, SURVEY §4 row 1); Spark receives only the change batch.
+    """
+    cols = ", ".join(obj.tracked_columns) if obj.tracked_columns else "*"
+    keys = ", ".join(obj.key_columns) or "pk"
+    if obj.source_sql is not None:
+        # the stored-procedure escape hatch: user SQL with :from_version
+        return obj.source_sql.replace(":from_version", str(from_version)).replace(
+            ":horizon", str(horizon if horizon is not None else "NULL")
+        )
+    if dialect.provider == "sqlserver":
+        key = obj.key_columns[0] if obj.key_columns else "id"
+        base_cols = ", ".join(
+            f"t.{c}" for c in (obj.tracked_columns or ("*",))
+        )
+        return (
+            f"SELECT ct.SYS_CHANGE_OPERATION AS operation, "
+            f"ct.SYS_CHANGE_VERSION AS version, ct.{key} AS {key}, {base_cols} "
+            f"FROM CHANGETABLE(CHANGES {obj.table_name}, {from_version}) AS ct "
+            f"LEFT OUTER JOIN {obj.table_name} AS t ON t.{key} = ct.{key}"
+        )
+    if dialect.provider == "postgres":
+        pred = f"id > {from_version}"
+        if horizon is not None:
+            pred += f" AND xact_id < {horizon}"
+        return (
+            f"SELECT id AS version, xact_id, operation, {keys}, changed, {cols} "
+            f"FROM {obj.table_name} WHERE {pred}"
+        )
+    raise ValueError(f"no incremental query builder for {dialect.provider}")
+
+
+def jdbc_options(
+    dialect: SqlDialect,
+    url: str,
+    query: str,
+    user: str = "",
+    password: str = "",
+    version_bounds: tuple[int, int] | None = None,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+) -> dict[str, str]:
+    """Options dict for ``spark.read.format('jdbc')``.
+
+    With ``version_bounds`` the read is split into ``num_partitions``
+    parallel range scans on the version column — the reference reads
+    each object on one connection; this is the scale-out replacement.
+    """
+    opts = {
+        "url": url,
+        "driver": dialect.driver,
+        "fetchsize": str(DEFAULT_FETCH_SIZE),
+        "queryTimeout": str(DEFAULT_QUERY_TIMEOUT_S),
+    }
+    if user:
+        opts["user"] = user
+    if password:
+        opts["password"] = password
+    if dialect.session_init:
+        opts["sessionInitStatement"] = dialect.session_init
+    if version_bounds is not None:
+        lo, hi = version_bounds
+        # partitioned read needs dbtable, not query
+        opts.update(
+            {
+                "dbtable": f"({query}) AS changes",
+                "partitionColumn": "version",
+                "lowerBound": str(lo),
+                "upperBound": str(max(hi, lo + 1)),
+                "numPartitions": str(num_partitions),
+            }
+        )
+    else:
+        opts["query"] = query
+    return opts
+
+
+def read_incremental(
+    spark,
+    dialect: SqlDialect,
+    url: str,
+    obj: TrackingObject,
+    from_version: int,
+    horizon: int | None = None,
+    user: str = "",
+    password: str = "",
+    version_bounds: tuple[int, int] | None = None,
+):
+    """Build the incremental-read DataFrame (lazy; nothing connects until
+    an action runs)."""
+    q = incremental_query(dialect, obj, from_version, horizon)
+    reader = spark.read.format("jdbc")
+    for k, v in jdbc_options(
+        dialect, url, q, user, password, version_bounds
+    ).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+@dataclass
+class JdbcOutboxSource:
+    """source_fn adapter for PollPipeline: polls a JDBC outbox."""
+
+    dialect: SqlDialect
+    url: str
+    user: str = ""
+    password: str = ""
+    parallel_threshold: int = field(default=100_000)
+
+    def __call__(self, spark, obj: TrackingObject):
+        return read_incremental(
+            spark, self.dialect, self.url, obj, from_version=0,
+            user=self.user, password=self.password,
+        )

@@ -1,0 +1,120 @@
+"""Structured Streaming facade over the export pipeline.
+
+``run_export_stream`` is the streaming-native form of the poll loop
+(SURVEY §7.2 step 7): a ``readStream`` source, a processing-time
+trigger (≙ PollingIntervalSeconds), and a ``foreachBatch`` that runs
+the same envelope → multi-sink fan-out → DLQ path as the poller.
+
+Commit semantics (T2): the checkpoint's offset log is the watermark —
+Spark commits the epoch only after ``foreachBatch`` returns, and
+inside the batch we persist dead letters *before* returning, giving
+the reference's at-least-once contract (watermark advances despite
+per-sink failures; a crash mid-batch replays the whole batch, and the
+DLQ's (source_key, hash) dedup absorbs the replay). The batch max
+version is additionally mirrored into the StateStore so the
+dashboard/state surface matches the reference's ``LastVersions``.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trignis_spark.config import EnvironmentConfig, TrackingObject
+from trignis_spark.deadletter import DeadLetterStore
+from trignis_spark.operators import changefeed as cf
+from trignis_spark.sinks.base import ExportContext, RetryPolicy, Sink
+from trignis_spark.state import StateStore
+from trignis_spark.streaming.poller import envelope_json, export_fanout
+
+log = logging.getLogger("trignis_spark.structured")
+
+
+def make_export_batch_fn(
+    env: EnvironmentConfig,
+    obj: TrackingObject,
+    sinks: list[Sink],
+    state: StateStore,
+    dlq: DeadLetterStore,
+    retry: RetryPolicy | None = None,
+):
+    """The foreachBatch body: envelope the micro-batch, fan out, DLQ
+    failures, mirror the watermark."""
+    retry = retry or RetryPolicy(
+        attempts=env.retry_count, delay_seconds=env.retry_delay_seconds
+    )
+
+    def export_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = [
+            r.asDict(recursive=True)
+            for r in batch_df.orderBy(cf.VERSION).collect()
+        ]
+        if not rows:
+            return
+        new_wm = max(r[cf.VERSION] for r in rows)
+        payload = envelope_json(rows, new_wm, "Diff")
+        ctx = ExportContext(
+            environment=env.name,
+            database=obj.database,
+            object_name=obj.name,
+            key=f"{env.name}/{obj.name}/epoch-{epoch_id}",
+        )
+        failures = export_fanout(payload, sinks, ctx, retry)
+        for fail in failures:  # DLQ before epoch commit
+            dlq.save(
+                source_key=f"{env.name}/{obj.name}/{fail.sink_name}",
+                tracking_object_name=obj.name,
+                environment_name=env.name,
+                database_name=obj.database,
+                data=payload,
+                error_message=fail.error,
+            )
+        state.set_last_version(env.name, obj.name, new_wm)
+
+    return export_batch
+
+
+def run_export_stream(
+    stream_df: DataFrame,
+    env: EnvironmentConfig,
+    obj: TrackingObject,
+    sinks: list[Sink],
+    state: StateStore,
+    dlq: DeadLetterStore,
+    checkpoint_dir: str,
+    trigger_seconds: int | None = None,
+    available_now: bool = False,
+    retry: RetryPolicy | None = None,
+):
+    """Start the streaming export query. ``available_now=True`` drains
+    everything pending then stops (test/backfill mode); otherwise the
+    processing-time trigger plays the polling interval."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            make_export_batch_fn(env, obj, sinks, state, dlq, retry)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(f"export-{env.name}-{obj.name}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(
+            processingTime=f"{trigger_seconds or env.polling_interval_seconds} seconds"
+        )
+    return writer.start()
+
+
+def windowed_rate_stats(stream_df: DataFrame, window: str = "1 minute",
+                        watermark_delay: str = "2 minutes") -> DataFrame:
+    """T3: event-time windowed aggregation with late-data watermarking —
+    per-window change counts by operation (the streaming analog of the
+    monitor's windowed conditional counts)."""
+    return (
+        stream_df.withColumn("event_time", F.col("ts"))
+        .withWatermark("event_time", watermark_delay)
+        .groupBy(F.window("event_time", window), F.col(cf.OPERATION))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
