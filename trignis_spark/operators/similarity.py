@@ -108,3 +108,74 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_bands: int = 4,
+    band_dims: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH blocking.
+
+    Candidate pairs agree on the full sign pattern of at least one band
+    of leading components (random-hyperplane LSH with axis-aligned
+    planes — deterministic, so an external oracle can replay it), then
+    are verified with the exact cosine. Candidate volume is
+    O(collisions) per band — an equijoin on (band, pattern), never an
+    all-pairs cross join; at 100 TB add more/wider bands to trade
+    recall for candidate volume.
+    """
+    base = _prep(embeddings)
+    bands = base.select(
+        "vec_id",
+        "v",
+        "n2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            " + ".join(
+                                f"(CASE WHEN element_at(v, {b * band_dims + i + 1}) >= 0.0D "
+                                f"THEN {1 << i} ELSE 0 END)"
+                                for i in range(band_dims)
+                            )
+                        ).alias("bv"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "v", "n2", "bk.band", "bk.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+        .distinct()
+    )
+    x = base.select(
+        F.col("vec_id").alias("d1"), F.col("v").alias("xv"), F.col("n2").alias("xn2")
+    )
+    y = base.select(
+        F.col("vec_id").alias("d2"), F.col("v").alias("yv"), F.col("n2").alias("yn2")
+    )
+    return (
+        cand.join(x, "d1")
+        .join(y, "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.expr(DOT.format(a="xv", b="yv"))
+                / F.sqrt(F.col("xn2") * F.col("yn2"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

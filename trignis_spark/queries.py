@@ -1107,3 +1107,37 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+def _duck_embedding_dedup_sql() -> str:
+    band_rows = " UNION ALL ".join(
+        "SELECT vec_id, {b} AS band, {bits} AS bv FROM n".format(
+            b=b,
+            bits=" + ".join(
+                f"(CASE WHEN v[{b * 4 + i + 1}] >= 0.0 THEN {1 << i} ELSE 0 END)"
+                for i in range(4)
+            ),
+        )
+        for b in range(4)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_DNORM2.format(a='v')} AS n2 FROM e),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id),
+    s AS (
+      SELECT c.d1, c.d2,
+             {_DDOT.format(a='x.v', b='y.v')} / sqrt(x.n2 * y.n2) AS cos
+      FROM cand c JOIN n x ON x.vec_id = c.d1 JOIN n y ON y.vec_id = c.d2)
+    SELECT d1, d2, cos FROM s WHERE cos >= 0.4
+    """
+
+
+@register("dedup_embedding_cosine", _duck_embedding_dedup_sql())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-LSH banded candidates (equijoin on
+    (band, sign-pattern)) verified with exact cosine ≥ 0.4."""
+    return sim.cosine_near_dup_pairs(load(spark, sf_dir, "embeddings"))
