@@ -130,3 +130,50 @@ def hamming32(dialect: str, a: str, b: str) -> str:
     if dialect == SPARK:
         return f"bit_count({a} ^ {b})"
     return f"bit_count(xor({a}, {b}))"
+
+
+def token_hashes(dialect: str, tokens_expr: str) -> str:
+    """Rolling hash of every token in an array → ARRAY<BIGINT>.
+
+    Hashing each token once and combining per shingle (below) replaces
+    char-level hashing of every shingle string — ~n× less work for
+    n-gram shingles, and downstream joins run on 8-byte ints instead of
+    strings.
+    """
+    if dialect == SPARK:
+        return (
+            f"transform({tokens_expr}, t -> "
+            f"aggregate(transform(split(t, ''), c -> CAST(ascii(c) AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % {P31}))"
+        )
+    return (
+        f"list_transform({tokens_expr}, t -> "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {P31}))"
+    )
+
+
+def shingle_hashes(dialect: str, th_expr: str, n: int = 3) -> str:
+    """Combine consecutive token hashes into n-gram shingle hashes.
+
+    h(shingle) = fold(h_tok, (acc, h) -> (acc*31 + h) mod P) — pure
+    integer arithmetic, no string materialization. [] when < n tokens.
+    """
+    if dialect == SPARK:
+        combo = f"element_at({th_expr}, i)"
+        for k in range(1, n):
+            combo = f"(({combo}) * 31 + element_at({th_expr}, i + {k})) % {P31}"
+        return (
+            f"CASE WHEN size({th_expr}) >= {n} THEN "
+            f"transform(sequence(1, size({th_expr}) - {n - 1}), i -> {combo}) "
+            f"ELSE array() END"
+        )
+    combo = f"{th_expr}[i]"
+    for k in range(1, n):
+        combo = f"(({combo}) * 31 + {th_expr}[i + {k}]) % {P31}"
+    return (
+        f"CASE WHEN len({th_expr}) >= {n} THEN "
+        f"list_transform(range(1, len({th_expr}) - {n - 2}), i -> {combo}) "
+        f"ELSE [] END"
+    )

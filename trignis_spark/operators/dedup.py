@@ -34,23 +34,27 @@ from pyspark.sql import functions as F
 from trignis_spark.functions import portable as pf
 
 
-def _feature_hash(expr: str, portable: bool) -> str:
-    if portable:
-        return pf.rolling_hash(pf.SPARK, expr)
-    return f"pmod(xxhash64({expr}), {pf.P31})"
-
-
 def shingle_table(
     docs: DataFrame, n: int = 3, text_col: str = "text"
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
+    """Distinct word n-gram shingle *hashes* per document:
+    (doc_id, shingle BIGINT).
+
+    Tokens are hashed once and combined arithmetically per shingle
+    (``portable.token_hashes``/``shingle_hashes``) — no shingle string
+    is ever materialized, and every downstream join/group runs on 8-byte
+    integer keys instead of strings (cheaper hashing + smaller shuffles
+    at scale)."""
     toks = docs.select(
         "doc_id", F.expr(pf.tokens(pf.SPARK, text_col)).alias("tokens")
     )
-    return toks.select(
+    th = toks.select(
+        "doc_id", F.expr(pf.token_hashes(pf.SPARK, "tokens")).alias("th")
+    )
+    return th.select(
         "doc_id",
         F.explode(
-            F.array_distinct(F.expr(pf.word_shingles(pf.SPARK, "tokens", n)))
+            F.array_distinct(F.expr(pf.shingle_hashes(pf.SPARK, "th", n)))
         ).alias("shingle"),
     )
 
@@ -129,8 +133,11 @@ def jaccard_pairs(
 
 
 def minhash_signatures(shingles: DataFrame, portable: bool = True) -> DataFrame:
-    """k=8 permutation MinHash signature per doc: h_j = min (a_j·x + b_j) mod P."""
-    x = _feature_hash("shingle", portable)
+    """k=8 permutation MinHash signature per doc: h_j = min (a_j·x + b_j) mod P.
+
+    ``shingles.shingle`` is already an integer feature hash, so the
+    permutations are pure arithmetic."""
+    x = "shingle" if portable else f"pmod(xxhash64(shingle), {pf.P31})"
     hashed = shingles.select("doc_id", F.expr(x).alias("x"))
     aggs = [
         F.min(F.expr(f"(x * {a} + {b}) % {pf.P31}")).alias(f"mh{j}")
@@ -215,15 +222,23 @@ def jaccard_pairs_for_candidates(
 def simhash_table(
     docs: DataFrame, n: int = 3, portable: bool = True
 ) -> DataFrame:
-    """32-bit SimHash per doc over the word-shingle multiset."""
+    """32-bit SimHash per doc over the word-shingle multiset (shingle
+    hashes are the features — computed arithmetically from per-token
+    hashes, no string shingles)."""
     toks = docs.select("doc_id", F.expr(pf.tokens(pf.SPARK, "text")).alias("tokens"))
-    feats = toks.select(
-        "doc_id",
-        F.explode(F.expr(pf.word_shingles(pf.SPARK, "tokens", n))).alias("shingle"),
+    th = toks.select(
+        "doc_id", F.expr(pf.token_hashes(pf.SPARK, "tokens")).alias("th")
     )
-    hashed = feats.select("doc_id", F.expr(_feature_hash("shingle", portable)).alias("th"))
-    return hashed.groupBy("doc_id").agg(
-        F.expr(pf.simhash32(pf.SPARK, "th")).alias("simhash")
+    feats = th.select(
+        "doc_id",
+        F.explode(F.expr(pf.shingle_hashes(pf.SPARK, "th", n))).alias("shingle"),
+    )
+    if not portable:
+        feats = feats.select(
+            "doc_id", F.expr(f"pmod(xxhash64(shingle), {pf.P31})").alias("shingle")
+        )
+    return feats.groupBy("doc_id").agg(
+        F.expr(pf.simhash32(pf.SPARK, "shingle")).alias("simhash")
     )
 
 

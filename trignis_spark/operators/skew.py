@@ -1,0 +1,75 @@
+"""Skew mitigation: salted aggregation and salted broadcast-side joins.
+
+At 100 TB a hot key (one user generating 1% of all events, one
+stop-shingle) turns a clean equijoin/groupBy into a straggler. AQE's
+skew-join handling covers sort-merge joins; these helpers cover the two
+remaining cases:
+
+- ``salted_count``: two-phase aggregation — explode each key into
+  ``n_salts`` partial groups, aggregate, then merge. The partial stage
+  spreads a hot key across n_salts reducers.
+- ``salted_join``: replicate the *small* side n_salts× and salt the big
+  side's key, so one hot key lands on n_salts different reducers.
+
+Both are algebraic rewrites of the unsalted plan — same results, more
+balanced shuffle. Compose with monotonically higher n_salts as skew
+grows; salting is a no-op semantically (verified by equivalence tests).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Deterministic pseudo-random salt per row (hash of all columns),
+    uniform in [0, n_salts)."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+
+
+def salted_count(
+    df: DataFrame, keys: Sequence[str], n_salts: int = 16,
+    count_alias: str = "n",
+) -> DataFrame:
+    """groupBy(keys).count() as a two-phase salted aggregation."""
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.count(F.lit(1)).alias("__partial")
+    )
+    return partial.groupBy(*keys).agg(F.sum("__partial").alias(count_alias))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equijoin with the big side salted and the small side replicated
+    n_salts× — a hot join key fans out over n_salts reducers instead of
+    one. Result is identical to ``big.join(small, on, how)``."""
+    big_s = with_salt(big, n_salts)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    joined = big_s.join(small_s, [*on, "__salt"], how)
+    return joined.drop("__salt")
+
+
+def top_keys(df: DataFrame, keys: Sequence[str], k: int = 20) -> DataFrame:
+    """Skew diagnosis: the k heaviest keys and their share of all rows."""
+    total = df.count()
+    share: Column = (F.col("n") / F.lit(total)).alias("share")
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), *keys)
+        .limit(k)
+        .select(*keys, "n", share)
+    )

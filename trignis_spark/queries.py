@@ -711,10 +711,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup: exact / n-gram Jaccard / MinHash-LSH / SimHash
 # --------------------------------------------------------------------------
 
-_DSHINGLES = pf.word_shingles(pf.DUCK, "tokens", 3)
+_DTH = pf.token_hashes(pf.DUCK, "tokens")
+_DSHINGLES = pf.shingle_hashes(pf.DUCK, "th", 3)
 _DSH_TABLE = f"""
     toks AS (SELECT doc_id, {_DTOK} AS tokens FROM documents),
-    shl AS (SELECT doc_id, list_distinct({_DSHINGLES}) AS shingles FROM toks),
+    thx AS (SELECT doc_id, {_DTH} AS th FROM toks),
+    shl AS (SELECT doc_id, list_distinct({_DSHINGLES}) AS shingles FROM thx),
     ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl),
     sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id)
 """
@@ -768,7 +770,7 @@ def _duck_minhash_sql() -> str:
     )
     return f"""
     WITH {_DSH_TABLE},
-    xh AS (SELECT doc_id, {pf.rolling_hash(pf.DUCK, 'shingle')} AS x FROM ex),
+    xh AS (SELECT doc_id, shingle AS x FROM ex),
     sig AS (SELECT doc_id, {mins} FROM xh GROUP BY doc_id),
     bands AS ({band_rows}),
     cand AS (
@@ -799,10 +801,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_simhash_sql() -> str:
     return f"""
     WITH toks AS (SELECT doc_id, {_DTOK} AS tokens FROM documents),
-    feats AS (SELECT doc_id, unnest({_DSHINGLES}) AS shingle FROM toks),
-    th AS (SELECT doc_id, {pf.rolling_hash(pf.DUCK, 'shingle')} AS th FROM feats),
-    sh AS (SELECT doc_id, {pf.simhash32(pf.DUCK, 'th')} AS simhash
-           FROM th GROUP BY doc_id)
+    thx AS (SELECT doc_id, {_DTH} AS th FROM toks),
+    feats AS (SELECT doc_id, unnest({_DSHINGLES}) AS shingle FROM thx),
+    sh AS (SELECT doc_id, {pf.simhash32(pf.DUCK, 'shingle')} AS simhash
+           FROM feats GROUP BY doc_id)
     SELECT a.doc_id AS d1, b.doc_id AS d2,
            {pf.hamming32(pf.DUCK, 'a.simhash', 'b.simhash')} AS hamming
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
