@@ -1143,3 +1143,91 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: sign-LSH banded candidates (equijoin on
     (band, sign-pattern)) verified with exact cosine ≥ 0.4."""
     return sim.cosine_near_dup_pairs(load(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# Composition queries: corpus assembly + log merge (W4, union set-op)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_build",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_DTOK} AS tokens FROM documents),
+    q AS (SELECT doc_id, text,
+                 CAST(len(tokens) AS BIGINT) AS n_tokens,
+                 CAST({pf.count_in_list(pf.DUCK, 'tokens', tx.STOPWORDS)} AS DOUBLE)
+                   / len(tokens) AS stopword_ratio
+          FROM t),
+    canon AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY {pf.sha256_hex(pf.DUCK, _DNORM)})
+    SELECT q.doc_id, q.n_tokens, q.stopword_ratio
+    FROM q JOIN canon ON canon.doc_id = q.doc_id
+    WHERE q.n_tokens >= 20 AND q.stopword_ratio < 0.5
+    """,
+)
+def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus assembly: exact-dedup to canonical docs, then
+    quality gating (length + stopword ratio) — the composed filter a
+    corpus pipeline runs before tokenization. One groupBy shuffle (the
+    dedup); the quality gates fuse into the scan."""
+    docs = load(spark, sf_dir, "documents")
+    canon = dd.exact_duplicates(docs).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    t = docs.withColumn("tokens", F.expr(pf.tokens(pf.SPARK, "text")))
+    quality = t.select(
+        "doc_id",
+        F.expr("CAST(size(tokens) AS BIGINT)").alias("n_tokens"),
+        (
+            F.expr(pf.count_in_list(pf.SPARK, "tokens", tx.STOPWORDS)).cast("double")
+            / F.expr("size(tokens)")
+        ).alias("stopword_ratio"),
+    )
+    return (
+        quality.join(canon, "doc_id")
+        .filter((F.col("n_tokens") >= 20) & (F.col("stopword_ratio") < 0.5))
+        .select("doc_id", "n_tokens", "stopword_ratio")
+    )
+
+
+@register(
+    "w4_log_merge",
+    """
+    WITH merged AS (
+      SELECT event_id, 'error' AS level, ts FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT event_id, 'warn' AS level, ts FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT event_id, 'info' AS level, ts FROM events WHERE event_type = 'view')
+    SELECT event_id, level, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM merged
+    WHERE level IN ('error', 'warn')
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 50
+    """,
+)
+def w4_log_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: merge N log sources (UNION ALL), filter by level, order by
+    timestamp descending, paginate — the log-viewer query shape."""
+    ev = load(spark, sf_dir, "events")
+
+    def src(event_type: str, level: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == event_type).select(
+            "event_id", F.lit(level).alias("level"), "ts"
+        )
+
+    merged = src("error", "error").unionAll(src("click", "warn")).unionAll(
+        src("view", "info")
+    )
+    return (
+        merged.filter(F.col("level").isin("error", "warn"))
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .select(
+            "event_id", "level",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+        .limit(50)
+    )
