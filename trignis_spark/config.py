@@ -107,7 +107,7 @@ def validate_environment(env: EnvironmentConfig) -> tuple[list[str], list[str]]:
                 )
             auth_modes = [
                 m
-                for m in ("bearer_token", "basic_user", "api_key")
+                for m in ("bearer_token", "basic_user", "api_key", "oauth2_token_url")
                 if sink.options.get(m) is not None
             ]
             if len(auth_modes) > 1:

@@ -278,3 +278,69 @@ def min_valid_version_reset(from_version: int, min_valid_version: int) -> tuple[
     if from_version < min_valid_version:
         return 0, 1
     return from_version, 0
+
+
+def apply_changes(
+    old: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    tracked_cols: Sequence[str],
+) -> DataFrame:
+    """Reconstruct the new table state from a snapshot + change batch —
+    the consumer-side MERGE of the change feed (inverse of
+    ``snapshot_diff``; the reference's downstream systems do this with
+    the exported batches).
+
+    Merge semantics per FIXTURES F4 (the null-vs-mask contract,
+    ``02-stored-procedure.postgres.column.sql:120-133``):
+
+    - 'D': row removed;
+    - 'I': payload becomes the row;
+    - 'U' with a mask: a column named in ``changed`` takes the payload
+      value (NULL payload = **cleared to NULL**); a column absent from
+      the mask keeps the old value (NULL payload there means
+      "untouched", not "cleared");
+    - 'U' with NULL mask: full-row update (every column from payload).
+
+    One full-outer key-equijoin — identical shuffle shape to
+    ``snapshot_diff``, so bucketing both sides makes the whole
+    diff→apply cycle shuffle-free (see ``plans/bucketing.py``).
+    """
+    ch = changes.select(
+        F.col(OPERATION).alias("__op"),
+        F.col(CHANGED).alias("__mask"),
+        *[F.col(k).alias(f"__ck_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__c_{c}") for c in tracked_cols],
+    )
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in tracked_cols],
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__ok_{k}") == F.col(f"__ck_{k}")
+        cond = c if cond is None else (cond & c)
+    j = o.join(ch, cond, "full_outer")
+
+    merged_cols = []
+    for k in key_cols:
+        merged_cols.append(
+            F.coalesce(F.col(f"__ck_{k}"), F.col(f"__ok_{k}")).alias(k)
+        )
+    for c in tracked_cols:
+        in_mask = F.array_contains(F.coalesce(F.col("__mask"), F.array()), c)
+        full_row = F.col("__mask").isNull()
+        merged_cols.append(
+            F.when(F.col("__op") == "I", F.col(f"__c_{c}"))
+            .when(
+                F.col("__op") == "U",
+                F.when(in_mask | full_row, F.col(f"__c_{c}")).otherwise(
+                    F.col(f"__o_{c}")
+                ),
+            )
+            .otherwise(F.col(f"__o_{c}"))
+            .alias(c)
+        )
+    return j.filter(
+        F.col("__op").isNull() | (F.col("__op") != "D")
+    ).select(*merged_cols)

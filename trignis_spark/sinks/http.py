@@ -57,6 +57,11 @@ class HttpSink(Sink):
         basic_password: str | None = None,
         api_key: str | None = None,
         api_key_header: str = "X-Api-Key",
+        oauth2_token_url: str | None = None,
+        oauth2_client_id: str | None = None,
+        oauth2_client_secret: str | None = None,
+        oauth2_scope: str | None = None,
+        oauth2_token_service=None,
         headers: dict[str, str] | None = None,
         gzip: bool = False,
         max_records_per_batch: int = 1000,
@@ -70,6 +75,11 @@ class HttpSink(Sink):
         self.basic_password = basic_password
         self.api_key = api_key
         self.api_key_header = api_key_header
+        self.oauth2_token_url = oauth2_token_url
+        self.oauth2_client_id = oauth2_client_id
+        self.oauth2_client_secret = oauth2_client_secret
+        self.oauth2_scope = oauth2_scope
+        self._oauth2 = oauth2_token_service
         self.extra_headers = headers or {}
         self.gzip = gzip
         self.max_records_per_batch = max_records_per_batch
@@ -78,7 +88,20 @@ class HttpSink(Sink):
 
     def _headers(self, ctx: ExportContext, batch: int, total: int) -> dict[str, str]:
         h = {"Content-Type": "application/json"}
-        if self.bearer_token:
+        if self.oauth2_token_url:
+            # OAuth2 client-credentials (cached, single-flight, expiry slack)
+            if self._oauth2 is None:
+                from trignis_spark.sinks.oauth2 import OAuth2TokenService
+
+                self._oauth2 = OAuth2TokenService()
+            token = self._oauth2.get_token(
+                self.oauth2_token_url,
+                self.oauth2_client_id or "",
+                self.oauth2_client_secret or "",
+                scope=self.oauth2_scope,
+            )
+            h["Authorization"] = f"Bearer {token}"
+        elif self.bearer_token:
             h["Authorization"] = f"Bearer {self.bearer_token}"
         elif self.basic_user is not None:
             cred = f"{self.basic_user}:{self.basic_password or ''}"

@@ -67,7 +67,18 @@ POSTGRES = SqlDialect(
     horizon_sql="SELECT pg_snapshot_xmin(pg_current_snapshot())::text::bigint",
 )
 
-DIALECTS: dict[str, SqlDialect] = {d.provider: d for d in (SQLSERVER, POSTGRES)}
+MYSQL = SqlDialect(
+    provider="mysql",
+    driver="com.mysql.cj.jdbc.Driver",
+    url_template="jdbc:mysql://{host}:{port}/{database}",
+    session_init="SET SESSION TRANSACTION ISOLATION LEVEL REPEATABLE READ",
+    current_version_sql="SELECT COALESCE(MAX(id), 0) FROM {outbox}",
+    horizon_sql=None,  # REPEATABLE READ snapshot gates visibility
+)
+
+DIALECTS: dict[str, SqlDialect] = {
+    d.provider: d for d in (SQLSERVER, POSTGRES, MYSQL)
+}
 
 
 def incremental_query(
@@ -97,7 +108,7 @@ def incremental_query(
             f"FROM CHANGETABLE(CHANGES {obj.table_name}, {from_version}) AS ct "
             f"LEFT OUTER JOIN {obj.table_name} AS t ON t.{key} = ct.{key}"
         )
-    if dialect.provider == "postgres":
+    if dialect.provider in ("postgres", "mysql"):
         pred = f"id > {from_version}"
         if horizon is not None:
             pred += f" AND xact_id < {horizon}"
