@@ -1231,3 +1231,63 @@ def w4_log_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@register(
+    "cf_apply_changes",
+    f"""
+    {_DIFF_NEW_SQL}
+    """,
+)
+def cf_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-side merge: apply the snapshot-diff change feed back onto
+    the old snapshot. The oracle is simply the *new* snapshot — the
+    reconstruction must reproduce it exactly (the Hypothesis-tested
+    diff→apply inverse property, run here against real data)."""
+    old, new = _diff_frames(spark, sf_dir)
+    diff = cf.snapshot_diff(
+        old, new,
+        key_cols=("o_orderkey",),
+        tracked_cols=("o_orderstatus", "o_totalprice", "o_orderpriority"),
+    )
+    rebuilt = cf.apply_changes(
+        old, diff,
+        key_cols=("o_orderkey",),
+        tracked_cols=("o_orderstatus", "o_totalprice", "o_orderpriority"),
+    )
+    return rebuilt.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+
+@register(
+    "agg_hourly_windows",
+    f"""
+    WITH outbox AS ({_OUTBOX_SQL})
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+           operation, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM outbox
+    GROUP BY date_trunc('hour', ts), operation
+    """,
+)
+def agg_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (batch form of the
+    streaming windowed_rate_stats): per-hour change counts and value
+    totals by operation."""
+    outbox = _outbox(spark, sf_dir)
+    return (
+        outbox.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "operation"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+            "operation", "n", "total_value",
+        )
+    )
