@@ -217,3 +217,65 @@ def test_envelope_masks_survive_roundtrip(rig, spark):
     assert by_v[1]["value"] is None and "value" in by_v[1]["changed"]
     # row 2: props None but NOT in changed → "unchanged" marker preserved
     assert by_v[2]["props"] is None and "props" not in by_v[2]["changed"]
+
+
+def test_distributed_export_skips_driver_collect(rig, spark, tmp_path):
+    """Only DataFrame sinks configured: the batch is written
+    executor-parallel with an envelope sidecar; no row ever reaches a
+    driver-side payload."""
+    import json as _json
+    import os
+
+    from trignis_spark.sinks.spark_file import PartitionedFileSink
+
+    dfs = PartitionedFileSink(
+        "dist", path_template=str(tmp_path / "out" / "{object}"),
+        fmt="parquet", partition_by=("operation",),
+    )
+    p = PollPipeline(
+        spark, rig.env,
+        source_fn=lambda s, o: make_outbox(s, rig.rows),
+        sinks=[], df_sinks=[dfs],
+        state=rig.state, dlq=rig.dlq,
+        retry=RetryPolicy(attempts=1, delay_seconds=0, sleep=lambda _: None),
+    )
+    [r] = p.run_cycle()
+    assert r.mode == "full" and r.exported_rows == 10
+    assert rig.state.get_last_version("e1", "obj") == 10
+    out_dir = str(tmp_path / "out" / "obj")
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 10
+    assert {d for d in os.listdir(out_dir) if d.startswith("operation=")}
+    sidecar = _json.load(open(out_dir + "/_envelope.json"))
+    assert sidecar["Metadata"]["Sync"] == {
+        "Version": 10, "Type": "Full", "ReasonCode": 0,
+    }
+
+
+def test_distributed_export_failure_deadletters_manifest(rig, spark, tmp_path):
+    import json as _json
+
+    from trignis_spark.sinks.spark_file import DataFrameSink
+
+    class Failing(DataFrameSink):
+        name = "broken"
+
+        def write_df(self, batch, ctx, metadata):
+            raise IOError("object store down")
+
+    p = PollPipeline(
+        spark, rig.env,
+        source_fn=lambda s, o: make_outbox(s, rig.rows),
+        sinks=[], df_sinks=[Failing()],
+        state=rig.state, dlq=rig.dlq,
+        retry=RetryPolicy(attempts=1, delay_seconds=0, sleep=lambda _: None),
+    )
+    [r] = p.run_cycle()
+    assert [f.sink_name for f in r.failures] == ["broken"]
+    assert rig.state.get_last_version("e1", "obj") == 10  # still advances
+    [row] = rig.dlq.rows()
+    manifest = _json.loads(row["data"])
+    # the DLQ holds a replayable version-range manifest, not the rows
+    assert manifest["distributed"] is True
+    assert (manifest["from_version"], manifest["to_version"]) == (0, 10)
+    assert manifest["rows"] == 10

@@ -17,11 +17,16 @@ Consistency contract (SURVEY §1.4 + §7.4):
 - during seed, rows returned by a misbehaving source are discarded with
   a warning and only the probed version is stored.
 
-The batch is collected once into one JSON envelope (the reference's
-unit of export); for 100 TB-scale objects the per-object batch is
-bounded by the horizon and ``max_records_per_batch`` chunking in the
-sinks, and the scan itself stays distributed until the final ordered
-serialization.
+Two export paths:
+- **envelope path** (``sinks``): the batch collects into one JSON
+  envelope — the reference's unit of export, right for bounded change
+  batches (the horizon + ``max_records_per_batch`` chunking bound it);
+- **distributed path** (``df_sinks``): the batch never leaves the
+  executors — ``DataFrameSink``s write it partition-parallel and only
+  the (watermark, count) aggregate reaches the driver; failures
+  dead-letter a replayable version-range *manifest* instead of rows
+  (``sinks/spark_file.py``). Use this for 100 TB initial syncs and
+  large backfills.
 """
 
 from __future__ import annotations
@@ -37,6 +42,7 @@ from trignis_spark.config import EnvironmentConfig, TrackingObject
 from trignis_spark.deadletter import DeadLetterStore
 from trignis_spark.operators import changefeed as cf
 from trignis_spark.sinks.base import ExportContext, RetryPolicy, Sink, SinkFailure
+from trignis_spark.sinks.spark_file import DataFrameSink, batch_manifest
 from trignis_spark.state import PauseStore, StateStore
 
 log = logging.getLogger("trignis_spark.poller")
@@ -110,11 +116,13 @@ class PollPipeline:
         retry: RetryPolicy | None = None,
         min_valid_version_fn=None,  # (TrackingObject) -> int, S7 probe
         horizon_fn=None,  # (spark, TrackingObject) -> int | None, P3 probe
+        df_sinks: list[DataFrameSink] | None = None,
     ):
         self.spark = spark
         self.env = env
         self.source_fn = source_fn
         self.sinks = sinks
+        self.df_sinks = df_sinks or []
         self.state = state
         self.dlq = dlq
         self.pauses = pauses
@@ -203,23 +211,65 @@ class PollPipeline:
         default_version: int,
         reason_code: int = 0,
     ) -> CycleResult:
-        ordered = batch.orderBy(cf.VERSION)
-        rows = [r.asDict(recursive=True) for r in ordered.collect()]
-        if not rows:
-            # empty diff: nothing to export, watermark unchanged
-            return CycleResult(obj.name, "empty", 0, default_version)
-        new_wm = max(r[cf.VERSION] for r in rows)
-        payload = envelope_json(rows, new_wm, sync_type, reason_code)
         ctx = ExportContext(
             environment=self.env.name,
             database=obj.database,
             object_name=obj.name,
             key=f"{self.env.name}/{obj.name}",
         )
-        failures = export_fanout(payload, self.sinks, ctx, self.retry)
+        ordered = batch.orderBy(cf.VERSION)
+        failures: list[SinkFailure] = []
+
+        if self.df_sinks:
+            # distributed path: batch stays on executors; only the
+            # (watermark, count) aggregate touches the driver
+            agg = batch.agg(
+                F.coalesce(F.max(cf.VERSION), F.lit(default_version)).alias("wm"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            new_wm, n_rows = agg["wm"], agg["n"]
+            if n_rows == 0:
+                return CycleResult(obj.name, "empty", 0, default_version)
+            metadata = {
+                "Sync": {"Version": new_wm, "Type": sync_type,
+                         "ReasonCode": reason_code}
+            }
+            manifest = batch_manifest(ctx, default_version, new_wm, n_rows)
+            for dfs in self.df_sinks:
+                try:
+                    dfs.write_df(ordered, ctx, metadata)
+                except Exception as e:  # noqa: BLE001
+                    failures.append(SinkFailure(dfs.name, str(e), True))
+                    # dead-letter the replayable MANIFEST, not the rows —
+                    # replay re-scans the version range from the source
+                    self.dlq.save(
+                        source_key=f"{self.env.name}/{obj.name}/{dfs.name}",
+                        tracking_object_name=obj.name,
+                        environment_name=self.env.name,
+                        database_name=obj.database,
+                        data=manifest,
+                        error_message=str(e),
+                    )
+            if not self.sinks:
+                self.state.set_last_version(self.env.name, obj.name, new_wm)
+                return CycleResult(
+                    obj.name,
+                    sync_type.lower() if sync_type == "Full" else "sync",
+                    n_rows, new_wm, failures,
+                )
+
+        rows = [r.asDict(recursive=True) for r in ordered.collect()]
+        if not rows:
+            # empty diff: nothing to export, watermark unchanged
+            return CycleResult(obj.name, "empty", 0, default_version)
+        new_wm = max(r[cf.VERSION] for r in rows)
+        payload = envelope_json(rows, new_wm, sync_type, reason_code)
+        failures += export_fanout(payload, self.sinks, ctx, self.retry)
         # write-ordering: dead letters BEFORE the watermark advance, so a
         # crash between the two re-fetches rather than losing the payload
         for fail in failures:
+            if fail.sink_name in {d.name for d in self.df_sinks}:
+                continue  # manifest already dead-lettered above
             self.dlq.save(
                 source_key=f"{self.env.name}/{obj.name}/{fail.sink_name}",
                 tracking_object_name=obj.name,
