@@ -1,0 +1,66 @@
+"""As-of + range join edge semantics: ties, no-match, inner mode,
+bucket-boundary intervals."""
+
+import datetime as dt
+
+from trignis_spark.operators.asof import asof_join, range_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _t(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    probe = spark.createDataFrame(
+        [(1, 10, _t(10)), (2, 10, _t(5)), (3, 10, _t(0)), (4, 99, _t(50))],
+        "pid long, k long, pt timestamp",
+    )
+    build = spark.createDataFrame(
+        [(10, _t(1), "a"), (10, _t(5), "b"), (10, _t(9), "c")],
+        "k long, bt timestamp, label string",
+    )
+    out = {
+        r["pid"]: r["label"]
+        for r in asof_join(
+            probe, build, key="k", probe_time="pt", build_time="bt",
+            build_cols=("label",),
+        ).collect()
+    }
+    assert out[1] == "c"  # latest before t=10
+    assert out[2] == "b"  # equal time counts (<= semantics)
+    assert out[3] is None  # nothing at or before t=0
+    assert out[4] is None  # key with no build rows (left join)
+
+
+def test_asof_inner_drops_unmatched(spark):
+    probe = spark.createDataFrame(
+        [(1, 10, _t(10)), (2, 99, _t(10))], "pid long, k long, pt timestamp"
+    )
+    build = spark.createDataFrame([(10, _t(1), "a")], "k long, bt timestamp, label string")
+    rows = asof_join(
+        probe, build, key="k", probe_time="pt", build_time="bt",
+        build_cols=("label",), how="inner",
+    ).collect()
+    assert [r["pid"] for r in rows] == [1]
+
+
+def test_range_join_boundaries(spark):
+    intervals = spark.createDataFrame(
+        [(100, 1, _t(0), _t(60))], "iid long, k long, s timestamp, e timestamp"
+    )
+    points = spark.createDataFrame(
+        [
+            (1, 1, _t(0)),     # inclusive start
+            (2, 1, _t(59)),    # inside (and in a later bucket than start)
+            (3, 1, _t(60)),    # exclusive end
+            (4, 2, _t(30)),    # wrong key
+        ],
+        "pid long, k long, pt timestamp",
+    )
+    rows = range_join(
+        points, intervals, key="k", point_time="pt",
+        start_col="s", end_col="e", bucket_seconds=600,
+    ).collect()
+    assert sorted(r["pid"] for r in rows) == [1, 2]

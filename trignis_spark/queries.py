@@ -1291,3 +1291,126 @@ def agg_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "operation", "n", "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series joins: as-of + bucketed range join (operators Spark lacks
+# natively; the oracle uses DuckDB's native ASOF JOIN / theta join)
+# --------------------------------------------------------------------------
+
+from trignis_spark.operators import asof as aj  # noqa: E402
+
+
+@register(
+    "j6_asof_join",
+    """
+    WITH build AS (
+      SELECT o_custkey AS k, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2),
+    probe AS (SELECT event_id, user_id AS k, ts FROM events)
+    SELECT p.event_id, p.k AS user_key, b.o_orderkey,
+           strftime(b.o_orderdate, '%Y-%m-%d') AS orderdate_s
+    FROM probe p ASOF LEFT JOIN build b
+      ON p.k = b.k AND p.ts >= b.o_orderdate
+    """,
+)
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the user's most recent order at or
+    before the event time. Spark side = union-timeline + running-last
+    window (single key shuffle); oracle = DuckDB's native ASOF JOIN."""
+    probe = load(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("k"), "ts"
+    )
+    build = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = aj.asof_join(
+        probe, build,
+        key="k", probe_time="ts", build_time="o_orderdate",
+        build_cols=("o_orderkey", "o_orderdate"),
+    )
+    return out.select(
+        "event_id",
+        F.col("k").alias("user_key"),
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_s"),
+    )
+
+
+@register(
+    "j7_range_join",
+    """
+    WITH iv AS (
+      SELECT event_id AS interval_id, user_id,
+             ts AS start_t, ts + to_seconds(CAST(value AS BIGINT)) AS end_t
+      FROM events),
+    pt AS (SELECT event_id AS point_id, user_id, ts FROM events)
+    SELECT i.interval_id, p.point_id, i.user_id
+    FROM iv i JOIN pt p
+      ON i.user_id = p.user_id
+     AND p.ts >= i.start_t AND p.ts < i.end_t
+     AND p.point_id <> i.interval_id
+    """,
+)
+def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events landing inside another event's activity
+    interval, per user. Spark side uses time-bucket blocking (equijoin
+    on (key, bucket) + exact verify — never a per-key cartesian)."""
+    ev = load(spark, sf_dir, "events")
+    intervals = ev.select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start_t"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, 0, 0, CAST(value AS BIGINT))"
+        ).alias("end_t"),
+    )
+    points = ev.select(F.col("event_id").alias("point_id"), "user_id", "ts")
+    joined = aj.range_join(
+        points, intervals,
+        key="user_id", point_time="ts",
+        start_col="start_t", end_col="end_t",
+        bucket_seconds=3600,
+    )
+    return joined.filter(F.col("point_id") != F.col("interval_id")).select(
+        "interval_id", "point_id", "user_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# Hypertable rollups: hierarchical continuous aggregates
+# --------------------------------------------------------------------------
+
+from trignis_spark.operators import rollup as ru  # noqa: E402
+
+
+@register(
+    "rollup_daily_cascade",
+    f"""
+    WITH outbox AS ({_OUTBOX_SQL})
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_s,
+           operation, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS val_total
+    FROM outbox
+    GROUP BY date_trunc('day', ts), operation
+    """,
+)
+def rollup_daily_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup: the DAILY level computed hierarchically
+    (raw → hour → day, merging partial aggregates) must equal the
+    oracle's direct day-level aggregation — the continuous-aggregate
+    exactness property, checked on real data."""
+    levels = ru.cascade(
+        _outbox(spark, sf_dir),
+        ts_col="ts", dims=("operation",), value_col="value",
+        resolutions=("hour", "day"),
+    )
+    day = levels["day"]
+    return day.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day_s"),
+        "operation",
+        "n",
+        F.col("val_sum").cast("double").alias("val_total"),
+    )
