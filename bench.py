@@ -32,11 +32,21 @@ HEADLINE = [
 OPTIONAL = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
+    "tpch_q12_priority_shipping",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_orders",
     "a3_ordered_export",
+    "cf_apply_changes",
+    "j6_asof_join",
+    "j7_range_join",
+    "rollup_daily_cascade",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "text_quality_score",
+    "corpus_build",
+    "sample_stratified",
     "dlq_due_for_replay",
 ]
 

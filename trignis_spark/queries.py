@@ -1414,3 +1414,156 @@ def rollup_daily_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("val_sum").cast("double").alias("val_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# More relational headliners: conditional-ratio, having-filter, and
+# shipmode-style conditional aggregation shapes; stratified sampling.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q12_priority_shipping",
+    """
+    SELECT o.o_orderpriority,
+           count(CASE WHEN l.l_returnflag = 'R' THEN 1 END) AS returned_count,
+           count(CASE WHEN l.l_returnflag <> 'R' THEN 1 END) AS kept_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: join + conditional counts split by a flag column."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'"
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("returned_count"),
+            F.count(F.when(F.col("l_returnflag") != "R", 1)).alias("kept_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_effect",
+    f"""
+    SELECT CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS {_DEC})
+                 ELSE CAST(0 AS {_DEC}) END) AS DOUBLE)
+           / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS {_DEC})) AS DOUBLE)
+           AS promo_revenue_ratio
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-08-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional-revenue ratio; both sums accumulate in
+    exact decimal so the final double division is bit-deterministic."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP_NTZ'1997-06-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP_NTZ'1997-08-01 00:00:00'"
+        )
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.expr(f"CAST(l_extendedprice * (1 - l_discount) AS {_DEC})")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.expr(f"CAST(0 AS {_DEC})")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_ratio")
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(20,6))) > 120)
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate_s,
+           CAST(sum(CAST(l.l_quantity AS {_DEC})) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN big ON big.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+    ORDER BY total_qty DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: HAVING-filtered semi-join of large orders, then the
+    detail join + top-k. The `big` aggregate is tiny → broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(20,6)")).alias("q"))
+        .filter(F.col("q") > 120)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .select(
+            "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_s"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "sample_stratified",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {pf.rolling_hash(pf.DUCK, "concat('salt42:', CAST(doc_id AS VARCHAR))")} AS hv
+      FROM documents)
+    SELECT doc_id, lang FROM h
+    WHERE hv % 100 < CASE lang WHEN 'en' THEN 20 ELSE 50 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus construction:
+    hash-gate each row with a per-stratum rate (downsample the dominant
+    language, keep more of the rare ones). Seeded by a salt in the hash
+    input — reproducible across runs and engines, no RNG state."""
+    docs = load(spark, sf_dir, "documents")
+    hv = pf.rolling_hash(pf.SPARK, "concat('salt42:', CAST(doc_id AS STRING))")
+    return (
+        docs.withColumn("hv", F.expr(hv))
+        .filter(
+            F.expr("hv % 100 < CASE lang WHEN 'en' THEN 20 ELSE 50 END")
+        )
+        .select("doc_id", "lang")
+    )
