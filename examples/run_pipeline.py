@@ -66,7 +66,7 @@ def main() -> int:
     state = StateStore(work + "/state")
     dlq = DeadLetterStore(work + "/dlq")
     pauses = PauseStore(work + "/pauses")
-    sinks = [build_sink(s.kind, s.name, s.options) for s in env.destinations]
+    sinks = [build_sink(s.kind, s.name, s.options, env=env) for s in env.destinations]
 
     def source_fn(s, obj):
         return cf.events_as_outbox(load(s, sf_dir, obj.table_name))

@@ -73,3 +73,21 @@ def test_reload_adds_and_removes():
     assert removed == {"a"}
     assert orch.running() == {"b"}
     orch.shutdown()
+
+
+def test_runner_survives_cycle_exceptions():
+    calls = []
+
+    def flaky_cycle(env):
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("transient source failure")
+
+    probe = ProbeLog()
+    orch = Orchestrator(flaky_cycle, probe, interval_override=0.02)
+    orch.start([_env("a")])
+    time.sleep(0.3)
+    orch.shutdown()
+    # first cycle raised; the poller kept going and ran more cycles
+    assert len(calls) >= 3
+    assert probe.overlaps() == []

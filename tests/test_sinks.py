@@ -174,3 +174,63 @@ def test_http_gzip_compression():
     import gzip as g
 
     assert json.loads(g.decompress(body))["Data"][0]["pad"] == "y" * 5000
+
+
+def test_gzip_header_only_when_actually_compressed():
+    seen = []
+
+    def transport(url, body, headers):
+        seen.append((body, headers))
+        return 200
+
+    sink = _http(transport, gzip=True)
+    sink.write('{"Data":[{"i":1}]}', CTX)  # tiny: below compress threshold
+    body, headers = seen[0]
+    assert "Content-Encoding" not in headers  # not compressed → no header
+    assert json.loads(body)["Data"] == [{"i": 1}]
+
+
+def test_batch_templates_render_per_chunk():
+    urls = []
+
+    def transport(url, body, headers):
+        urls.append((url, headers.get("X-Chunk")))
+        return 200
+
+    sink = HttpSink(
+        "h", url="http://example/hook/{batch}of{totalbatches}",
+        headers={"X-Chunk": "{batch}/{totalbatches}"},
+        transport=transport, max_records_per_batch=1,
+    )
+    sink.write(json.dumps({"Data": [{"i": 0}, {"i": 1}, {"i": 2}]}), CTX)
+    assert urls == [
+        ("http://example/hook/1of3", "1/3"),
+        ("http://example/hook/2of3", "2/3"),
+        ("http://example/hook/3of3", "3/3"),
+    ]
+
+
+def test_retry_attempts_zero_still_tries_once():
+    policy = RetryPolicy(attempts=0, delay_seconds=0, sleep=lambda _s: None)
+    assert policy.run(lambda: "ran") == "ran"
+    with pytest.raises(TransientSinkError):
+        policy.run(lambda: (_ for _ in ()).throw(TransientSinkError("x")))
+
+
+def test_build_sink_inherits_env_caps():
+    from trignis_spark.config import EnvironmentConfig, TrackingObject
+    from trignis_spark.sinks import build_sink
+
+    env = EnvironmentConfig(
+        name="e",
+        tracking_objects=(TrackingObject(name="o", table_name="t"),),
+        max_records_per_batch=7,
+        max_payload_size_bytes=1234,
+    )
+    sink = build_sink("http", "h", {"url": "http://x"}, env=env)
+    assert sink.max_records_per_batch == 7
+    assert sink.max_payload_size_bytes == 1234
+    override = build_sink(
+        "http", "h", {"url": "http://x", "max_records_per_batch": 99}, env=env
+    )
+    assert override.max_records_per_batch == 99  # per-sink option wins

@@ -44,3 +44,12 @@ def test_top_keys_finds_hot_key(spark):
     top = top_keys(df, ["k"], k=3).collect()
     assert top[0]["k"] == 0
     assert top[0]["share"] > 0.4  # the planted hot key dominates
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    import pytest as _pytest
+
+    big = _skewed(spark, n=10)
+    small = spark.createDataFrame([(1, "x")], "k long, label string")
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, ["k"], how="full")

@@ -83,7 +83,6 @@ def jaccard_pairs(
     (stop-shingles) from *candidate generation only* — the verification
     still uses full shingle sets, so reported Jaccard values are exact.
     """
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     block = shingles
     if max_df is not None:
         df_ok = (
@@ -103,32 +102,9 @@ def jaccard_pairs(
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    # exact intersection over full shingle sets for candidate pairs
-    sa, sb = shingles.alias("sa"), shingles.alias("sb")
-    inter = (
-        cand.join(sa, F.col("sa.doc_id") == F.col("d1"))
-        .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("d2"))
-            & (F.col("sb.shingle") == F.col("sa.shingle")),
-        )
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("isz"))
-    )
-    z1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    z2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
-    return (
-        inter.join(z1, "d1")
-        .join(z2, "d2")
-        .select(
-            "d1",
-            "d2",
-            (
-                F.col("isz").cast("double")
-                / (F.col("sz1") + F.col("sz2") - F.col("isz"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    # exact verification over full shingle sets (shared with MinHash-LSH)
+    return jaccard_pairs_for_candidates(cand, shingles).filter(
+        F.col("jaccard") >= threshold
     )
 
 

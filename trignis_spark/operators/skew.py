@@ -53,7 +53,16 @@ def salted_join(
 ) -> DataFrame:
     """Equijoin with the big side salted and the small side replicated
     n_salts× — a hot join key fans out over n_salts reducers instead of
-    one. Result is identical to ``big.join(small, on, how)``."""
+    one. Result is identical to ``big.join(small, on, how)`` for inner
+    and left joins. Right/full outer are rejected: an unmatched
+    small-side key would survive once per salt replica (n_salts
+    null-padded rows instead of one)."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "replicated small-side rows would duplicate unmatched keys "
+            "under right/full outer semantics"
+        )
     big_s = with_salt(big, n_salts)
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -301,7 +301,7 @@ def j1_change_base_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH iv AS (
       SELECT event_id, user_id, ts AS started_at,
-             ts + to_seconds(CAST(value AS BIGINT)) AS ended_at
+             ts + to_seconds(CAST(FLOOR(value) AS BIGINT)) AS ended_at
       FROM events)
     SELECT a.user_id AS env, a.event_id AS a_id, b.event_id AS b_id
     FROM iv a JOIN iv b
@@ -318,7 +318,7 @@ def j4_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.col("ts").alias("started_at"),
-        F.expr("ts + make_interval(0, 0, 0, 0, 0, 0, CAST(value AS BIGINT))").alias(
+        F.expr("ts + make_interval(0, 0, 0, 0, 0, 0, CAST(FLOOR(value) AS BIGINT))").alias(
             "ended_at"
         ),
     )
@@ -1344,7 +1344,7 @@ def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH iv AS (
       SELECT event_id AS interval_id, user_id,
-             ts AS start_t, ts + to_seconds(CAST(value AS BIGINT)) AS end_t
+             ts AS start_t, ts + to_seconds(CAST(FLOOR(value) AS BIGINT)) AS end_t
       FROM events),
     pt AS (SELECT event_id AS point_id, user_id, ts FROM events)
     SELECT i.interval_id, p.point_id, i.user_id
@@ -1364,7 +1364,7 @@ def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("start_t"),
         F.expr(
-            "ts + make_interval(0, 0, 0, 0, 0, 0, CAST(value AS BIGINT))"
+            "ts + make_interval(0, 0, 0, 0, 0, 0, CAST(FLOOR(value) AS BIGINT))"
         ).alias("end_t"),
     )
     points = ev.select(F.col("event_id").alias("point_id"), "user_id", "ts")

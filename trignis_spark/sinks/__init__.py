@@ -13,11 +13,22 @@ from trignis_spark.sinks.http import HttpSink  # noqa: F401
 from trignis_spark.sinks.memory import MemorySink  # noqa: F401
 
 
-def build_sink(kind: str, name: str, options: dict) -> Sink:
-    """Sink factory keyed by config kind (SURVEY §2.10)."""
+def build_sink(kind: str, name: str, options: dict, env=None) -> Sink:
+    """Sink factory keyed by config kind (SURVEY §2.10).
+
+    When an ``EnvironmentConfig`` is supplied, its batching/payload caps
+    (``max_records_per_batch``, ``max_payload_size_bytes``) become the
+    defaults for HTTP sinks — per-sink options still win.
+    """
     if kind == "file":
         return FileSink(name, **options)
     if kind == "http":
+        if env is not None:
+            options = {
+                "max_records_per_batch": env.max_records_per_batch,
+                "max_payload_size_bytes": env.max_payload_size_bytes,
+                **options,
+            }
         return HttpSink(name, **options)
     if kind == "memory":
         return MemorySink(name, **options)

@@ -97,12 +97,13 @@ class RetryPolicy:
 
     def run(self, fn, *args, **kwargs):
         last: BaseException | None = None
-        for i in range(self.attempts):
+        attempts = max(1, self.attempts)  # 0/negative config means "try once"
+        for i in range(attempts):
             try:
                 return fn(*args, **kwargs)
             except self.transient as e:  # type: ignore[misc]
                 last = e
-                if i < self.attempts - 1:
+                if i < attempts - 1:
                     self.sleep(self.delay_seconds)
         raise last  # type: ignore[misc]
 

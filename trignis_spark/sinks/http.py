@@ -86,7 +86,8 @@ class HttpSink(Sink):
         self.max_payload_size_bytes = max_payload_size_bytes
         self.transport = transport or _default_transport
 
-    def _headers(self, ctx: ExportContext, batch: int, total: int) -> dict[str, str]:
+    def _headers(self, ctx: ExportContext, batch: int, total: int,
+                 compressed: bool = False) -> dict[str, str]:
         h = {"Content-Type": "application/json"}
         if self.oauth2_token_url:
             # OAuth2 client-credentials (cached, single-flight, expiry slack)
@@ -108,7 +109,7 @@ class HttpSink(Sink):
             h["Authorization"] = "Basic " + base64.b64encode(cred.encode()).decode()
         elif self.api_key:
             h[self.api_key_header] = self.api_key
-        if self.gzip:
+        if compressed:
             h["Content-Encoding"] = "gzip"
         if total > 1:
             h["X-Batch-Number"] = str(batch)
@@ -117,15 +118,19 @@ class HttpSink(Sink):
             h[k] = render_template(v, ctx)
         return h
 
-    def _encode(self, doc: dict) -> bytes:
+    def _encode(self, doc: dict) -> tuple[bytes, bool]:
+        """Returns (body, compressed) — small bodies skip compression and
+        must NOT carry a gzip Content-Encoding header."""
         body = json.dumps(doc, separators=(",", ":")).encode("utf-8")
+        compressed = False
         if self.gzip and len(body) > COMPRESS_THRESHOLD_BYTES:
             body = _gzip.compress(body, compresslevel=9)
+            compressed = True
         if len(body) > self.max_payload_size_bytes:
             raise OversizePayloadError(
                 f"payload {len(body)}B exceeds cap {self.max_payload_size_bytes}B"
             )
-        return body
+        return body, compressed
 
     def write(self, payload: str, ctx: ExportContext) -> None:
         doc = json.loads(payload)
@@ -136,10 +141,17 @@ class HttpSink(Sink):
         else:
             chunks = [data]
         total = len(chunks)
-        url = render_template(self.url, ctx)
         for i, chunk in enumerate(chunks, start=1):
+            # per-chunk context so {batch}/{totalbatches}/{guid} templates
+            # in the URL and headers reflect this chunk
+            import dataclasses
+
+            chunk_ctx = dataclasses.replace(ctx, batch=i, total_batches=total)
+            url = render_template(self.url, chunk_ctx)
             batch_doc = {**doc, "Data": chunk}
-            body = self._encode(batch_doc)
-            status = self.transport(url, body, self._headers(ctx, i, total))
+            body, compressed = self._encode(batch_doc)
+            status = self.transport(
+                url, body, self._headers(chunk_ctx, i, total, compressed)
+            )
             if not 200 <= status < 300:
                 raise TransientSinkError(f"HTTP {status} from {url}")

@@ -84,14 +84,34 @@ class EnvironmentRunner(threading.Thread):
         self._stop_event = threading.Event()
 
     def stop(self, timeout: float = 5.0) -> None:
+        """Signal and wait for termination. Blocks past `timeout` (with
+        warnings) rather than return with the thread alive — the caller
+        may immediately start a replacement poller, and two live pollers
+        for one environment is the one forbidden state."""
+        import logging
+
         self._stop_event.set()
         self.join(timeout)
+        while self.is_alive():
+            logging.getLogger("trignis_spark.lifecycle").warning(
+                "%s: poller still mid-cycle after %.0fs; waiting before "
+                "replacement can start", self.env.name, timeout,
+            )
+            self.join(timeout)
 
     def run(self) -> None:
+        import logging
+
+        log = logging.getLogger("trignis_spark.lifecycle")
         while not self._stop_event.is_set():
             pid = self.probe.start(self.env.name)
             try:
                 self.cycle_fn(self.env)
+            except Exception:  # noqa: BLE001 — a failed cycle retries next tick
+                # reference contract: nothing advances, the same rows are
+                # re-fetched next cycle — so the loop must survive
+                log.exception("%s: poll cycle failed; retrying next interval",
+                              self.env.name)
             finally:
                 self.probe.end(pid)
             self._stop_event.wait(self.interval)

@@ -70,12 +70,14 @@ class ConfigWatcher:
         self.reloads = 0
 
     def _fingerprint(self) -> tuple:
-        return tuple(
-            sorted(
-                (fp, os.stat(fp).st_mtime_ns, os.stat(fp).st_size)
-                for fp in glob.glob(os.path.join(self.path, "*.json"))
-            )
-        )
+        entries = []
+        for fp in glob.glob(os.path.join(self.path, "*.json")):
+            try:
+                st = os.stat(fp)
+            except OSError:
+                continue  # deleted/renamed mid-scan — next poll sees the result
+            entries.append((fp, st.st_mtime_ns, st.st_size))
+        return tuple(sorted(entries))
 
     def _run(self) -> None:
         # baseline captured synchronously in start() — a write racing the
