@@ -107,3 +107,26 @@ def test_load_environment_json_roundtrip():
     assert env.tracking_objects[0].initial_sync_mode == "Incremental"
     assert env.destinations[0].kind == "file"
     assert validate_environment(env) == ([], [])
+
+
+def test_secret_resolution(monkeypatch):
+    import pytest as _pytest
+
+    monkeypatch.setenv("HOOK_TOKEN", "t0p-s3cret")
+    env = load_environment_json(
+        """
+        {"name": "p", "tracking_objects": [{"name": "o", "table_name": "t"}],
+         "destinations": [{"name": "h", "kind": "http",
+           "options": {"url": "http://x", "bearer_token": "${ENV:HOOK_TOKEN}"}}]}
+        """
+    )
+    assert env.destinations[0].options["bearer_token"] == "t0p-s3cret"
+
+    with _pytest.raises(KeyError, match="UNSET_VAR_XYZ"):
+        load_environment_json(
+            """
+            {"name": "p", "tracking_objects": [{"name": "o", "table_name": "t"}],
+             "destinations": [{"name": "h", "kind": "http",
+               "options": {"url": "${ENV:UNSET_VAR_XYZ}"}}]}
+            """
+        )

@@ -122,3 +122,42 @@ def test_windowed_rate_stats_with_watermark(spark, tmp_path):
     # least carry the watermark + window aggregation without error
     rows = spark.sql("SELECT * FROM rate_stats").collect()
     assert all(r["n"] >= 1 for r in rows)
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    from trignis_spark.streaming.structured import streaming_dedup
+
+    path, ckpt = str(tmp_path / "outbox"), str(tmp_path / "ckpt-dedup")
+    # wave 1 + wave 2 share versions 3..5 (replayed rows)
+    _write_wave(spark, path, start=1, n=5)
+    _write_wave(spark, path, start=3, n=3)
+
+    captured = []
+
+    def capture(batch_df, epoch_id):
+        captured.extend(r.asDict() for r in batch_df.collect())
+
+    q = (
+        streaming_dedup(stream_outbox(spark, path), keys=["version"])
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    versions = sorted(r["version"] for r in captured)
+    assert versions == [1, 2, 3, 4, 5]  # duplicates suppressed
+
+    # a later drain re-delivering version 5 is also suppressed (state held)
+    _write_wave(spark, path, start=5, n=1)
+    q2 = (
+        streaming_dedup(stream_outbox(spark, path), keys=["version"])
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert sorted(r["version"] for r in captured) == [1, 2, 3, 4, 5]

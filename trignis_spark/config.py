@@ -13,6 +13,8 @@ startup, warnings log).
 from __future__ import annotations
 
 import json
+import os
+import re
 from dataclasses import dataclass, field
 
 #: Reference operational defaults (BASELINE.md).
@@ -130,9 +132,36 @@ def diff_environments(
     return added, removed, updated
 
 
+_SECRET_RE = re.compile(r"\$\{ENV:([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def resolve_secrets(value):
+    """Resolve ``${ENV:VAR}`` placeholders from the process environment.
+
+    The stdlib-safe analog of the reference's ``PWENC:`` encrypted
+    secrets (``EnvironmentConfigService.LoadFile`` decryption): config
+    files never carry credentials in the clear; a missing variable is a
+    startup error, not an empty string.
+    """
+    if isinstance(value, str):
+        def sub(m):
+            name = m.group(1)
+            if name not in os.environ:
+                raise KeyError(f"config secret references unset variable {name}")
+            return os.environ[name]
+
+        return _SECRET_RE.sub(sub, value)
+    if isinstance(value, dict):
+        return {k: resolve_secrets(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [resolve_secrets(v) for v in value]
+    return value
+
+
 def load_environment_json(text: str) -> EnvironmentConfig:
-    """Parse one environment config document (JSON)."""
-    raw = json.loads(text)
+    """Parse one environment config document (JSON); ``${ENV:VAR}``
+    secret placeholders resolve from the process environment."""
+    raw = resolve_secrets(json.loads(text))
     objs = tuple(
         TrackingObject(
             name=o["name"],

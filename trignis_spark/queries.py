@@ -1567,3 +1567,14 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang")
     )
+
+
+@register("ann_ivf_topk")  # no oracle: approximate op → rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k (the ANN scale path): sign-bucketed
+    coarse quantization, probe only the query's bucket. Approximate by
+    design, so there is no exactness oracle — the driver records a
+    rows-only check; recall vs the brute-force baseline is asserted in
+    tests/test_operators.py."""
+    topk = sim.ivf_topk(load(spark, sf_dir, "embeddings"))
+    return topk.withColumn("rank", F.col("rank").cast("long"))

@@ -118,3 +118,19 @@ def windowed_rate_stats(stream_df: DataFrame, window: str = "1 minute",
         .groupBy(F.window("event_time", window), F.col(cf.OPERATION))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    keys: list[str],
+    event_time_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates of (keys)
+    are suppressed across micro-batches; the event-time watermark lets
+    Spark drop dedup state older than the delay, so state size tracks
+    the window, not the stream's lifetime. The streaming twin of the
+    batch content-hash dedup (D1)."""
+    return stream_df.withWatermark(event_time_col, watermark_delay).dropDuplicates(
+        [*keys, event_time_col]
+    )
