@@ -1578,3 +1578,125 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators.py."""
     topk = sim.ivf_topk(load(spark, sf_dir, "embeddings"))
     return topk.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# SQL-surface breadth: correlated subqueries, grouping sets, semi-joins,
+# window frames — the relational shapes a reference user's ad-hoc queries
+# would hit beyond the operator inventory.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_max_per_group_correlated",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal = (
+      SELECT max(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def agg_max_per_group_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape: rows achieving their group's maximum.
+    Spark SQL decorrelates this into a join under Catalyst — expressed
+    here verbatim so the optimizer's rewrite is what runs."""
+    c = load(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal
+        FROM customer_v c
+        WHERE c.c_acctbal = (
+          SELECT max(c2.c_acctbal) FROM customer_v c2
+          WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: detail + subtotal + grand-total in one pass
+    (Catalyst expands to a single shuffle with grouping-id)."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "j8_semi_antijoin_exists",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    """,
+)
+def j8_semi_antijoin_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS → left-semi + left-anti joins: customers with
+    a big order and no finalized orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    final = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .join(final, c.c_custkey == final.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@register(
+    "w5_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate_s,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(20,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def w5_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame: per-customer cumulative spend in order-date order
+    (deterministic frame via the orderkey tie-break; decimal-exact
+    accumulation)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_s"),
+        F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
