@@ -64,3 +64,36 @@ def test_range_join_boundaries(spark):
         start_col="s", end_col="e", bucket_seconds=600,
     ).collect()
     assert sorted(r["pid"] for r in rows) == [1, 2]
+
+
+def test_asof_null_build_attribute_not_stitched(spark):
+    """A NULL in the latest build row must be returned as NULL — not
+    replaced by an older row's value (atomic row carry)."""
+    probe = spark.createDataFrame(
+        [(1, 10, _t(10))], "pid long, k long, pt timestamp"
+    )
+    build = spark.createDataFrame(
+        [(10, _t(1), "old", 5.0), (10, _t(9), None, 7.0)],
+        "k long, bt timestamp, label string, score double",
+    )
+    [row] = asof_join(
+        probe, build, key="k", probe_time="pt", build_time="bt",
+        build_cols=("label", "score"),
+    ).collect()
+    assert row["label"] is None  # latest row's NULL, not 'old'
+    assert row["score"] == 7.0  # from the same (latest) row
+
+
+def test_asof_inner_keeps_match_with_null_first_col(spark):
+    probe = spark.createDataFrame(
+        [(1, 10, _t(10))], "pid long, k long, pt timestamp"
+    )
+    build = spark.createDataFrame(
+        [(10, _t(1), None, 5.0)],
+        "k long, bt timestamp, label string, score double",
+    )
+    rows = asof_join(
+        probe, build, key="k", probe_time="pt", build_time="bt",
+        build_cols=("label", "score"), how="inner",
+    ).collect()
+    assert len(rows) == 1 and rows[0]["score"] == 5.0

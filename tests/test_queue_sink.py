@@ -60,12 +60,24 @@ def test_strict_queue_base64_fallback():
 
 def test_strict_queue_small_payload_stays_raw_text():
     sent = []
-    _sink("azure-servicebus", sent).write(json.dumps({"Data": [{"pad": "x" * 5000}]}), CTX)
+    _sink("azure-servicebus", sent).write('{"Data":[{"i":1}]}', CTX)
     body, attrs = sent[0]
-    # under the cap: no gzip even above the compress threshold — the
-    # payload must remain text for strict queues
+    # under the 1 KB compress threshold: plain text, no encoding
     assert "content-encoding" not in attrs
-    assert json.loads(body)["Data"][0]["pad"] == "x" * 5000
+    assert json.loads(body) == {"Data": [{"i": 1}]}
+
+
+def test_strict_queue_above_threshold_base64_gzips():
+    sent = []
+    _sink("azure-servicebus", sent).write(
+        json.dumps({"Data": [{"pad": "x" * 5000}]}), CTX
+    )
+    body, attrs = sent[0]
+    # >1 KB on a text-only queue → base64(gzip), the reference contract
+    assert attrs["content-transfer-encoding"] == "base64"
+    assert json.loads(gzip.decompress(base64.b64decode(body)))["Data"][0][
+        "pad"
+    ] == "x" * 5000
 
 
 def test_oversize_never_retryable():

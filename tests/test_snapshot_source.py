@@ -59,3 +59,58 @@ def test_snapshot_source_cycles(spark, tmp_path):
     # cycle 4: steady state again
     [r4] = pipe.run_cycle()
     assert r4.mode == "empty"
+
+
+def test_crash_before_commit_re_emits_batch(spark, tmp_path):
+    """A pending snapshot whose cycle never committed is discarded; the
+    next cycle re-diffs the same baseline and re-emits (at-least-once)."""
+    tables = {"accounts": [(1, "a", 10.0)]}
+
+    def reader(s, obj):
+        return s.createDataFrame(
+            tables[obj.table_name], "pk long, status string, amount double"
+        )
+
+    src = SnapshotDiffSource(str(tmp_path / "snap"), reader)
+    # cycle 1 committed normally
+    df1 = src(spark, OBJ)
+    assert df1.count() == 1
+    src.commit(OBJ)
+
+    # cycle 2: diff computed but NO commit (simulated crash before export)
+    tables["accounts"] = [(1, "a", 99.0)]
+    df2 = src(spark, OBJ)
+    assert [r["operation"] for r in df2.collect()] == ["U"]
+    # crash: commit never called; a new source instance starts fresh
+    src2 = SnapshotDiffSource(str(tmp_path / "snap"), reader)
+    df3 = src2(spark, OBJ)
+    rows = df3.collect()
+    assert [r["operation"] for r in rows] == ["U"]  # batch re-emitted
+    assert rows[0]["amount"] == 99.0
+    src2.commit(OBJ)
+    # after commit the change is gone for good
+    assert src2(spark, OBJ).count() == 0
+
+
+def test_half_finished_promotion_recovers(spark, tmp_path):
+    import os
+
+    tables = {"accounts": [(1, "a", 10.0), (2, "b", 20.0)]}
+
+    def reader(s, obj):
+        return s.createDataFrame(
+            tables[obj.table_name], "pk long, status string, amount double"
+        )
+
+    src = SnapshotDiffSource(str(tmp_path / "snap"), reader)
+    src(spark, OBJ)
+    src.commit(OBJ)
+    base = str(tmp_path / "snap" / "accounts")
+    # simulate a crash mid-promotion: baseline renamed away, pending left
+    os.rename(base + "/snapshot", base + "/snapshot.old")
+    os.makedirs(base + "/pending", exist_ok=True)
+    # recovery on next read: baseline restored, pending discarded
+    tables["accounts"] = [(1, "a", 10.0)]  # row 2 deleted upstream
+    src2 = SnapshotDiffSource(str(tmp_path / "snap"), reader)
+    rows = src2(spark, OBJ).collect()
+    assert [r["operation"] for r in rows] == ["D"]  # diff vs restored baseline

@@ -64,7 +64,12 @@ def asof_join(
     ]
     u = p.select(*cols).unionByName(b.select(*cols))
 
-    # build rows (side 0) sort before probe rows at equal time → "<=" semantics
+    # build rows (side 0) sort before probe rows at equal time → "<=" semantics.
+    # Carry the build attributes as ONE struct: the struct itself is
+    # non-null exactly for build rows, so last(..., ignorenulls=True)
+    # carries the whole latest build row atomically — NULL fields inside
+    # it stay NULL (never stitched from an older row), and struct
+    # presence is the correct match test for how='inner'.
     w = (
         Window.partitionBy(key)
         .orderBy(F.col("__t"), F.col("__side"))
@@ -72,17 +77,21 @@ def asof_join(
     )
     carried = u.select(
         *[c for c in u.columns if c not in build_cols],
-        *[
-            F.last(
-                F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True
-            ).over(w).alias(c)
-            for c in build_cols
-        ],
+        F.last(
+            F.when(
+                F.col("__side") == 0,
+                F.struct(*[F.col(c) for c in build_cols]),
+            ),
+            ignorenulls=True,
+        ).over(w).alias("__b"),
     )
-    out = carried.filter(F.col("__side") == 1).drop("__side", "__t")
+    out = carried.filter(F.col("__side") == 1)
     if how == "inner":
-        out = out.filter(F.col(build_cols[0]).isNotNull())
-    return out
+        out = out.filter(F.col("__b").isNotNull())
+    return out.select(
+        *[c for c in out.columns if c not in ("__side", "__t", "__b")],
+        *[F.col(f"__b.{c}").alias(c) for c in build_cols],
+    )
 
 
 def range_join(

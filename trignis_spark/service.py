@@ -72,7 +72,7 @@ class TrignisSparkService:
         self._replay_thread: threading.Thread | None = None
         self.replayer = DeadLetterReplayer(
             self.dlq,
-            self._envs,
+            self._envs_snapshot,  # resolved per sweep; race-free vs reloads
             sinks_for_env=self._sinks_for_env,
             retry=retry,
         )
@@ -110,17 +110,38 @@ class TrignisSparkService:
             pipeline.run_cycle()
 
     def _register(self, envs: list[EnvironmentConfig]) -> None:
+        """Build pipelines OUTSIDE the lock, reusing unchanged ones, then
+        swap both maps atomically — a failing build raises before any
+        running state is touched, and readers never observe a partial map."""
         with self._lock:
-            self._envs.clear()
-            self._pipelines.clear()
-            for env in envs:
-                self._envs[env.name] = env
-                self._pipelines[env.name] = self._build_pipeline(env)
+            old_envs = dict(self._envs)
+            old_pipes = dict(self._pipelines)
+        new_envs: dict[str, EnvironmentConfig] = {}
+        new_pipes: dict[str, PollPipeline] = {}
+        for env in envs:
+            new_envs[env.name] = env
+            if old_envs.get(env.name) == env and env.name in old_pipes:
+                # unchanged: keep the live pipeline (breaker/sink state intact)
+                new_pipes[env.name] = old_pipes[env.name]
+            else:
+                new_pipes[env.name] = self._build_pipeline(env)
+        with self._lock:
+            self._envs = new_envs
+            self._pipelines = new_pipes
+
+    def _envs_snapshot(self) -> dict[str, EnvironmentConfig]:
+        with self._lock:
+            return dict(self._envs)
 
     def _on_reload(self, envs: list[EnvironmentConfig]) -> None:
-        self._register(envs)
-        added, removed, updated = self.orchestrator.reload(envs)
-        log.info("config reload: +%s -%s ~%s", added, removed, updated)
+        try:
+            self._register(envs)
+            added, removed, updated = self.orchestrator.reload(envs)
+            log.info("config reload: +%s -%s ~%s", added, removed, updated)
+        except Exception:  # noqa: BLE001 — a bad reload must not kill the watcher
+            log.exception(
+                "config reload failed; keeping the previous configuration"
+            )
 
     # -- replay loop -------------------------------------------------------
 

@@ -62,9 +62,11 @@ class CappedQueueSink(Sink):
         body = payload.encode("utf-8")
         attrs = {"content-type": "application/json"}
         if self.base64_fallback:
-            # strict text-only queues (ASB/SQS): raw JSON when it fits,
-            # else gzip wrapped in base64 so the payload stays text
-            if len(body) > self.max_bytes:
+            # strict text-only queues (ASB/SQS): payloads above the 1 KB
+            # compress threshold ship as base64(gzip) — the reference's
+            # encoding contract for these queues — so large batches fit
+            # under the hard cap and stay text-safe
+            if len(body) > COMPRESS_THRESHOLD_BYTES:
                 body = base64.b64encode(gzip.compress(body, compresslevel=9))
                 attrs["content-transfer-encoding"] = "base64"
                 attrs["content-encoding"] = "gzip"

@@ -64,9 +64,21 @@ class PartitionedFileSink(DataFrameSink):
             writer.json(path)
         else:
             raise ValueError(f"unsupported format {self.fmt!r}")
-        sidecar = os.path.join(path, "_envelope.json")
-        with open(sidecar, "w", encoding="utf-8") as f:
-            json.dump({"Metadata": metadata}, f)
+        doc = json.dumps({"Metadata": metadata})
+        if "://" in path:
+            # remote filesystem (s3a/hdfs/...): write through Spark so the
+            # sidecar lands next to the data on the same FS
+            spark = batch.sparkSession
+            (
+                spark.createDataFrame([(doc,)], "value string")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .text(os.path.join(path, "_envelope"))
+            )
+        else:
+            sidecar = os.path.join(path, "_envelope.json")
+            with open(sidecar, "w", encoding="utf-8") as f:
+                f.write(doc)
 
 
 def batch_manifest(

@@ -11,14 +11,24 @@ that cycle carries the cycle number as its ``version``, so the
 watermark algebra (max-version advance, incremental scans) works
 unchanged.
 
-Consistency: the new snapshot is persisted at *read* time, before
-export. If an export then fails, the rows are already in the DLQ
-payload (at-least-once via replay) — mirroring the reference's
-"watermark advances after the export attempt" contract rather than
-re-diffing. A crash before the diff completes leaves the old snapshot
-in place → the next cycle re-diffs identically.
+Consistency (at-least-once, mirroring the reference's "nothing advances
+on error → same rows re-fetched"):
 
-Scale: the stored snapshot is parquet; bucket both sides on the key
+- the current table state is scanned **once** into a *pending* snapshot
+  directory, and the diff is computed from that persisted copy — the
+  emitted batch and the stored baseline can never diverge, even against
+  a live mutating source;
+- the pending snapshot is promoted to the committed baseline only in
+  ``commit()``, which ``PollPipeline`` calls *after* the export attempt
+  and watermark advance. A crash anywhere before commit discards the
+  pending snapshot, so the next cycle re-diffs the same baseline and
+  re-emits the batch (duplicates are absorbed by the DLQ's hash dedup /
+  idempotent sinks);
+- promotion is a rename dance with explicit crash recovery on the next
+  read (a half-finished promotion restores the old baseline or finishes
+  discarding it — the baseline is never lost).
+
+Scale: snapshots are parquet; bucket both sides on the key
 (``plans/bucketing.py``) to make the repeated diff join shuffle-free.
 """
 
@@ -26,7 +36,8 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass
+import shutil
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,7 +48,7 @@ from trignis_spark.operators import changefeed as cf
 
 @dataclass
 class SnapshotDiffSource:
-    """source_fn adapter for PollPipeline.
+    """source_fn adapter for PollPipeline (with a ``commit`` hook).
 
     ``reader_fn(spark, obj)`` returns the *current* table state.
     Snapshots and cycle counters persist under ``root`` per object.
@@ -45,10 +56,28 @@ class SnapshotDiffSource:
 
     root: str
     reader_fn: object  # (spark, TrackingObject) -> DataFrame
+    _staged: dict[str, int] = field(default_factory=dict)
 
-    def _paths(self, obj: TrackingObject) -> tuple[str, str]:
+    def _paths(self, obj: TrackingObject) -> dict[str, str]:
         base = os.path.join(self.root, obj.name)
-        return os.path.join(base, "snapshot"), os.path.join(base, "cycle.json")
+        return {
+            "snapshot": os.path.join(base, "snapshot"),
+            "old": os.path.join(base, "snapshot.old"),
+            "pending": os.path.join(base, "pending"),
+            "meta": os.path.join(base, "cycle.json"),
+        }
+
+    def _recover(self, p: dict[str, str]) -> None:
+        """Finish or roll back a promotion interrupted by a crash."""
+        if os.path.exists(p["old"]):
+            if not os.path.exists(p["snapshot"]):
+                os.rename(p["old"], p["snapshot"])  # roll back half-promotion
+            else:
+                shutil.rmtree(p["old"])  # promotion finished; drop leftovers
+        if os.path.exists(p["pending"]):
+            # a pending snapshot whose batch was never committed: discard —
+            # the next diff re-emits those changes (at-least-once)
+            shutil.rmtree(p["pending"])
 
     def _cycle(self, meta_path: str) -> int:
         if os.path.exists(meta_path):
@@ -58,20 +87,25 @@ class SnapshotDiffSource:
     def __call__(self, spark: SparkSession, obj: TrackingObject) -> DataFrame:
         if not obj.key_columns:
             raise ValueError(f"object '{obj.name}': snapshot diff requires key_columns")
-        snap_path, meta_path = self._paths(obj)
-        current = self.reader_fn(spark, obj)
+        p = self._paths(obj)
+        self._recover(p)
+        cycle = self._cycle(p["meta"]) + 1
+
+        # one scan of the live source, persisted; diff reads the persisted
+        # copy so batch and baseline cannot diverge
+        self.reader_fn(spark, obj).write.mode("overwrite").parquet(p["pending"])
+        current = spark.read.parquet(p["pending"])
         tracked = obj.tracked_columns or tuple(
             c for c in current.columns if c not in obj.key_columns
         )
-        cycle = self._cycle(meta_path) + 1
 
-        if os.path.exists(snap_path):
-            prev = spark.read.parquet(snap_path)
+        if os.path.exists(p["snapshot"]):
+            prev = spark.read.parquet(p["snapshot"])
             diff = cf.snapshot_diff(
                 prev, current, obj.key_columns, tracked, version=cycle
             )
         else:
-            # first cycle: everything is an insert at version 1
+            # first cycle: everything is an insert
             diff = current.select(
                 F.lit("I").alias(cf.OPERATION),
                 F.lit(cycle).cast("long").alias(cf.VERSION),
@@ -79,20 +113,24 @@ class SnapshotDiffSource:
                 *[F.col(k) for k in obj.key_columns],
                 *[F.col(c) for c in tracked],
             )
-
-        # persist the new snapshot before export (see module docstring);
-        # write to a versioned dir + atomic meta swap so a crash mid-write
-        # never corrupts the previous snapshot
-        new_snap = f"{snap_path}.cycle{cycle}"
-        current.write.mode("overwrite").parquet(new_snap)
-        diff = diff.localCheckpoint(eager=True)  # materialize before swap
-        if os.path.exists(snap_path):
-            import shutil
-
-            shutil.rmtree(snap_path)
-        os.rename(new_snap, snap_path)
-        os.makedirs(os.path.dirname(meta_path), exist_ok=True)
-        tmp = meta_path + ".tmp"
-        json.dump({"cycle": cycle}, open(tmp, "w"))
-        os.replace(tmp, meta_path)
+        self._staged[obj.name] = cycle
         return diff
+
+    def commit(self, obj: TrackingObject) -> None:
+        """Promote the pending snapshot — called by the poller after the
+        export attempt; without it the next cycle re-emits the batch."""
+        cycle = self._staged.pop(obj.name, None)
+        if cycle is None:
+            return
+        p = self._paths(obj)
+        if not os.path.exists(p["pending"]):
+            return
+        if os.path.exists(p["snapshot"]):
+            os.rename(p["snapshot"], p["old"])
+        os.rename(p["pending"], p["snapshot"])
+        if os.path.exists(p["old"]):
+            shutil.rmtree(p["old"])
+        tmp = p["meta"] + ".tmp"
+        os.makedirs(os.path.dirname(p["meta"]), exist_ok=True)
+        json.dump({"cycle": cycle}, open(tmp, "w"))
+        os.replace(tmp, p["meta"])

@@ -136,6 +136,7 @@ class PollPipeline:
 
     def run_cycle(self) -> list[CycleResult]:
         results = []
+        commit = getattr(self.source_fn, "commit", None)
         for obj in self.env.tracking_objects:
             if self.pauses is not None and self.pauses.is_paused(
                 self.env.name, obj.name
@@ -143,6 +144,10 @@ class PollPipeline:
                 results.append(CycleResult(obj.name, "paused"))
                 continue
             results.append(self.poll_object(obj))
+            if commit is not None:
+                # sources with staged state (snapshot diff) promote it only
+                # after the export attempt — a crash earlier re-emits
+                commit(obj)
         return results
 
     def poll_object(self, obj: TrackingObject) -> CycleResult:

@@ -34,14 +34,18 @@ class DeadLetterReplayer:
     def __init__(
         self,
         dlq: DeadLetterStore,
-        environments: dict[str, EnvironmentConfig],
+        environments,  # dict[str, EnvironmentConfig] | () -> dict (live lookup)
         sinks_for_env,  # (env_name) -> list[Sink]
         retry: RetryPolicy | None = None,
     ):
         self.dlq = dlq
-        self.environments = environments
+        self._environments = environments
         self.sinks_for_env = sinks_for_env
         self.retry = retry or RetryPolicy(attempts=1, delay_seconds=0)
+
+    @property
+    def environments(self) -> dict[str, EnvironmentConfig]:
+        return self._environments() if callable(self._environments) else self._environments
 
     def _route(self, row: dict) -> tuple[EnvironmentConfig, str] | None:
         """Case-insensitive (environment, object) routing against the
@@ -76,6 +80,14 @@ class DeadLetterReplayer:
             return ReplayOutcome(row["id"], "unroutable")
         env, obj_name = route
         sinks: list[Sink] = self.sinks_for_env(env.name)
+        if not sinks:
+            # no destinations right now (mid-reload or stripped config):
+            # NOT a delivery — back off and retry when config returns
+            if manual:
+                self.dlq.reset_attempts(row["id"], now)
+            else:
+                self.dlq.record_failure(row["id"], now)
+            return ReplayOutcome(row["id"], "failed")
         ctx = ExportContext(
             environment=env.name,
             database=row["database_name"] or "",
