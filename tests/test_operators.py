@@ -101,3 +101,19 @@ def test_snapshot_diff_exact_iud(spark):
     assert out[2]["operation"] == "U" and out[2]["changed"] == ["amount"]
     assert out[2]["amount"] == 25.0
     assert out[4]["operation"] == "I" and out[4]["changed"] is None
+
+
+def test_cluster_near_duplicates_chain(spark):
+    """Multi-hop component: pairs (1-2), (2-3), (3-4) form one cluster
+    labeled by the minimum id; isolated docs label themselves."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "d1 long, d2 long"
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.cluster_near_duplicates(docs, pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}

@@ -258,3 +258,56 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def cluster_near_duplicates(
+    docs: DataFrame, pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Fuzzy-dedup clustering: connected components over the near-dup
+    pair graph, labeling every doc with its component's minimum doc_id
+    (the canonical representative a corpus pipeline keeps).
+
+    Iterative min-label propagation: each round, every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds — near-dup components are tiny (pairs,
+    triangles), so 2-3 rounds in practice, bounded by ``max_iterations``.
+    Each round is one join + one aggregate on the (small) pair set, not
+    the corpus; the final labeling joins back to docs once.
+    """
+    edges = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .unionByName(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        .distinct()
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nb_label"))
+            .withColumnRenamed("a", "node2")
+        )
+        updated = labels.join(
+            neighbor_min, labels.node == F.col("node2"), "left_outer"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+            ).alias("label"),
+        )
+        updated = updated.localCheckpoint(eager=True)  # cut the lineage per round
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), F.col("u.node") == F.col("l.node"))
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

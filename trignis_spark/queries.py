@@ -1700,3 +1700,33 @@ def w5_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_total"),
     )
+
+
+def _duck_cluster_sql() -> str:
+    # connected components via recursive min-label propagation: the
+    # recursive CTE closes over all (node, reachable-label) pairs; the
+    # component id is the minimum reachable label.
+    return f"""
+    WITH RECURSIVE {_DSH_TABLE}, {_DJACCARD},
+    pairs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.8),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+    """
+
+
+@register("dedup_cluster_components", _duck_cluster_sql())
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup clustering: connected components over the Jaccard≥0.8
+    near-dup graph via iterative min-label propagation (Spark) vs a
+    recursive CTE (oracle). Every doc gets its component's min doc_id as
+    the canonical representative."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(dd.shingle_table(docs), threshold=0.8)
+    return dd.cluster_near_duplicates(docs, pairs)
