@@ -1730,3 +1730,59 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = dd.jaccard_pairs(dd.shingle_table(docs), threshold=0.8)
     return dd.cluster_near_duplicates(docs, pairs)
+
+
+@register(
+    "text_vocab_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DTOK}) AS token FROM documents)
+    SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM toks GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 50
+    """,
+)
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: term frequency + document frequency
+    for the top-50 tokens (the df table is also what stop-shingle
+    blocking thresholds are derived from)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(pf.tokens(pf.SPARK, "text"))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@register(
+    "text_length_percentiles",
+    """
+    SELECT
+      CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+      CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90,
+      CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99,
+      CAST(min(n_chars) AS BIGINT) AS min_len,
+      CAST(max(n_chars) AS BIGINT) AS max_len
+    FROM documents
+    """,
+)
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution: discrete percentiles (exact lower-
+    interpolation quantiles — deterministic on integer lengths, unlike
+    interpolated/approximate percentiles)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(
+        F.expr("CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)").alias("p50"),
+        F.expr("CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)").alias("p90"),
+        F.expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)").alias("p99"),
+        F.min("n_chars").alias("min_len"),
+        F.max("n_chars").alias("max_len"),
+    )
