@@ -1786,3 +1786,69 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_len"),
         F.max("n_chars").alias("max_len"),
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    f"""
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS {_DEC})) AS DOUBLE)
+           AS revenue_delta,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: single-table multi-predicate scan + one aggregate —
+    the pure filter-pushdown benchmark (every predicate reaches the
+    parquet scan)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP_NTZ'1998-01-01 00:00:00' AND "
+            "l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        )
+    )
+    return li.agg(
+        F.sum(F.expr(f"CAST(l_extendedprice * l_discount AS {_DEC})"))
+        .cast("double")
+        .alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS with a correlated inequality → left-semi join on
+    the key with the theta condition in the join predicate."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00' AND "
+            "o_orderdate < TIMESTAMP_NTZ'1997-07-01 00:00:00'"
+        )
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
