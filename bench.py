@@ -48,6 +48,11 @@ OPTIONAL = [
     "corpus_build",
     "sample_stratified",
     "dlq_due_for_replay",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_quantity",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

@@ -1852,3 +1852,8 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+# Registered last: completes the TPC-H shape coverage (Q2, Q7-Q11, Q13,
+# Q15-Q17, Q19-Q22) on top of the shapes above.
+from trignis_spark import queries_tpch  # noqa: E402,F401
