@@ -1855,5 +1855,7 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Registered last: completes the TPC-H shape coverage (Q2, Q7-Q11, Q13,
-# Q15-Q17, Q19-Q22) on top of the shapes above.
+# Q15-Q17, Q19-Q22) and the extended analytics set (sessionization,
+# pivot, set ops, repetition signals) on top of the shapes above.
+from trignis_spark import queries_ext  # noqa: E402,F401
 from trignis_spark import queries_tpch  # noqa: E402,F401

@@ -1,0 +1,212 @@
+"""Extended analytics queries: sessionization, pivot, set ops, repetition.
+
+Operators a production events/training-data pipeline needs that neither
+the reference inventory (SURVEY.md §2) nor the TPC-H shapes exercise:
+
+- gaps-and-islands sessionization (`operators/sessions.py`) — the batch
+  twin of streaming ``session_window``;
+- a pivot (crosstab) matrix with an explicit value list so the output
+  schema is static at plan time (required at scale: no dry-run pass);
+- EXCEPT / INTERSECT distinct set semantics (lapsed vs retained
+  customers);
+- Gopher-style token-repetition quality signals over ``documents``
+  (type-token ratio, top-token fraction) — the standard pre-training
+  corpus filters alongside ``text_quality_score``.
+
+Determinism per queries.py rules: decimal accumulation for value sums,
+integer counts, one double division at the end with an identical
+expression tree in both engines, total-order sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trignis_spark.operators import sessions as sess
+from trignis_spark.queries import _DEC, _DTOK, register
+from trignis_spark.tables import load
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+# --------------------------------------------------------------------------
+# Sessionization (gaps-and-islands)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    f"""
+    WITH m AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(date_trunc('second', ts)) OVER w IS NULL
+                      OR date_diff('second',
+                                   lag(date_trunc('second', ts)) OVER w,
+                                   date_trunc('second', ts)) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM m
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+           CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize the events stream with a 30-minute inactivity gap and
+    roll up per-session stats. Single shuffle on user_id; both window
+    passes and the final groupBy reuse the same partitioning."""
+    ev = load(spark, sf_dir, "events")
+    out = sess.session_stats(ev, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        F.col("session_no").cast("bigint").alias("session_no"),
+        "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("start_s"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("end_s"),
+        "total_value",
+    ).orderBy("user_id", "session_no")
+
+
+# --------------------------------------------------------------------------
+# Pivot / crosstab with a static value list
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pivot_event_matrix",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_s,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events
+    GROUP BY day_s
+    ORDER BY day_s
+    """,
+)
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event-type count matrix via ``groupBy().pivot(values=...)``.
+    The explicit value list keeps the schema static (no extra distinct
+    pass — mandatory at 100 TB) and lets the pivot run as one partial-agg
+    shuffle. Missing cells coalesce to 0 to match COUNT semantics."""
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_s"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    cols = [F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    return piv.select("day_s", *cols).orderBy("day_s")
+
+
+# --------------------------------------------------------------------------
+# Set operations: EXCEPT / INTERSECT (distinct semantics)
+# --------------------------------------------------------------------------
+
+_CUST_97 = """
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+"""
+_CUST_98 = """
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+"""
+
+
+def _cust_year(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    return load(spark, sf_dir, "orders").filter(
+        F.expr(
+            f"o_orderdate >= TIMESTAMP_NTZ'{year}-01-01 00:00:00' AND "
+            f"o_orderdate < TIMESTAMP_NTZ'{year + 1}-01-01 00:00:00'"
+        )
+    ).select("o_custkey")
+
+
+@register(
+    "set_except_lapsed",
+    f"({_CUST_97}) EXCEPT ({_CUST_98}) ORDER BY o_custkey",
+)
+def set_except_lapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT DISTINCT: customers who ordered in 1997 but not 1998.
+    Spark plans ``subtract`` as an aggregate + left-anti join — the
+    distinct and the anti share one shuffle on the key."""
+    return (
+        _cust_year(spark, sf_dir, 1997)
+        .subtract(_cust_year(spark, sf_dir, 1998))
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "set_intersect_retained",
+    f"({_CUST_97}) INTERSECT ({_CUST_98}) ORDER BY o_custkey",
+)
+def set_intersect_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT DISTINCT: customers active in both 1997 and 1998."""
+    return (
+        _cust_year(spark, sf_dir, 1997)
+        .intersect(_cust_year(spark, sf_dir, 1998))
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-repetition quality signals (Gopher-style corpus filters)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_signals",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DTOK}) AS tok FROM documents
+    ), tc AS (
+        SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS type_token_ratio,
+           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_token_frac
+    FROM tc GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters for corpus curation: type-token ratio and the
+    most-frequent-token share per document. Explode → two-level agg;
+    the first groupBy's (doc_id, tok) shuffle partial-aggregates
+    map-side, the second reuses the doc_id prefix."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr("split(text, '\\\\s+')")).alias("tok")
+    )
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tc.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            (
+                F.count(F.lit(1)).cast("double") / F.sum("c").cast("bigint")
+            ).alias("type_token_ratio"),
+            (F.max("c").cast("double") / F.sum("c").cast("bigint")).alias(
+                "top_token_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
