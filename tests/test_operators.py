@@ -117,3 +117,31 @@ def test_cluster_near_duplicates_chain(spark):
         for r in dd.cluster_near_duplicates(docs, pairs).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
+def test_frame_sample_fans_out_and_samples(spark):
+    from trignis_spark.operators.multimodal import attach_payload, frame_sample
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij", "x", "s", 10)],  # 10 chars, frame=4 → frames 0,1,2
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = frame_sample(attach_payload(docs), frame_chars=4, every=2).collect()
+    got = {(r["frame_index"], r["frame_len"], r["frame_checksum"]) for r in rows}
+    # frames: 0='abcd', 1='efgh', 2='ij'; sampled every 2nd → 0 and 2
+    assert got == {
+        (0, 4, sum(map(ord, "abcd"))),
+        (2, 2, sum(map(ord, "ij"))),
+    }
+
+
+def test_resize_stub_strides_bytes(spark):
+    from trignis_spark.operators.multimodal import attach_payload, resize_stub
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh", "x", "s", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = resize_stub(attach_payload(docs), stride=4).collect()[0]
+    assert bytes(r["payload"]) == b"ae"
+    assert (r["orig_len"], r["resized_len"]) == (8, 2)

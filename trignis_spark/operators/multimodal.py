@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -94,3 +95,89 @@ def decode_and_extract(mm: DataFrame) -> DataFrame:
 
     flat = mm.select("doc_id", "payload", F.col("meta.modality").alias("modality"))
     return flat.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+
+def frame_sample(
+    mm: DataFrame, frame_chars: int = 16, every: int = 3
+) -> DataFrame:
+    """Frame sampling: 1→N Arrow-batched fan-out over binary payloads.
+
+    Models video frame extraction: the decoded payload is treated as a
+    sequence of fixed-size frames (``frame_chars`` per frame — a real
+    pipeline would use pyav keyframe iteration here) and every
+    ``every``-th frame is emitted as its own row. Exercises the
+    mapInPandas shape where one input row yields many output rows with a
+    new schema — the plumbing a video pipeline needs regardless of codec.
+
+    Frame features are deterministic (length + character-code sum), so
+    the full payload→decode→sample→feature path is oracle-checkable.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for doc_id, payload, modality in zip(
+                pdf["doc_id"], pdf["payload"], pdf["modality"]
+            ):
+                t = _decode_stub(payload, modality)
+                n_frames = (len(t) + frame_chars - 1) // frame_chars
+                for i in range(0, n_frames, every):
+                    chunk = t[i * frame_chars : (i + 1) * frame_chars]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(chunk))
+                    sums.append(sum(ord(c) for c in chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_index": idxs,
+                    "frame_len": lens,
+                    "frame_checksum": sums,
+                }
+            )
+
+    flat = mm.select("doc_id", "payload", F.col("meta.modality").alias("modality"))
+    return flat.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def resize_stub(mm: DataFrame, stride: int = 4) -> DataFrame:
+    """STUB resize: binary→binary transform with metadata update.
+
+    A production deployment would decode the image and run
+    ``PIL.Image.resize`` here; the deterministic surrogate keeps every
+    ``stride``-th byte. The Spark plumbing — Arrow batch in, new binary
+    column + updated metadata struct out — is the real deliverable.
+    """
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("orig_len", LongType()),
+            StructField("resized_len", LongType()),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [bytes(p[::stride]) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "orig_len": [len(p) for p in pdf["payload"]],
+                    "resized_len": [len(r) for r in resized],
+                }
+            )
+
+    flat = mm.select("doc_id", "payload")
+    return flat.mapInPandas(resize, out_schema)

@@ -210,3 +210,44 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal frame sampling (1→N mapInPandas fan-out)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mm_frame_sample",
+    """
+    WITH idx AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, (length(text) - 1) // 16))
+                 AS frame_index
+        FROM documents
+    ), f AS (
+        SELECT doc_id, frame_index,
+               substring(text, CAST(frame_index * 16 + 1 AS INTEGER), 16)
+                 AS chunk
+        FROM idx WHERE frame_index % 3 = 0
+    )
+    SELECT doc_id, CAST(frame_index AS BIGINT) AS frame_index,
+           CAST(length(chunk) AS BIGINT) AS frame_len,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(chunk, ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> a + b) AS frame_checksum
+    FROM f
+    ORDER BY doc_id, frame_index
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads: decode (stub) →
+    fixed-size frames → keep every 3rd → per-frame features. One input
+    row fans out to many output rows inside a single Arrow batch — no
+    shuffle at all until the final presentation sort."""
+    from trignis_spark.operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    frames = mm.frame_sample(mm.attach_payload(docs), frame_chars=16, every=3)
+    return frames.orderBy("doc_id", "frame_index")
