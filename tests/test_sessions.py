@@ -58,3 +58,12 @@ def test_timestamp_ties_break_by_event_id(spark):
     ev = _events(spark, [(2, 3, _t(0), 1.0), (1, 3, _t(0), 1.0)])
     rows = sessionize(ev).collect()
     assert {r["session_no"] for r in rows} == {1}
+
+
+def test_resessionize_raises_on_column_clash(spark):
+    import pytest
+
+    ev = _events(spark, [(1, 1, _t(0), 1.0)])
+    once = sessionize(ev)
+    with pytest.raises(ValueError, match="session_no"):
+        sessionize(once)

@@ -34,7 +34,20 @@ def sessionize(
 ) -> DataFrame:
     """Assign ``session_no`` (1-based, per user, in time order) to every
     event. A new session starts when the second-truncated gap to the
-    previous event exceeds ``gap_seconds``."""
+    previous event exceeds ``gap_seconds``.
+
+    Raises if the input already carries the internal temp columns or the
+    ``session_no`` output — re-sessionizing an already-sessionized frame
+    would otherwise silently clobber them (withColumn replaces same-named
+    columns without warning).
+    """
+    reserved = {"_prev_sec", "_is_new", "session_no"}
+    clash = reserved.intersection(events.columns)
+    if clash:
+        raise ValueError(
+            f"sessionize: input already has column(s) {sorted(clash)}; "
+            "rename or drop them before re-sessionizing"
+        )
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     sec = F.date_trunc("second", F.col(ts_col))
     prev = F.lag(sec).over(w)

@@ -225,6 +225,7 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(generate_series(0, (length(text) - 1) // 16))
                  AS frame_index
         FROM documents
+        WHERE length(text) > 0
     ), f AS (
         SELECT doc_id, frame_index,
                substring(text, CAST(frame_index * 16 + 1 AS INTEGER), 16)

@@ -373,7 +373,9 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, part_value
     FROM pv
-    WHERE part_value > (SELECT sum(part_value) * 0.001 FROM pv)
+    WHERE part_value > (
+        SELECT CAST(sum(CAST(part_value AS {_DEC})) AS DOUBLE) * 0.001 FROM pv
+    )
     ORDER BY part_value DESC, l_partkey
     LIMIT 100
     """,
