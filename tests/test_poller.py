@@ -279,3 +279,87 @@ def test_distributed_export_failure_deadletters_manifest(rig, spark, tmp_path):
     assert manifest["distributed"] is True
     assert (manifest["from_version"], manifest["to_version"]) == (0, 10)
     assert manifest["rows"] == 10
+
+
+def test_envelope_path_driver_residency_is_bounded(rig, spark):
+    """A batch far larger than max_records_per_batch streams through the
+    envelope path in bounded chunks: every payload holds at most
+    max_records rows, versions stay globally ordered across chunks, the
+    union is complete, and the watermark is the global max."""
+    rig.rows = outbox_rows(537)
+    env = EnvironmentConfig(
+        name="e1",
+        max_records_per_batch=100,
+        tracking_objects=(
+            TrackingObject(name="obj", table_name="t", initial_sync_mode="Full"),
+        ),
+    )
+    p = rig.pipeline(env=env)
+    [r] = p.run_cycle()
+    assert r.mode == "full" and r.exported_rows == 537
+    sizes = [len(json.loads(pl)["Data"]) for pl, _ in rig.sink.payloads]
+    assert max(sizes) <= 100 and sizes == [100] * 5 + [37]
+    versions = [
+        d["version"] for pl, _ in rig.sink.payloads
+        for d in json.loads(pl)["Data"]
+    ]
+    assert versions == list(range(1, 538))  # globally ordered, complete
+    # each chunk's envelope version is its own (monotone) max; the stored
+    # watermark is the global max
+    chunk_wms = [
+        json.loads(pl)["Metadata"]["Sync"]["Version"]
+        for pl, _ in rig.sink.payloads
+    ]
+    assert chunk_wms == sorted(chunk_wms) and chunk_wms[-1] == 537
+    assert rig.state.get_last_version("e1", "obj") == 537
+
+
+def test_envelope_chunk_failures_deadletter_per_chunk(rig):
+    """A sink that fails only on the second chunk dead-letters just that
+    chunk's payload; the watermark still advances to the global max."""
+    class FailSecond(MemorySink):
+        def __init__(self):
+            super().__init__("flaky")
+
+        def write(self, payload, ctx):
+            if json.loads(payload)["Data"][0]["version"] == 101:
+                raise IOError("chunk 2 down")
+            super().write(payload, ctx)
+
+    rig.rows = outbox_rows(250)
+    env = EnvironmentConfig(
+        name="e1",
+        max_records_per_batch=100,
+        retry_count=1,
+        tracking_objects=(
+            TrackingObject(name="obj", table_name="t", initial_sync_mode="Full"),
+        ),
+    )
+    sink = FailSecond()
+    p = rig.pipeline(sinks=[sink], env=env)
+    [r] = p.run_cycle()
+    assert len(r.failures) == 1
+    assert rig.state.get_last_version("e1", "obj") == 250
+    [row] = rig.dlq.rows()
+    lost = json.loads(row["data"])
+    assert [d["version"] for d in lost["Data"]] == list(range(101, 201))
+
+
+def test_full_sync_routes_to_distributed_when_available(rig, spark, tmp_path):
+    """Full syncs skip collect-based envelope sinks automatically when a
+    distributed sink is configured; incremental diffs still use both."""
+    from trignis_spark.sinks.spark_file import PartitionedFileSink
+
+    dfs = PartitionedFileSink(
+        "dist", path_template=str(tmp_path / "out" / "{object}"), fmt="parquet",
+    )
+    p = rig.pipeline(df_sinks=[dfs])
+    [r] = p.run_cycle()
+    assert r.mode == "full" and r.exported_rows == 10
+    assert rig.sink.payloads == []  # envelope sink skipped on Full
+    assert spark.read.parquet(str(tmp_path / "out" / "obj")).count() == 10
+    # incremental diff goes through both paths
+    rig.rows += outbox_rows(4, start=11)
+    [r2] = p.run_cycle()
+    assert r2.mode == "sync" and r2.exported_rows == 4
+    assert len(rig.sink.payloads) == 1

@@ -18,9 +18,13 @@ Consistency contract (SURVEY §1.4 + §7.4):
   a warning and only the probed version is stored.
 
 Two export paths:
-- **envelope path** (``sinks``): the batch collects into one JSON
-  envelope — the reference's unit of export, right for bounded change
-  batches (the horizon + ``max_records_per_batch`` chunking bound it);
+- **envelope path** (``sinks``): the batch streams to the driver in
+  version-ordered chunks of at most ``max_records_per_batch`` rows
+  (``iter_envelope_chunks``), each chunk one JSON envelope — the
+  reference's unit of export, with the batch-split cap applied at the
+  poll level so the driver's residency is bounded regardless of batch
+  size; Full syncs are routed to the distributed path automatically
+  when one is configured;
 - **distributed path** (``df_sinks``): the batch never leaves the
   executors — ``DataFrameSink``s write it partition-parallel and only
   the (watermark, count) aggregate reaches the driver; failures
@@ -75,6 +79,29 @@ def envelope_json(
         default=str,
         separators=(",", ":"),
     )
+
+
+def iter_envelope_chunks(ordered: DataFrame, max_records: int):
+    """Stream a version-ordered batch to the driver in bounded chunks.
+
+    The reference splits >MaxRecordsPerBatch payloads into sequential
+    batches inside the HTTP sink (``ExportService.cs:106-129``); here the
+    same cap is enforced *at the poll level* so no collect-based sink —
+    and no Full initial sync — can ever materialize the whole batch on
+    the driver. ``toLocalIterator(prefetchPartitions=False)`` fetches one
+    partition at a time, so driver residency is O(max_records + one
+    partition), independent of batch size. Shuffle outputs of the sort
+    are reused across the per-partition jobs (same RDD lineage), so the
+    upstream scan is not recomputed per chunk.
+    """
+    chunk: list[dict] = []
+    for row in ordered.toLocalIterator(prefetchPartitions=False):
+        chunk.append(row.asDict(recursive=True))
+        if len(chunk) >= max_records:
+            yield chunk
+            chunk = []
+    if chunk:
+        yield chunk
 
 
 def export_fanout(
@@ -225,16 +252,19 @@ class PollPipeline:
         ordered = batch.orderBy(cf.VERSION)
         failures: list[SinkFailure] = []
 
+        # watermark + size computed executor-side — the driver never sees
+        # the rows themselves until the bounded chunk iteration below
+        agg = batch.agg(
+            F.coalesce(F.max(cf.VERSION), F.lit(default_version)).alias("wm"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        new_wm, n_rows = agg["wm"], agg["n"]
+        if n_rows == 0:
+            return CycleResult(obj.name, "empty", 0, default_version)
+
         if self.df_sinks:
             # distributed path: batch stays on executors; only the
             # (watermark, count) aggregate touches the driver
-            agg = batch.agg(
-                F.coalesce(F.max(cf.VERSION), F.lit(default_version)).alias("wm"),
-                F.count(F.lit(1)).alias("n"),
-            ).first()
-            new_wm, n_rows = agg["wm"], agg["n"]
-            if n_rows == 0:
-                return CycleResult(obj.name, "empty", 0, default_version)
             metadata = {
                 "Sync": {"Version": new_wm, "Type": sync_type,
                          "ReasonCode": reason_code}
@@ -255,7 +285,16 @@ class PollPipeline:
                         data=manifest,
                         error_message=str(e),
                     )
-            if not self.sinks:
+            if not self.sinks or sync_type == "Full":
+                # Full syncs route to the distributed path automatically:
+                # a snapshot through a collect-based envelope sink is the
+                # one shape that grows with table size, not change rate
+                if self.sinks and sync_type == "Full":
+                    log.info(
+                        "%s/%s: full sync routed to distributed sinks; "
+                        "%d envelope sink(s) skipped",
+                        self.env.name, obj.name, len(self.sinks),
+                    )
                 self.state.set_last_version(self.env.name, obj.name, new_wm)
                 return CycleResult(
                     obj.name,
@@ -263,26 +302,33 @@ class PollPipeline:
                     n_rows, new_wm, failures,
                 )
 
-        rows = [r.asDict(recursive=True) for r in ordered.collect()]
-        if not rows:
-            # empty diff: nothing to export, watermark unchanged
-            return CycleResult(obj.name, "empty", 0, default_version)
-        new_wm = max(r[cf.VERSION] for r in rows)
-        payload = envelope_json(rows, new_wm, sync_type, reason_code)
-        failures += export_fanout(payload, self.sinks, ctx, self.retry)
-        # write-ordering: dead letters BEFORE the watermark advance, so a
-        # crash between the two re-fetches rather than losing the payload
-        for fail in failures:
-            if fail.sink_name in {d.name for d in self.df_sinks}:
-                continue  # manifest already dead-lettered above
-            self.dlq.save(
-                source_key=f"{self.env.name}/{obj.name}/{fail.sink_name}",
-                tracking_object_name=obj.name,
-                environment_name=self.env.name,
-                database_name=obj.database,
-                data=payload,
-                error_message=fail.error,
-            )
+        # envelope path: bounded chunks — at most max_records_per_batch
+        # rows on the driver at a time, each chunk its own envelope with
+        # its own (monotone) chunk-max version; DLQ rows are per-chunk so
+        # replay granularity matches what was actually sent
+        failed_df_sinks = {d.name for d in self.df_sinks}
+        exported = 0
+        for chunk in iter_envelope_chunks(
+            ordered, self.env.max_records_per_batch
+        ):
+            chunk_wm = chunk[-1][cf.VERSION]
+            payload = envelope_json(chunk, chunk_wm, sync_type, reason_code)
+            chunk_failures = export_fanout(payload, self.sinks, ctx, self.retry)
+            # write-ordering: dead letters BEFORE the watermark advance, so
+            # a crash between the two re-fetches rather than losing payload
+            for fail in chunk_failures:
+                if fail.sink_name in failed_df_sinks:
+                    continue  # manifest already dead-lettered above
+                self.dlq.save(
+                    source_key=f"{self.env.name}/{obj.name}/{fail.sink_name}",
+                    tracking_object_name=obj.name,
+                    environment_name=self.env.name,
+                    database_name=obj.database,
+                    data=payload,
+                    error_message=fail.error,
+                )
+            failures += chunk_failures
+            exported += len(chunk)
         self.state.set_last_version(self.env.name, obj.name, new_wm)
         return CycleResult(obj.name, sync_type.lower() if sync_type == "Full" else "sync",
-                           len(rows), new_wm, failures)
+                           exported, new_wm, failures)

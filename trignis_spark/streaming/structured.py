@@ -27,7 +27,11 @@ from trignis_spark.deadletter import DeadLetterStore
 from trignis_spark.operators import changefeed as cf
 from trignis_spark.sinks.base import ExportContext, RetryPolicy, Sink
 from trignis_spark.state import StateStore
-from trignis_spark.streaming.poller import envelope_json, export_fanout
+from trignis_spark.streaming.poller import (
+    envelope_json,
+    export_fanout,
+    iter_envelope_chunks,
+)
 
 log = logging.getLogger("trignis_spark.structured")
 
@@ -47,30 +51,34 @@ def make_export_batch_fn(
     )
 
     def export_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = [
-            r.asDict(recursive=True)
-            for r in batch_df.orderBy(cf.VERSION).collect()
-        ]
-        if not rows:
+        agg = batch_df.agg(
+            F.coalesce(F.max(cf.VERSION), F.lit(0)).alias("wm"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        if agg["n"] == 0:
             return
-        new_wm = max(r[cf.VERSION] for r in rows)
-        payload = envelope_json(rows, new_wm, "Diff")
+        new_wm = agg["wm"]
         ctx = ExportContext(
             environment=env.name,
             database=obj.database,
             object_name=obj.name,
             key=f"{env.name}/{obj.name}/epoch-{epoch_id}",
         )
-        failures = export_fanout(payload, sinks, ctx, retry)
-        for fail in failures:  # DLQ before epoch commit
-            dlq.save(
-                source_key=f"{env.name}/{obj.name}/{fail.sink_name}",
-                tracking_object_name=obj.name,
-                environment_name=env.name,
-                database_name=obj.database,
-                data=payload,
-                error_message=fail.error,
-            )
+        # bounded chunks, same as the poller's envelope path — the epoch
+        # is never materialized whole on the driver
+        ordered = batch_df.orderBy(cf.VERSION)
+        for chunk in iter_envelope_chunks(ordered, env.max_records_per_batch):
+            payload = envelope_json(chunk, chunk[-1][cf.VERSION], "Diff")
+            failures = export_fanout(payload, sinks, ctx, retry)
+            for fail in failures:  # DLQ before epoch commit
+                dlq.save(
+                    source_key=f"{env.name}/{obj.name}/{fail.sink_name}",
+                    tracking_object_name=obj.name,
+                    environment_name=env.name,
+                    database_name=obj.database,
+                    data=payload,
+                    error_message=fail.error,
+                )
         state.set_last_version(env.name, obj.name, new_wm)
 
     return export_batch
