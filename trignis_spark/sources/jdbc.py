@@ -185,18 +185,105 @@ def read_incremental(
     return reader.load()
 
 
+def plan_incremental_read(
+    dialect: SqlDialect,
+    obj: TrackingObject,
+    from_version: int,
+    horizon: int | None = None,
+    upper: int | None = None,
+    parallel_threshold: int = 100_000,
+    num_partitions: int = DEFAULT_NUM_PARTITIONS,
+    url: str = "",
+    user: str = "",
+    password: str = "",
+) -> tuple[str, dict[str, str]]:
+    """Pure planner for one incremental read: (pushdown SQL, JDBC options).
+
+    The watermark and horizon land *inside* the generated SQL (matching
+    ``02-stored-procedure.postgres.table.sql:58-60``: ``id > wm AND
+    xact_id < horizon``), so the source database does the scan and Spark
+    never sees already-exported or in-flight rows. When the span between
+    the watermark and the probed server version exceeds
+    ``parallel_threshold``, the options switch to a partitioned
+    ``dbtable`` range read on the version column — the reference reads
+    each object on one connection (SURVEY §4 "Partition/parallelism");
+    this is the scale-out replacement for big backfills.
+    """
+    query = incremental_query(dialect, obj, from_version, horizon)
+    bounds = None
+    if upper is not None and upper - from_version > parallel_threshold:
+        bounds = (from_version, upper)
+    opts = jdbc_options(
+        dialect, url, query, user, password,
+        version_bounds=bounds, num_partitions=num_partitions,
+    )
+    return query, opts
+
+
 @dataclass
 class JdbcOutboxSource:
-    """source_fn adapter for PollPipeline: polls a JDBC outbox."""
+    """source_fn adapter for PollPipeline: polls a JDBC outbox.
+
+    ``supports_pushdown`` tells the poller to call this with the stored
+    watermark and the probed horizon, so the version-range and
+    commit-horizon predicates execute inside the source database instead
+    of as post-read Spark filters. ``probe_upper`` (injectable for tests;
+    defaults to the dialect's current-version probe) lets the adapter
+    engage partitioned range reads above ``parallel_threshold``.
+    """
 
     dialect: SqlDialect
     url: str
     user: str = ""
     password: str = ""
     parallel_threshold: int = field(default=100_000)
+    num_partitions: int = field(default=DEFAULT_NUM_PARTITIONS)
+    probe_upper: object = None  # (spark, TrackingObject) -> int | None
+    supports_pushdown = True
 
-    def __call__(self, spark, obj: TrackingObject):
-        return read_incremental(
-            spark, self.dialect, self.url, obj, from_version=0,
-            user=self.user, password=self.password,
+    def _scalar_probe(self, spark, sql: str):
+        """One-row scalar probe through the same JDBC connection options."""
+        reader = spark.read.format("jdbc").option("url", self.url).option(
+            "driver", self.dialect.driver
+        ).option("query", sql)
+        if self.user:
+            reader = reader.option("user", self.user)
+        if self.password:
+            reader = reader.option("password", self.password)
+        row = reader.load().first()
+        return None if row is None else row[0]
+
+    def probe_horizon(self, spark, obj: TrackingObject):
+        """P3: per-cycle commit-horizon probe (None for snapshot-gated
+        dialects, whose versions are commit-gated server-side)."""
+        if self.dialect.horizon_sql is None:
+            return None
+        return self._scalar_probe(spark, self.dialect.horizon_sql)
+
+    def probe_current_version(self, spark, obj: TrackingObject):
+        """S5: server watermark probe (seed handshake / upper bound)."""
+        if self.dialect.current_version_sql is None:
+            return None
+        sql = self.dialect.current_version_sql.replace("{outbox}", obj.table_name)
+        return self._scalar_probe(spark, sql)
+
+    def __call__(
+        self,
+        spark,
+        obj: TrackingObject,
+        from_version: int = 0,
+        horizon: int | None = None,
+    ):
+        probe = self.probe_upper or self.probe_current_version
+        upper = probe(spark, obj)
+        _, opts = plan_incremental_read(
+            self.dialect, obj, from_version, horizon,
+            upper=upper,
+            parallel_threshold=self.parallel_threshold,
+            num_partitions=self.num_partitions,
+            url=self.url, user=self.user, password=self.password,
         )
+        reader = spark.read.format("jdbc")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return reader.load()

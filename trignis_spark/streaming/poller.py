@@ -178,11 +178,11 @@ class PollPipeline:
         return results
 
     def poll_object(self, obj: TrackingObject) -> CycleResult:
-        outbox = self.source_fn(self.spark, obj)
         last = self.state.get_last_version(self.env.name, obj.name)
 
         # mode decision (ChangeTrackingBackgroundService.cs:447-480)
         if last is None:
+            outbox = self.source_fn(self.spark, obj)
             if obj.initial_sync_mode == "Full":
                 return self._full_sync(obj, outbox)
             return self._seed(obj, outbox)
@@ -198,8 +198,23 @@ class PollPipeline:
                     "%s/%s: watermark %d below min valid version — full resync",
                     self.env.name, obj.name, last,
                 )
-                return self._full_sync(obj, outbox, reason_code=1)
-        return self._sync(obj, outbox, from_version)
+                return self._full_sync(
+                    obj, self.source_fn(self.spark, obj), reason_code=1
+                )
+
+        # incremental: probe the horizon first so pushdown-capable sources
+        # (JdbcOutboxSource) carry `version > wm AND xact_id < horizon`
+        # inside the generated source SQL instead of post-read filters
+        horizon = (
+            self.horizon_fn(self.spark, obj) if self.horizon_fn is not None else None
+        )
+        if getattr(self.source_fn, "supports_pushdown", False):
+            outbox = self.source_fn(
+                self.spark, obj, from_version=from_version, horizon=horizon
+            )
+        else:
+            outbox = self.source_fn(self.spark, obj)
+        return self._sync(obj, outbox, from_version, horizon)
 
     # -- modes -------------------------------------------------------------
 
@@ -225,11 +240,15 @@ class PollPipeline:
                             default_version=0)
 
     def _sync(
-        self, obj: TrackingObject, outbox: DataFrame, from_version: int
+        self,
+        obj: TrackingObject,
+        outbox: DataFrame,
+        from_version: int,
+        horizon: int | None = None,
     ) -> CycleResult:
-        horizon = (
-            self.horizon_fn(self.spark, obj) if self.horizon_fn is not None else None
-        )
+        # outbox_scan re-applies the version/horizon predicates — a no-op
+        # for pushdown sources (Catalyst folds them), load-bearing for
+        # plain DataFrame sources
         batch = cf.outbox_scan(outbox, from_version, horizon)
         return self._export(obj, batch, sync_type="Diff", default_version=from_version)
 
