@@ -1,0 +1,245 @@
+"""HTTP API endpoint semantics, mirroring the reference's routes
+(``Source/Program.cs:403-553,680-748,871-983``): state reset, manual
+replay outcomes, paginated dead-letter listing (W3), filter-scoped
+purge, passphrase-guarded pause / free resume, health/state join."""
+
+import datetime as dt
+import hashlib
+import json
+
+import pytest
+
+flask = pytest.importorskip("flask")
+
+from trignis_spark.api import create_app, passphrase_ok
+from trignis_spark.config import EnvironmentConfig, TrackingObject
+from trignis_spark.deadletter import DeadLetterStore
+from trignis_spark.sinks.base import RetryPolicy
+from trignis_spark.sinks.memory import MemorySink
+from trignis_spark.state import PauseStore, StateStore
+from trignis_spark.streaming.replay import DeadLetterReplayer
+
+PASS_SHA = hashlib.sha256(b"s3cret").hexdigest()
+
+
+@pytest.fixture
+def rig(tmp_path):
+    class Rig:
+        def __init__(self):
+            self.state = StateStore(str(tmp_path / "state"))
+            self.dlq = DeadLetterStore(str(tmp_path / "dlq"))
+            self.pauses = PauseStore(str(tmp_path / "pauses"))
+            self.sink = MemorySink("primary")
+            self.env = EnvironmentConfig(
+                name="e1",
+                tracking_objects=(
+                    TrackingObject(name="obj", table_name="t_outbox"),
+                ),
+            )
+            self.replayer = DeadLetterReplayer(
+                self.dlq,
+                {"e1": self.env},
+                sinks_for_env=lambda name: [self.sink],
+                retry=RetryPolicy(attempts=1, delay_seconds=0, sleep=lambda _: None),
+            )
+            self.app = create_app(
+                self.state, self.dlq, self.pauses,
+                replayer=self.replayer,
+                environments={"e1": self.env},
+                admin_passphrase_sha256=PASS_SHA,
+            )
+            self.client = self.app.test_client()
+
+        def save_dl(self, n=1, obj="obj", env="e1", err="boom"):
+            ids = []
+            for i in range(n):
+                self.dlq.save(
+                    source_key=f"{env}/{obj}/primary-{i}",
+                    tracking_object_name=obj,
+                    environment_name=env,
+                    database_name="db",
+                    data=json.dumps({"i": i}),
+                    error_message=err,
+                    now=dt.datetime(2026, 1, 1, 12, 0, i),
+                )
+                ids.append(i)
+            return ids
+
+    return Rig()
+
+
+# -- state reset (Program.cs:403-432) -------------------------------------
+
+
+def test_state_reset_deletes_row_and_404s_when_absent(rig):
+    rig.state.set_last_version("e1", "obj", 42)
+    r = rig.client.post("/ui/api/state/e1/obj/reset")
+    assert r.status_code == 200 and r.get_json() == {"ok": True}
+    assert rig.state.get_last_version("e1", "obj") is None
+    r2 = rig.client.post("/ui/api/state/e1/obj/reset")
+    assert r2.status_code == 404
+    assert "error" in r2.get_json()
+
+
+# -- dead-letter listing + pagination (Program.cs:680-751) ----------------
+
+
+def test_deadletters_paginated_newest_first(rig):
+    rig.save_dl(7)
+    r = rig.client.get("/ui/api/deadletters?page=1&page_size=3")
+    body = r.get_json()
+    assert (body["total"], body["total_pages"]) == (7, 3)
+    # newest first: seconds 6,5,4 on page 1
+    assert [json.loads(d["data"])["i"] for d in body["data"]] == [6, 5, 4]
+    r2 = rig.client.get("/ui/api/deadletters?page=3&page_size=3")
+    assert [json.loads(d["data"])["i"] for d in r2.get_json()["data"]] == [0]
+
+
+def test_deadletters_search_and_object_filter(rig):
+    rig.save_dl(2, obj="obj", err="timeout talking to webhook")
+    rig.save_dl(1, obj="other", err="连接 refused")
+    r = rig.client.get("/ui/api/deadletters?search=webhook")
+    assert r.get_json()["total"] == 2
+    r2 = rig.client.get("/ui/api/deadletters?object_filter=other")
+    assert r2.get_json()["total"] == 1
+
+
+def test_purge_deletes_exactly_what_filter_selects(rig):
+    rig.save_dl(3, obj="obj")
+    rig.save_dl(2, obj="other")
+    r = rig.client.post("/ui/api/deadletters/purge?object_filter=other")
+    assert r.get_json() == {"ok": True, "deleted": 2}
+    assert len(rig.dlq.rows()) == 3
+
+
+# -- manual replay (Program.cs:436-474) -----------------------------------
+
+
+def test_manual_replay_delivers_and_removes(rig):
+    rig.save_dl(1)
+    [row] = rig.dlq.rows()
+    r = rig.client.post(f"/ui/api/deadletters/{row['id']}/replay")
+    assert r.status_code == 200 and r.get_json() == {"ok": True}
+    assert rig.dlq.rows() == []
+    assert len(rig.sink.payloads) == 1
+
+
+def test_manual_replay_unroutable_is_409(rig):
+    rig.save_dl(1, env="gone-env")
+    [row] = rig.dlq.rows()
+    r = rig.client.post(f"/ui/api/deadletters/{row['id']}/replay")
+    assert r.status_code == 409
+
+
+def test_manual_replay_failure_resets_attempts_and_502s(rig):
+    class Broken(MemorySink):
+        def write(self, payload, ctx):
+            raise IOError("still down")
+
+    rig.replayer.sinks_for_env = lambda name: [Broken("primary")]
+    rig.save_dl(1)
+    [row] = rig.dlq.rows()
+    rig.dlq.record_failure(row["id"])  # attempts=1 from automatic rotation
+    r = rig.client.post(f"/ui/api/deadletters/{row['id']}/replay")
+    assert r.status_code == 502
+    [kept] = rig.dlq.rows()
+    assert kept["attempts"] == 0  # rejoined automatic rotation
+
+
+def test_replay_missing_id_404(rig):
+    assert rig.client.post("/ui/api/deadletters/999/replay").status_code == 404
+
+
+def test_discard(rig):
+    rig.save_dl(1)
+    [row] = rig.dlq.rows()
+    assert rig.client.post(
+        f"/ui/api/deadletters/{row['id']}/discard"
+    ).get_json() == {"ok": True}
+    assert rig.dlq.rows() == []
+    assert rig.client.post("/ui/api/deadletters/5/discard").status_code == 404
+
+
+# -- pause / resume (Program.cs:501-553) ----------------------------------
+
+
+def test_pause_requires_passphrase_resume_does_not(rig):
+    denied = rig.client.post(
+        "/ui/api/pause", json={"environment": "e1", "passphrase": "wrong"}
+    )
+    assert denied.status_code == 401
+    ok = rig.client.post(
+        "/ui/api/pause",
+        json={"environment": "e1", "passphrase": "s3cret", "reason": "maint"},
+    )
+    assert ok.get_json()["scope"] == "env:e1"
+    assert rig.pauses.is_paused("e1")
+    # resume is the safe direction: no passphrase needed
+    r = rig.client.post("/ui/api/resume", json={"environment": "e1"})
+    assert r.get_json()["resumed"] is True
+    assert not rig.pauses.is_paused("e1")
+    # resume honesty: resuming a non-paused scope says so
+    r2 = rig.client.post("/ui/api/resume", json={"environment": "e1"})
+    assert r2.get_json()["resumed"] is False
+
+
+def test_pause_object_scope_and_listing(rig):
+    rig.client.post(
+        "/ui/api/pause",
+        json={"environment": "e1", "object": "obj", "passphrase": "s3cret"},
+    )
+    [p] = rig.client.get("/ui/api/pauses").get_json()
+    assert p["scope"] == "obj:e1/obj"
+    assert rig.pauses.is_paused("e1", "obj") and not rig.pauses.is_paused("e1")
+
+
+def test_pause_without_environment_400(rig):
+    r = rig.client.post("/ui/api/pause", json={"passphrase": "s3cret"})
+    assert r.status_code == 400
+
+
+def test_passphrase_constant_time_compare_unit():
+    sha = hashlib.sha256(b"x").hexdigest()
+    assert passphrase_ok("x", sha)
+    assert not passphrase_ok("y", sha)
+    assert not passphrase_ok(None, sha)
+    assert passphrase_ok(None, None)  # unconfigured → open
+
+
+# -- health/state surface (Program.cs:871-983) ----------------------------
+
+
+def test_health_state_joins_config_and_404s_unknown_env(rig):
+    rig.state.set_last_version("e1", "obj", 7)
+    body = rig.client.get("/health/state").get_json()
+    assert body["total_environments"] == 1
+    [env] = body["environments"]
+    [o] = env["objects"]
+    assert (o["object_name"], o["last_version"]) == ("obj", 7)
+    assert o["stored_procedure_name"] == "t_outbox"  # config join (J5)
+    one = rig.client.get("/health/state/e1").get_json()
+    assert one["environment"] == "e1" and one["object_count"] == 1
+    assert rig.client.get("/health/state/nope").status_code == 404
+
+
+def test_health_endpoints_degrade_gracefully_without_services(rig):
+    assert rig.client.get("/health").get_json() == {"status": "unknown"}
+    assert rig.client.get("/health/connections").get_json() == {}
+    rig.save_dl(2)
+    assert rig.client.get("/health/deadletters").get_json()["total"] == 2
+
+
+def test_health_connections_reports_probe_state(rig, tmp_path):
+    from trignis_spark.health import ConnectionHealth
+
+    conn = ConnectionHealth()
+    conn.record_probe("db:main", True)
+    conn.record_probe("mq:rabbit", False)
+    conn.record_probe("mq:rabbit", False)
+    app = create_app(
+        rig.state, rig.dlq, rig.pauses, connections=conn,
+    )
+    body = app.test_client().get("/health/connections").get_json()
+    assert body["db:main"] == {"is_healthy": True, "last_error": None}
+    assert body["mq:rabbit"]["is_healthy"] is False
+    assert "2 consecutive" in body["mq:rabbit"]["last_error"]

@@ -1,0 +1,345 @@
+"""HTTP API over the control plane — the reference's operational UX.
+
+Thin Flask app binding the already-tested services to the reference's
+routes (``Source/Program.cs``):
+
+- ``GET  /health``                        — cached snapshot (:871-875)
+- ``GET  /health/deadletters``            — DLQ stats (:877-881)
+- ``GET  /health/connections``            — probe status (:883-898)
+- ``GET  /health/state[/<env>]``          — watermarks joined to config
+  (:900-983; the J5 state↔config lookup)
+- ``GET  /ui/api/deadletters``            — paginated newest-first with
+  search/object filters (:680-751; W3 pagination semantics)
+- ``POST /ui/api/state/<env>/<obj>/reset``— delete the watermark row;
+  next cycle re-initializes per InitialSyncMode (:403-432, T13)
+- ``POST /ui/api/deadletters/<id>/replay``— manual replay; removed only
+  when every destination succeeds; a failed manual replay resets the
+  attempt counter to rejoin automatic rotation (:436-474)
+- ``POST /ui/api/deadletters/<id>/discard`` (:476-487)
+- ``POST /ui/api/deadletters/purge``      — purges exactly what the
+  current filter selects (:489-498)
+- ``POST /ui/api/pause`` / ``/ui/api/resume`` / ``GET /ui/api/pauses``
+  — pause is passphrase-guarded (its failure mode is silent); resume
+  never is ("making operators re-authenticate to restore service is
+  how an incident gets longer", :501-553)
+
+Auth parity: the admin passphrase is compared as SHA-256 digests in
+constant time (``Program.cs:369-374``). CSRF/session machinery is a
+browser-UI concern and is out of scope for the engine API.
+
+Flask ships in this environment but is import-guarded anyway — the
+module stays importable (and the engine fully functional) without it.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import hmac
+import logging
+import math
+
+try:
+    from flask import Flask, jsonify, request
+except ImportError:  # pragma: no cover - flask is present in CI
+    Flask = None
+
+from trignis_spark.deadletter import DeadLetterStore
+from trignis_spark.state import PauseStore, StateStore, env_scope, obj_scope
+
+log = logging.getLogger("trignis_spark.api")
+
+
+def _ts(v) -> str | None:
+    if v is None:
+        return None
+    if isinstance(v, dt.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%SZ")
+    return str(v)
+
+
+def passphrase_ok(given: str | None, expected_sha256_hex: str | None) -> bool:
+    """Constant-time SHA-256 compare (``Program.cs:369-374``)."""
+    if expected_sha256_hex is None:
+        return True  # no passphrase configured
+    if not given:
+        return False
+    digest = hashlib.sha256(given.encode("utf-8")).hexdigest()
+    return hmac.compare_digest(digest, expected_sha256_hex.lower())
+
+
+def resolve_scope(body: dict) -> tuple[str, str] | None:
+    """Shared by pause and resume so the two can never disagree on what
+    a scope string means (``Program.cs:545-553``)."""
+    env = (body.get("environment") or "").strip()
+    if not env:
+        return None
+    obj = (body.get("object") or "").strip()
+    if obj:
+        return obj_scope(env, obj), f"{env}/{obj}"
+    return env_scope(env), env
+
+
+def create_app(
+    state: StateStore,
+    dlq: DeadLetterStore,
+    pauses: PauseStore,
+    replayer=None,  # DeadLetterReplayer | None
+    health_service=None,  # HealthService | None
+    dlq_monitor=None,  # DeadLetterMonitor | None
+    connections=None,  # ConnectionHealth | None
+    environments=None,  # dict[str, EnvironmentConfig] | () -> dict
+    admin_passphrase_sha256: str | None = None,
+):
+    """Build the Flask app over the control-plane services."""
+    if Flask is None:  # pragma: no cover
+        raise RuntimeError("flask is not installed; the HTTP API is unavailable")
+    app = Flask("trignis_spark")
+
+    def envs() -> dict:
+        if environments is None:
+            return {}
+        return environments() if callable(environments) else environments
+
+    # -- health surface (T15) ---------------------------------------------
+
+    @app.get("/health")
+    def health():
+        if health_service is None:
+            return jsonify({"status": "unknown"})
+        return jsonify(health_service.snapshot())
+
+    @app.get("/health/deadletters")
+    def health_deadletters():
+        if dlq_monitor is None:
+            return jsonify({"total": len(dlq.rows())})
+        return jsonify(dlq_monitor.stats())
+
+    @app.get("/health/connections")
+    def health_connections():
+        if connections is None:
+            return jsonify({})
+        return jsonify(
+            {
+                ep: {
+                    "is_healthy": connections.failures(ep) == 0,
+                    "last_error": (
+                        None
+                        if connections.failures(ep) == 0
+                        else f"{connections.failures(ep)} consecutive failure(s)"
+                    ),
+                }
+                for ep in connections.endpoints()
+            }
+        )
+
+    def _state_payload(env_name: str | None):
+        # the stored-procedure column of the reference's state surface;
+        # our extraction source is the generated read (table_name) or the
+        # user's source_sql escape hatch (SURVEY §2.9)
+        sp_lookup = {
+            name: {
+                o.name.lower(): (o.source_sql or o.table_name or "")
+                for o in e.tracking_objects
+            }
+            for name, e in envs().items()
+        }
+        by_env: dict[str, list[dict]] = {}
+        for r in state.rows():
+            if env_name is not None and r["environment_name"] != env_name:
+                continue
+            by_env.setdefault(r["environment_name"], []).append(
+                {
+                    "object_name": r["object_name"],
+                    "stored_procedure_name": sp_lookup.get(
+                        r["environment_name"], {}
+                    ).get(r["object_name"].lower())
+                    or None,
+                    "last_version": r["last_version"],
+                    "last_updated": _ts(r["last_updated"]),
+                }
+            )
+        timestamp = _ts(dt.datetime.now(dt.timezone.utc).replace(tzinfo=None))
+        if env_name is not None:
+            if env_name not in by_env:
+                return (
+                    jsonify(
+                        {"error": "Environment not found", "environment": env_name}
+                    ),
+                    404,
+                )
+            objects = by_env[env_name]
+            return jsonify(
+                {
+                    "environment": env_name,
+                    "timestamp": timestamp,
+                    "object_count": len(objects),
+                    "objects": objects,
+                }
+            )
+        return jsonify(
+            {
+                "timestamp": timestamp,
+                "total_environments": len(by_env),
+                "environments": [
+                    {"name": name, "object_count": len(objs), "objects": objs}
+                    for name, objs in by_env.items()
+                ],
+            }
+        )
+
+    @app.get("/health/state")
+    def health_state():
+        return _state_payload(None)
+
+    @app.get("/health/state/<environment_name>")
+    def health_state_env(environment_name):
+        return _state_payload(environment_name)
+
+    # -- state reset (T13) -------------------------------------------------
+
+    @app.post("/ui/api/state/<environment_name>/<object_name>/reset")
+    def state_reset(environment_name, object_name):
+        if not state.reset(environment_name, object_name):
+            return (
+                jsonify(
+                    {"error": "No sync state stored for that environment and object"}
+                ),
+                404,
+            )
+        log.warning(
+            "Sync state for %s/%s reset via the API; the next cycle will "
+            "re-initialise it",
+            environment_name, object_name,
+        )
+        return jsonify({"ok": True})
+
+    # -- dead letters ------------------------------------------------------
+
+    @app.get("/ui/api/deadletters")
+    def deadletters_list():
+        page = request.args.get("page", default=1, type=int)
+        page_size = request.args.get("page_size", default=50, type=int)
+        search = request.args.get("search")
+        object_filter = request.args.get("object_filter")
+        total, rows = dlq.page(page, page_size, search, object_filter)
+        return jsonify(
+            {
+                "total": total,
+                "page": page,
+                "page_size": page_size,
+                "total_pages": math.ceil(total / page_size) if page_size else 0,
+                "data": [
+                    {
+                        "id": r["id"],
+                        "source_key": r["source_key"],
+                        "tracking_object_name": r["tracking_object_name"],
+                        "database_name": r["database_name"],
+                        "data_hash": r["data_hash"],
+                        "data": r["data"],
+                        "error_message": r["error_message"],
+                        "timestamp": _ts(r["timestamp"]),
+                    }
+                    for r in rows
+                ],
+            }
+        )
+
+    @app.post("/ui/api/deadletters/<int:dlq_id>/replay")
+    def deadletter_replay(dlq_id):
+        if replayer is None:
+            return jsonify({"error": "replay not configured"}), 503
+        row = dlq.get(dlq_id)
+        if row is None:
+            return jsonify({"error": "Dead letter not found"}), 404
+        outcome = replayer.replay_row(row, manual=True)
+        if outcome.status == "delivered":
+            log.info("Dead letter %d replayed via the API and removed", dlq_id)
+            return jsonify({"ok": True})
+        if outcome.status == "unroutable":
+            return (
+                jsonify({"error": "No current environment/object routes this row"}),
+                409,
+            )
+        # failed: replay_row(manual=True) already reset the attempt counter
+        # so the row rejoins the automatic rotation (Program.cs:458-462)
+        return jsonify({"error": "Replay failed; the dead letter was kept"}), 502
+
+    @app.post("/ui/api/deadletters/<int:dlq_id>/discard")
+    def deadletter_discard(dlq_id):
+        if not dlq.delete(dlq_id):
+            return jsonify({"error": "Dead letter not found"}), 404
+        log.warning("Dead letter %d discarded via the API", dlq_id)
+        return jsonify({"ok": True})
+
+    @app.post("/ui/api/deadletters/purge")
+    def deadletters_purge():
+        deleted = dlq.purge_matching(
+            request.args.get("search"), request.args.get("object_filter")
+        )
+        return jsonify({"ok": True, "deleted": deleted})
+
+    # -- pause / resume (T11) ----------------------------------------------
+
+    @app.post("/ui/api/pause")
+    def pause():
+        body = request.get_json(silent=True) or {}
+        if not passphrase_ok(body.get("passphrase"), admin_passphrase_sha256):
+            return jsonify({"error": "Invalid passphrase"}), 401
+        resolved = resolve_scope(body)
+        if resolved is None:
+            return (
+                jsonify(
+                    {
+                        "error": "Specify an environment, and an object when "
+                        "pausing a single tracking object"
+                    }
+                ),
+                400,
+            )
+        scope, label = resolved
+        pauses.pause(
+            scope,
+            reason=body.get("reason") or "",
+            paused_by=request.remote_addr or "",
+        )
+        log.warning("Paused %s via the API (%s)", label,
+                    body.get("reason") or "no reason given")
+        return jsonify({"ok": True, "scope": scope, "label": label})
+
+    @app.post("/ui/api/resume")
+    def resume():
+        body = request.get_json(silent=True) or {}
+        resolved = resolve_scope(body)
+        if resolved is None:
+            return (
+                jsonify(
+                    {
+                        "error": "Specify an environment, and an object when "
+                        "resuming a single tracking object"
+                    }
+                ),
+                400,
+            )
+        scope, label = resolved
+        resumed = pauses.resume(scope)
+        if resumed:
+            log.info("Resumed %s via the API", label)
+        return jsonify({"ok": True, "resumed": resumed, "scope": scope,
+                        "label": label})
+
+    @app.get("/ui/api/pauses")
+    def list_pauses():
+        return jsonify(
+            [
+                {
+                    "scope": r["scope"],
+                    "reason": r["reason"],
+                    "paused_by": r["paused_by"],
+                    "paused_at": _ts(r["paused_at"]),
+                }
+                for r in pauses.rows()
+            ]
+        )
+
+    return app

@@ -188,6 +188,56 @@ class DeadLetterStore:
     def rows(self) -> list[dict]:
         return self._kv.read()
 
+    def get(self, dlq_id: int) -> dict | None:
+        for r in self._kv.read():
+            if r["id"] == dlq_id:
+                return r
+        return None
+
+    @staticmethod
+    def _matches(r: dict, search: str | None, object_filter: str | None) -> bool:
+        """The dead-letter UI filter (``Program.cs:694-699``): search is a
+        substring over object/error/database; object_filter is exact."""
+        if object_filter and r["tracking_object_name"] != object_filter:
+            return False
+        if search:
+            s = search.lower()
+            return any(
+                s in (r[f] or "").lower()
+                for f in ("tracking_object_name", "error_message", "database_name")
+            )
+        return True
+
+    def page(
+        self,
+        page: int = 1,
+        page_size: int = 50,
+        search: str | None = None,
+        object_filter: str | None = None,
+    ) -> tuple[int, list[dict]]:
+        """Paginated newest-first listing (W3: ``ORDER BY Timestamp DESC
+        LIMIT @pageSize OFFSET @offset``, ``Program.cs:708-717``).
+        Returns (total matching, this page's rows)."""
+        matching = [
+            r for r in self._kv.read()
+            if self._matches(r, search, object_filter)
+        ]
+        matching.sort(key=lambda r: (r["timestamp"], r["id"]), reverse=True)
+        off = (max(page, 1) - 1) * page_size
+        return len(matching), matching[off : off + page_size]
+
+    def purge_matching(
+        self, search: str | None = None, object_filter: str | None = None
+    ) -> int:
+        """Purge exactly what the filter selects, so the UI cannot delete
+        more than it shows (``Program.cs:489-498``)."""
+        rows = self._kv.read()
+        kept = [r for r in rows if not self._matches(r, search, object_filter)]
+        removed = len(rows) - len(kept)
+        if removed:
+            self._kv.write(kept)
+        return removed
+
     def as_dataframe(self, spark: SparkSession) -> DataFrame:
         from pyspark.sql.types import (
             IntegerType,

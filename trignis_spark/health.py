@@ -109,6 +109,9 @@ class ConnectionHealth:
     def failures(self, endpoint: str) -> int:
         return self._consecutive_failures.get(endpoint, 0)
 
+    def endpoints(self) -> list[str]:
+        return sorted(self._consecutive_failures)
+
     def unhealthy(self, after: int = 3) -> list[str]:
         return sorted(
             e for e, n in self._consecutive_failures.items() if n >= after

@@ -118,6 +118,14 @@ class StateStore:
         self._kv.write(kept)
         return True
 
+    def rows(self) -> list[dict]:
+        """All watermark rows, (environment, object)-sorted — the
+        ``/health/state`` read shape (``Program.cs:900-983``)."""
+        return sorted(
+            self._kv.read(),
+            key=lambda r: (r["environment_name"], r["object_name"]),
+        )
+
     def as_dataframe(self, spark: SparkSession) -> DataFrame:
         rows = self._kv.read()
         from pyspark.sql.types import (
@@ -193,6 +201,10 @@ class PauseStore:
 
     def paused_scopes(self) -> set[str]:
         return {r["scope"] for r in self._kv.read()}
+
+    def rows(self) -> list[dict]:
+        """All pause rows with reason/by/at (``/ui/api/pauses``)."""
+        return sorted(self._kv.read(), key=lambda r: r["scope"])
 
     def is_paused(self, env: str, obj: str | None = None) -> bool:
         scopes = self.paused_scopes()
