@@ -158,10 +158,16 @@ def resolve_secrets(value):
     return value
 
 
-def load_environment_json(text: str) -> EnvironmentConfig:
+def load_environment_json(text: str, crypto=None) -> EnvironmentConfig:
     """Parse one environment config document (JSON); ``${ENV:VAR}``
-    secret placeholders resolve from the process environment."""
-    raw = resolve_secrets(json.loads(text))
+    secret placeholders resolve from the process environment, and
+    ``PWENC:`` values decrypt through ``crypto`` (an
+    ``EncryptionService``) when one is supplied — the reference's
+    decrypt-on-load (``EnvironmentConfigService.LoadFile``)."""
+    raw = json.loads(text)
+    if crypto is not None:
+        raw = crypto.decrypt_tree(raw)
+    raw = resolve_secrets(raw)
     objs = tuple(
         TrackingObject(
             name=o["name"],
