@@ -1,0 +1,187 @@
+"""DataSource-V2 micro-batch outbox source: offset semantics
+(version+horizon pairs), version-range partition planning, horizon
+deferral, and the same failures-deadletter-but-epoch-commits contract
+as the file-source shim — now through a real streaming source."""
+
+import datetime as dt
+import json
+
+import pytest
+
+from trignis_spark.config import EnvironmentConfig, TrackingObject
+from trignis_spark.deadletter import DeadLetterStore
+from trignis_spark.sinks.base import RetryPolicy
+from trignis_spark.sinks.memory import MemorySink
+from trignis_spark.sources.microbatch import (
+    OutboxDataSource,
+    VersionRangePartition,
+    _OutboxStreamReader,
+)
+from trignis_spark.sources.parquet_outbox import outbox_schema
+from trignis_spark.state import StateStore
+from trignis_spark.streaming.structured import run_export_stream
+
+ENV = EnvironmentConfig(
+    name="v2-env",
+    tracking_objects=(TrackingObject(name="outbox", table_name="t"),),
+)
+OBJ = ENV.tracking_objects[0]
+RETRY = RetryPolicy(attempts=1, delay_seconds=0, sleep=lambda _: None)
+
+
+def _write_wave(spark, path, start, n, xact_offset=0):
+    rows = [
+        (
+            start + i,
+            start + i + xact_offset,
+            "I",
+            i % 3,
+            ["value"],
+            dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(minutes=start + i),
+            float(i),
+            "{}",
+        )
+        for i in range(n)
+    ]
+    spark.createDataFrame(rows, outbox_schema()).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+@pytest.fixture
+def registered(spark):
+    spark.dataSource.register(OutboxDataSource)
+    return spark
+
+
+def _stream(spark, path, **opts):
+    r = spark.readStream.format("trignis_outbox").option("path", path)
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def test_reader_offsets_are_version_horizon_pairs(spark, tmp_path):
+    path = str(tmp_path / "outbox")
+    _write_wave(spark, path, start=1, n=10)
+    reader = _OutboxStreamReader(
+        spark.read.parquet(path).schema, {"path": path}
+    )
+    assert reader.initialOffset() == {"version": 0, "horizon": 0}
+    off = reader.latestOffset()
+    # horizon = max(xact)+1; every committed version is visible under it
+    assert off == {"version": 10, "horizon": 11}
+
+
+def test_reader_horizon_defers_inflight_versions(spark, tmp_path):
+    path = str(tmp_path / "outbox")
+    _write_wave(spark, path, start=1, n=10)
+    reader = _OutboxStreamReader(
+        spark.read.parquet(path).schema, {"path": path, "horizon": "6"}
+    )
+    off = reader.latestOffset()
+    # xact >= 6 is in-flight: versions 6..10 deferred, never skipped
+    assert off == {"version": 5, "horizon": 6}
+
+
+def test_partition_planning_splits_version_range(spark, tmp_path):
+    path = str(tmp_path / "outbox")
+    _write_wave(spark, path, start=1, n=100)
+    reader = _OutboxStreamReader(
+        spark.read.parquet(path).schema, {"path": path, "numpartitions": "4"}
+    )
+    parts = reader.partitions(
+        {"version": 0, "horizon": 0}, {"version": 100, "horizon": 101}
+    )
+    assert [(p.lo, p.hi) for p in parts] == [
+        (0, 25), (25, 50), (50, 75), (75, 100),
+    ]
+    assert all(p.horizon == 101 for p in parts)
+    # empty range plans a single empty slice
+    empty = reader.partitions(
+        {"version": 100, "horizon": 101}, {"version": 100, "horizon": 101}
+    )
+    assert [(p.lo, p.hi) for p in empty] == [(100, 100)]
+    assert list(reader.read(VersionRangePartition(100, 100, 101))) == []
+
+
+def test_stream_delivers_each_version_exactly_once(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "outbox")
+    ckpt = str(tmp_path / "ckpt")
+    _write_wave(spark, path, start=1, n=25)
+    state = StateStore(str(tmp_path / "state"))
+    dlq = DeadLetterStore(str(tmp_path / "dlq"))
+    sink = MemorySink("s")
+    q = run_export_stream(
+        _stream(spark, path), ENV, OBJ, [sink], state, dlq,
+        checkpoint_dir=ckpt, available_now=True, retry=RETRY,
+    )
+    q.awaitTermination(120)
+    got = [
+        d["version"]
+        for pl, _ in sink.payloads
+        for d in json.loads(pl)["Data"]
+    ]
+    assert got == list(range(1, 26))
+    assert state.get_last_version("v2-env", "outbox") == 25
+
+    # second wave: restart from the checkpoint, only new versions flow
+    _write_wave(spark, path, start=26, n=5)
+    q2 = run_export_stream(
+        _stream(spark, path), ENV, OBJ, [sink], state, dlq,
+        checkpoint_dir=ckpt, available_now=True, retry=RETRY,
+    )
+    q2.awaitTermination(120)
+    got2 = [
+        d["version"]
+        for pl, _ in sink.payloads
+        for d in json.loads(pl)["Data"]
+    ]
+    assert got2 == list(range(1, 31))  # no re-delivery of 1..25
+    assert state.get_last_version("v2-env", "outbox") == 30
+
+
+def test_stream_failures_deadletter_but_epoch_commits_v2(registered, tmp_path):
+    """The T2/T9 contract through the native V2 source (VERDICT r1 #7):
+    a failing sink dead-letters the payload, the epoch still commits, and
+    a restart does not re-export the failed rows."""
+    spark = registered
+    path = str(tmp_path / "outbox")
+    ckpt = str(tmp_path / "ckpt")
+    _write_wave(spark, path, start=1, n=8)
+
+    class Broken(MemorySink):
+        def write(self, payload, ctx):
+            raise IOError("endpoint down")
+
+    state = StateStore(str(tmp_path / "state"))
+    dlq = DeadLetterStore(str(tmp_path / "dlq"))
+    q = run_export_stream(
+        _stream(spark, path), ENV, OBJ, [Broken("b")], state, dlq,
+        checkpoint_dir=ckpt, available_now=True, retry=RETRY,
+    )
+    q.awaitTermination(120)
+    [row] = dlq.rows()
+    assert [d["version"] for d in json.loads(row["data"])["Data"]] == list(
+        range(1, 9)
+    )
+    assert state.get_last_version("v2-env", "outbox") == 8  # advanced
+
+    # restart with a healthy sink: epoch committed → nothing re-exported
+    ok = MemorySink("b")
+    q2 = run_export_stream(
+        _stream(spark, path), ENV, OBJ, [ok], state, dlq,
+        checkpoint_dir=ckpt, available_now=True, retry=RETRY,
+    )
+    q2.awaitTermination(120)
+    assert ok.payloads == []  # replay happens via the DLQ job, not re-read
+
+
+def test_batch_reader_full_scan(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "outbox")
+    _write_wave(spark, path, start=1, n=12)
+    df = spark.read.format("trignis_outbox").option("path", path).load()
+    assert df.count() == 12
+    assert set(df.columns) >= {"version", "xact_id", "operation"}
