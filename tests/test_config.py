@@ -130,3 +130,57 @@ def test_secret_resolution(monkeypatch):
                "options": {"url": "${ENV:UNSET_VAR_XYZ}"}}]}
             """
         )
+
+
+def test_mq_sink_validation_matrix():
+    from trignis_spark.config import (
+        EnvironmentConfig,
+        SinkConfig,
+        TrackingObject,
+        validate_environment,
+    )
+
+    def env_with(sink):
+        return EnvironmentConfig(
+            name="e",
+            tracking_objects=(TrackingObject(name="o", table_name="t"),),
+            destinations=(sink,),
+        )
+
+    errs, _ = validate_environment(
+        env_with(SinkConfig("mq", "rabbitmq", {"queue": "q"}))
+    )
+    assert any("requires host" in e for e in errs)
+    errs, _ = validate_environment(
+        env_with(SinkConfig("mq", "rabbitmq", {"host": "h"}))
+    )
+    assert any("queue or exchange" in e for e in errs)
+    errs, _ = validate_environment(
+        env_with(SinkConfig("mq", "rabbitmq",
+                            {"host": "h", "queue": "q", "user": "u"}))
+    )
+    assert any("both user and password" in e for e in errs)
+    errs, _ = validate_environment(
+        env_with(SinkConfig("sqs", "aws-sqs", {}))
+    )
+    assert any("queue_url" in e for e in errs)
+    errs, _ = validate_environment(
+        env_with(SinkConfig("asb", "azure-servicebus",
+                            {"connection_string": "cs"}))
+    )
+    assert any("queue or topic" in e for e in errs)
+    # injected transport bypasses the matrix (tests / custom transports)
+    errs, _ = validate_environment(
+        env_with(SinkConfig("mq", "rabbitmq", {"send": object()}))
+    )
+    assert errs == []
+    # happy paths
+    for sink in (
+        SinkConfig("mq", "rabbitmq", {"host": "h", "queue": "q"}),
+        SinkConfig("sqs", "aws-sqs", {"queue_url": "u"}),
+        SinkConfig("asb", "azure-servicebus",
+                   {"connection_string": "cs", "topic": "t"}),
+        SinkConfig("eh", "azure-eventhubs", {"connection_string": "cs"}),
+    ):
+        errs, _ = validate_environment(env_with(sink))
+        assert errs == []

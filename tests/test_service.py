@@ -106,3 +106,100 @@ def test_service_soak_with_failure_and_replay(spark, tmp_path, monkeypatch):
         service.stop()
     assert service.probe.overlaps() == []
     assert service.orchestrator.running() == set()
+
+
+def test_service_api_and_crypto_integration(spark, tmp_path):
+    """Composition root round 2: PWENC encrypt-on-start rewrites config
+    secrets, the loader decrypts them, and the HTTP app serves the
+    control plane over this service's stores."""
+    import pytest
+
+    pytest.importorskip("flask")
+    pytest.importorskip("cryptography")
+    from trignis_spark.crypto import ENCRYPTED_HEADER, EncryptionService
+
+    cfg = tmp_path / "environments"
+    cfg.mkdir()
+    (cfg / "alpha.json").write_text(
+        json.dumps(
+            {
+                "name": "alpha",
+                "tracking_objects": [
+                    {"name": "events", "table_name": "events",
+                     "initial_sync_mode": "Full"}
+                ],
+                "destinations": [
+                    {
+                        "name": "hook",
+                        "kind": "http",
+                        "options": {
+                            "url": "https://example.test/x",
+                            "bearer_token": "tok-plain",
+                        },
+                    }
+                ],
+            }
+        )
+    )
+    crypto = EncryptionService(str(tmp_path / "work"), passphrase="k")
+
+    def source_factory(obj):
+        return lambda s, o: cf.events_as_outbox(
+            load(s, "/root/testdata/sf0.001", o.table_name)
+        )
+
+    service = TrignisSparkService(
+        spark, str(cfg), str(tmp_path / "work"), source_factory,
+        retry=RetryPolicy(attempts=1, delay_seconds=0, sleep=lambda _: None),
+        crypto=crypto,
+    )
+    problems = service.start()
+    try:
+        assert problems == []
+        # encrypt-on-start rewrote the plaintext token at rest
+        on_disk = json.loads((cfg / "alpha.json").read_text())
+        assert on_disk["destinations"][0]["options"]["bearer_token"].startswith(
+            ENCRYPTED_HEADER
+        )
+        # ...and the loaded config decrypted it
+        env = service._envs_snapshot()["alpha"]
+        assert env.destinations[0].options["bearer_token"] == "tok-plain"
+
+        client = service.api_app().test_client()
+        # let one poll cycle land a watermark, then read it over HTTP
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            body = client.get("/health/state").get_json()
+            if body["total_environments"] == 1:
+                break
+            time.sleep(0.5)
+        [envs] = body["environments"]
+        assert envs["name"] == "alpha"
+        assert client.get("/health").status_code == 200
+        # pause through the API pauses the live service
+        client.post("/ui/api/pause", json={"environment": "alpha"})
+        assert service.pauses.is_paused("alpha")
+    finally:
+        service.stop()
+
+
+def test_build_sink_queue_kinds_with_injected_transport():
+    from trignis_spark.sinks import build_sink
+    from trignis_spark.sinks.base import ExportContext
+    from trignis_spark.sinks.queue import CappedQueueSink
+
+    sent = []
+    sink = build_sink(
+        "aws-sqs", "q", {"send": lambda body, attrs: sent.append((body, attrs))}
+    )
+    assert isinstance(sink, CappedQueueSink) and sink.flavor == "aws-sqs"
+    sink.write('{"x":1}', ExportContext("e", "db", "obj", "k"))
+    assert sent and sent[0][0] == b'{"x":1}'
+
+
+def test_build_sink_queue_kind_builds_live_transport():
+    from trignis_spark.sinks import build_sink
+    from trignis_spark.sinks.transports import RabbitMqTransport
+
+    sink = build_sink("rabbitmq", "mq", {"host": "mq.example", "queue": "q"})
+    assert isinstance(sink.send, RabbitMqTransport)

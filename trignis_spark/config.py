@@ -25,7 +25,10 @@ DEFAULT_MAX_RECORDS_PER_BATCH = 1000
 DEFAULT_MAX_PAYLOAD_BYTES = 5 * 1024 * 1024
 DEFAULT_DLQ_RETENTION_DAYS = 60
 
-SINK_KINDS = ("file", "http", "kafka", "memory")
+SINK_KINDS = (
+    "file", "http", "kafka", "memory",
+    "rabbitmq", "aws-sqs", "azure-servicebus", "azure-eventhubs",
+)
 SYNC_MODES = ("Full", "Incremental")
 
 
@@ -118,7 +121,33 @@ def validate_environment(env: EnvironmentConfig) -> tuple[list[str], list[str]]:
                 )
         if sink.kind == "kafka" and not sink.options.get("topic"):
             errors.append(f"sink '{sink.name}': kafka sink requires topic")
+        # MQ-type requirement matrix (ConfigurationValidator.cs:270-341);
+        # 'send' is the injectable-transport escape hatch
+        if sink.kind in _MQ_REQUIREMENTS and "send" not in sink.options:
+            required_any = _MQ_REQUIREMENTS[sink.kind]
+            for group in required_any:
+                if not any(sink.options.get(k) for k in group):
+                    errors.append(
+                        f"sink '{sink.name}': {sink.kind} sink requires "
+                        + " or ".join(group)
+                    )
+        if sink.kind == "rabbitmq":
+            u, p = sink.options.get("user"), sink.options.get("password")
+            if (u is None) != (p is None):
+                errors.append(
+                    f"sink '{sink.name}': rabbitmq credentials require both "
+                    "user and password"
+                )
     return errors, warnings
+
+
+#: per-MQ-kind required option groups: every inner tuple needs ≥1 present.
+_MQ_REQUIREMENTS: dict[str, tuple[tuple[str, ...], ...]] = {
+    "rabbitmq": (("host",), ("queue", "exchange")),
+    "aws-sqs": (("queue_url",),),
+    "azure-servicebus": (("connection_string",), ("queue", "topic")),
+    "azure-eventhubs": (("connection_string",),),
+}
 
 
 def diff_environments(

@@ -48,11 +48,15 @@ class TrignisSparkService:
         replay_interval_seconds: float = DEFAULT_REPLAY_INTERVAL_S,
         poll_interval_override: float | None = None,
         retry: RetryPolicy | None = None,
+        crypto=None,  # EncryptionService | None — PWENC secrets at rest
+        admin_passphrase_sha256: str | None = None,
     ):
         self.spark = spark
         self.config_dir = config_dir
         self.source_factory = source_factory
         self.retry = retry
+        self.crypto = crypto
+        self.admin_passphrase_sha256 = admin_passphrase_sha256
         self.state = StateStore(work_dir + "/state")
         self.dlq = DeadLetterStore(work_dir + "/dlq")
         self.pauses = PauseStore(work_dir + "/pauses")
@@ -66,7 +70,7 @@ class TrignisSparkService:
         self.orchestrator = Orchestrator(
             self._run_cycle, self.probe, interval_override=poll_interval_override
         )
-        self.watcher = ConfigWatcher(config_dir, self._on_reload)
+        self.watcher = ConfigWatcher(config_dir, self._on_reload, crypto=crypto)
         self.replay_interval = replay_interval_seconds
         self._replay_stop = threading.Event()
         self._replay_thread: threading.Thread | None = None
@@ -163,10 +167,34 @@ class TrignisSparkService:
 
     # -- lifecycle ---------------------------------------------------------
 
+    def api_app(self):
+        """The HTTP control-plane app (``api.create_app``) bound to this
+        service's stores — serve with any WSGI server, or
+        ``app.test_client()`` in tests."""
+        from trignis_spark.api import create_app
+        from trignis_spark.health import ConnectionHealth
+
+        self._connections = getattr(self, "_connections", ConnectionHealth())
+        return create_app(
+            self.state,
+            self.dlq,
+            self.pauses,
+            replayer=self.replayer,
+            health_service=self.health,
+            dlq_monitor=self.health.monitor,
+            connections=self._connections,
+            environments=self._envs_snapshot,
+            admin_passphrase_sha256=self.admin_passphrase_sha256,
+        )
+
     def start(self) -> list[str]:
         """Load configs, start pollers + watcher + replay loop. Returns
         config problems (invalid files are skipped, not fatal)."""
-        envs, problems = load_environment_dir(self.config_dir)
+        if self.crypto is not None:
+            # encrypt any plaintext secrets before anything reads the
+            # configs (Program.cs:78-82)
+            self.crypto.encrypt_config_files(self.config_dir)
+        envs, problems = load_environment_dir(self.config_dir, crypto=self.crypto)
         for p in problems:
             log.error("config: %s", p)
         self._register(envs)

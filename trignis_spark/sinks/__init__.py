@@ -36,4 +36,14 @@ def build_sink(kind: str, name: str, options: dict, env=None) -> Sink:
         from trignis_spark.sinks.kafka import KafkaSink
 
         return KafkaSink(name, **options)
+    if kind in ("rabbitmq", "aws-sqs", "azure-servicebus", "azure-eventhubs"):
+        from trignis_spark.sinks.queue import CappedQueueSink
+
+        opts = dict(options)
+        send = opts.pop("send", None)  # injectable transport (tests)
+        if send is None:
+            from trignis_spark.sinks.transports import transport_for
+
+            send = transport_for(kind, **opts)
+        return CappedQueueSink(name=name, flavor=kind, send=send)
     raise ValueError(f"unknown sink kind {kind!r}")

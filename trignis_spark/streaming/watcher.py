@@ -28,15 +28,20 @@ log = logging.getLogger("trignis_spark.watcher")
 DEBOUNCE_SECONDS = 0.5
 
 
-def load_environment_dir(path: str) -> tuple[list[EnvironmentConfig], list[str]]:
+def load_environment_dir(
+    path: str, crypto=None
+) -> tuple[list[EnvironmentConfig], list[str]]:
     """Parse + validate every environments/*.json file. Invalid files are
     reported and skipped (a broken config must not take down running
-    pollers)."""
+    pollers). ``crypto`` (an ``EncryptionService``) decrypts ``PWENC:``
+    secrets on load."""
     envs: list[EnvironmentConfig] = []
     problems: list[str] = []
     for fp in sorted(glob.glob(os.path.join(path, "*.json"))):
         try:
-            env = load_environment_json(open(fp, encoding="utf-8").read())
+            env = load_environment_json(
+                open(fp, encoding="utf-8").read(), crypto=crypto
+            )
         except Exception as e:  # noqa: BLE001
             problems.append(f"{fp}: parse error: {e}")
             continue
@@ -59,9 +64,11 @@ class ConfigWatcher:
         reload_fn,
         poll_interval: float = 0.2,
         debounce: float = DEBOUNCE_SECONDS,
+        crypto=None,
     ):
         self.path = path
         self.reload_fn = reload_fn
+        self.crypto = crypto
         self.poll_interval = poll_interval
         self.debounce = debounce
         self._stop_event = threading.Event()
@@ -96,7 +103,11 @@ class ConfigWatcher:
                     break
                 cur = nxt
             last = cur
-            envs, problems = load_environment_dir(self.path)
+            if self.crypto is not None:
+                # encrypt-on-reload: a hand-edited file with plaintext
+                # secrets is re-encrypted before anything else reads it
+                self.crypto.encrypt_config_files(self.path)
+            envs, problems = load_environment_dir(self.path, crypto=self.crypto)
             for p in problems:
                 log.error("config reload: %s", p)
             self.reload_fn(envs)
