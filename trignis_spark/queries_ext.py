@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trignis_spark.operators import sessions as sess
-from trignis_spark.queries import _DEC, _DTOK, register
+from trignis_spark.queries import _DEC, _DJACCARD, _DSH_TABLE, _DTOK, register
 from trignis_spark.tables import load
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -252,3 +252,129 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     frames = mm.frame_sample(mm.attach_payload(docs), frame_chars=16, every=3)
     return frames.orderBy("doc_id", "frame_index")
+
+
+# --------------------------------------------------------------------------
+# Training-data curation: decontamination, keep-canonical dedup, n-grams
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_decontaminate",
+    f"""
+    WITH {_DSH_TABLE},
+    hits AS (
+      SELECT t.doc_id, t.shingle, b.doc_id AS bdoc
+      FROM ex t JOIN ex b ON b.shingle = t.shingle
+      WHERE t.doc_id % 97 <> 0 AND b.doc_id % 97 = 0)
+    SELECT doc_id,
+           count(DISTINCT shingle) AS n_shared_shingles,
+           count(DISTINCT bdoc) AS n_benchmark_docs
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: flag training documents sharing
+    any word-3-gram shingle with the benchmark subset (doc_id % 97 = 0
+    stands in for the held-out eval set). Inverted-index equijoin on
+    8-byte shingle hashes — candidate volume is O(collisions), never
+    |train|×|bench|; at 100 TB the benchmark shingle set is small enough
+    to broadcast, making this a map-side join."""
+    from trignis_spark.operators import dedup as dd
+
+    sh = dd.shingle_table(load(spark, sf_dir, "documents"))
+    bench = sh.filter(F.expr("doc_id % 97 = 0")).select(
+        F.col("shingle"), F.col("doc_id").alias("bdoc")
+    )
+    train = sh.filter(F.expr("doc_id % 97 <> 0"))
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("bdoc").alias("n_benchmark_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_keep_canonical",
+    f"""
+    WITH RECURSIVE {_DSH_TABLE}, {_DJACCARD},
+    pairs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.8),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(label) AS cluster_id
+             FROM reach GROUP BY node)
+    SELECT cluster_id AS doc_id, count(*) AS cluster_size
+    FROM comp GROUP BY cluster_id ORDER BY doc_id
+    """,
+)
+def corpus_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-dedup *output* a corpus build consumes: one surviving
+    (canonical = cluster-min) document per near-duplicate cluster with
+    the number of documents it absorbed. Composes the connected-
+    components operator; the per-cluster rollup is one shuffle on the
+    cluster id."""
+    from trignis_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(dd.shingle_table(docs), threshold=0.8)
+    comp = dd.cluster_near_duplicates(docs, pairs)
+    return (
+        comp.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(F.col("cluster_id").alias("doc_id"), "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_bigram_counts",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DTOK} AS t FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks WHERE length(t) >= 2)
+    SELECT bigram, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM bg GROUP BY bigram
+    ORDER BY tf DESC, bigram
+    LIMIT 50
+    """,
+)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model counts: top-50 word bigrams with term and
+    document frequency. explode → two-level agg with map-side partial
+    aggregation; the (bigram) shuffle key is the only exchange."""
+    docs = load(spark, sf_dir, "documents")
+    from trignis_spark.functions import portable as pf
+
+    toks = docs.select(
+        "doc_id", F.expr(pf.tokens(pf.SPARK, "text")).alias("t")
+    )
+    bg = toks.filter(F.expr("size(t) >= 2")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("bigram"))
+        .limit(50)
+    )
