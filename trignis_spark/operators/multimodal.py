@@ -150,6 +150,56 @@ def frame_sample(
     return flat.mapInPandas(sample, FRAME_SCHEMA)
 
 
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_index", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_window_energy(
+    mm: DataFrame, window: int = 32, center: int = 96
+) -> DataFrame:
+    """Audio-style windowed energy over binary payloads.
+
+    Models PCM feature extraction: the payload's bytes stand in for
+    8-bit samples (a real pipeline decodes via soundfile/librosa at the
+    ``_decode_stub`` seam), split into fixed ``window``-sample frames;
+    each frame emits its squared deviation from ``center`` (≈ DC offset)
+    as an integer energy. Integer math end to end, so the whole
+    payload→window→energy path is bit-exact against the oracle.
+
+    Same 1→N ``mapInPandas`` fan-out shape as ``frame_sample`` — at
+    100 TB the work is embarrassingly parallel per partition with Arrow
+    batch transfer and no shuffle until the caller aggregates.
+    """
+
+    def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, es = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for w in range(0, len(b), window):
+                    chunk = b[w : w + window]
+                    ids.append(doc_id)
+                    idxs.append(w // window)
+                    ns.append(len(chunk))
+                    es.append(sum((x - center) ** 2 for x in chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "window_index": idxs,
+                    "n_samples": ns,
+                    "energy": es,
+                }
+            )
+
+    return mm.select("doc_id", "payload").mapInPandas(energies, ENERGY_SCHEMA)
+
+
 def resize_stub(mm: DataFrame, stride: int = 4) -> DataFrame:
     """STUB resize: binary→binary transform with metadata update.
 

@@ -378,3 +378,91 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), F.asc("bigram"))
         .limit(50)
     )
+
+
+@register(
+    "mm_audio_energy",
+    """
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, (length(text) - 1) // 32))
+               AS window_index
+      FROM documents WHERE length(text) > 0),
+    w AS (
+      SELECT doc_id, window_index,
+             substring(text, CAST(window_index * 32 + 1 AS INTEGER), 32)
+               AS chunk
+      FROM idx)
+    SELECT doc_id, CAST(window_index AS BIGINT) AS window_index,
+           CAST(length(chunk) AS BIGINT) AS n_samples,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(chunk, ''),
+                            c -> CAST((ascii(c) - 96) * (ascii(c) - 96)
+                                      AS BIGINT))),
+             (a, b) -> a + b) AS energy
+    FROM w
+    ORDER BY doc_id, window_index
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-feature plumbing: per-32-sample windowed energy over the
+    binary payload (bytes stand in for PCM samples; integer math is
+    bit-exact vs the oracle). mapInPandas 1→N fan-out, shuffle-free
+    until the presentation sort."""
+    from trignis_spark.operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents")
+    out = mm.audio_window_energy(mm.attach_payload(docs))
+    return out.orderBy("doc_id", "window_index")
+
+
+@register(
+    "emb_centroid_by_label",
+    """
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (SELECT label, unnest(generate_series(1, length(v))) AS pos, v
+          FROM e),
+    d AS (SELECT label, pos, v[pos] AS val FROM x)
+    SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(val * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_micro,
+           CAST(sum(CAST(floor(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000.0 AS centroid
+    FROM d GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the coarse-quantizer training step
+    a real IVF index needs): posexplode → (label, dim) agg. Accumulation
+    is fixed-point micro-units (floor(val·1e6) as BIGINT) so the sum is
+    order-independent and bit-exact across engines; the centroid is one
+    exact-integer division at the end. One shuffle on (label, pos) with
+    map-side partial aggregation — at 100 TB this is the canonical
+    vector-aggregate shape (no collect, no per-row UDF)."""
+    emb = load(spark, sf_dir, "embeddings")
+    d = emb.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")),
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("bigint").alias("pos"),
+        F.col("col").alias("val"),
+    )
+    return (
+        d.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.expr("CAST(floor(val * 1000000.0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("sum_micro"),
+        )
+        .select(
+            "label", "pos", "n", "sum_micro",
+            (
+                F.col("sum_micro").cast("double") / F.col("n") / F.lit(1000000.0)
+            ).alias("centroid"),
+        )
+        .orderBy("label", "pos")
+    )
