@@ -161,3 +161,35 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert sorted(r["version"] for r in captured) == [1, 2, 3, 4, 5]
+
+
+def test_session_window_stats_native(spark, tmp_path):
+    from trignis_spark.streaming.structured import session_window_stats
+
+    path = str(tmp_path / "outbox")
+    # two bursts for user 0, 40 min apart → two sessions once closed
+    _write_wave(spark, path, start=1, n=3)     # minutes 1..3
+    _write_wave(spark, path, start=45, n=3)    # minutes 45..47
+    stats = session_window_stats(
+        stream_outbox(spark, path), gap="30 minutes",
+        watermark_delay="0 seconds",
+    )
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("sess_stats")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM sess_stats ORDER BY user_key, session_start"
+    ).collect()
+    # append mode emits sessions the watermark has closed; the first
+    # burst's sessions must be out (the stream's max event time is far
+    # past their end + gap)
+    assert rows, "no closed sessions emitted"
+    for r in rows:
+        assert r["session_end"] > r["session_start"]
+        assert r["n_events"] >= 1

@@ -128,6 +128,41 @@ def windowed_rate_stats(stream_df: DataFrame, window: str = "1 minute",
     )
 
 
+def session_window_stats(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+    user_col: str = "user_key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Native session-window aggregation — the streaming twin of the
+    batch gaps-and-islands sessionizer (``operators/sessions.py``) using
+    ``F.session_window`` so Spark manages the merge/expire state: a
+    session closes when the event-time watermark passes its end + gap,
+    giving bounded state at any stream length."""
+    return (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("session"),
+            F.col(user_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(20,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            user_col,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_dedup(
     stream_df: DataFrame,
     keys: list[str],
