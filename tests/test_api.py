@@ -243,3 +243,77 @@ def test_health_connections_reports_probe_state(rig, tmp_path):
     assert body["db:main"] == {"is_healthy": True, "last_error": None}
     assert body["mq:rabbit"]["is_healthy"] is False
     assert "2 consecutive" in body["mq:rabbit"]["last_error"]
+
+
+# -- dashboard surface (Program.cs:566-658,751-835) -----------------------
+
+
+def test_overview_counts_and_auth_flag(rig):
+    rig.save_dl(3)
+    body = rig.client.get("/ui/api/overview").get_json()
+    assert body["environment_count"] == 1
+    assert body["tracking_object_count"] == 1
+    assert body["auth_enabled"] is True
+    assert body["dead_letters"]["total"] == 3
+
+
+def test_environments_redacts_credentials_and_shows_pause_state(rig, tmp_path):
+    from trignis_spark.config import SinkConfig
+
+    env = EnvironmentConfig(
+        name="e1",
+        tracking_objects=(TrackingObject(name="obj", table_name="t"),),
+        destinations=(
+            SinkConfig(
+                "hook", "http",
+                {"url": "https://x.test", "bearer_token": "SECRET-token"},
+            ),
+        ),
+    )
+    app = create_app(
+        rig.state, rig.dlq, rig.pauses, environments={"e1": env},
+    )
+    client = app.test_client()
+    rig.pauses.pause("obj:e1/obj")
+    [e] = client.get("/ui/api/environments").get_json()
+    assert e["name"] == "e1" and e["paused"] is False
+    [o] = e["tracking_objects"]
+    assert o["paused"] is True
+    [d] = e["destinations"]
+    assert d["options"] == {"url": "https://x.test"}  # token redacted
+    assert "SECRET-token" not in json.dumps(e)
+
+
+def test_logs_merge_filter_paginate(rig, tmp_path):
+    import os
+    import time as _time
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    (log_dir / "log-20260101.txt").write_text(
+        "2026-01-01 10:00:00.000 [INF] service started\n"
+        "2026-01-01 10:00:01.000 [ERR] sink down\n"
+        "  retrying in 5s\n"
+    )
+    _time.sleep(0.01)
+    (log_dir / "log-20260102.txt").write_text(
+        "2026-01-02 10:00:00.000 [INF] cycle ok\n"
+    )
+    app = create_app(
+        rig.state, rig.dlq, rig.pauses, log_dir=str(log_dir),
+    )
+    client = app.test_client()
+    body = client.get("/ui/api/logs").get_json()
+    assert body["file"] == "log-20260102.txt"  # newest first
+    assert body["total"] == 3
+    assert body["lines"][0]["message"] == "cycle ok"
+    # continuation line folded into the ERR entry
+    err = [l for l in body["lines"] if l["level"] == "ERR"]
+    assert err and "retrying in 5s" in err[0]["message"]
+    # level filter + pagination
+    inf = client.get("/ui/api/logs?level=INF&limit=1").get_json()
+    assert inf["total"] == 2 and inf["has_more"] is True
+    assert len(inf["lines"]) == 1
+    # no log dir → empty shape, not an error
+    none = create_app(rig.state, rig.dlq, rig.pauses).test_client()
+    assert none.get("/ui/api/logs").get_json()["total"] == 0

@@ -80,6 +80,48 @@ def resolve_scope(body: dict) -> tuple[str, str] | None:
     return env_scope(env), env
 
 
+#: destination option keys never echoed back by the API (the reference
+#: omits Token/Password/ApiKey/ClientSecret/keys, Program.cs:628-654)
+_REDACTED_OPTION_KEYS = frozenset(
+    {
+        "password", "basic_password", "bearer_token", "api_key",
+        "oauth2_client_secret", "connection_string", "sasl_password",
+        "access_key", "secret_key", "send",
+    }
+)
+
+_LOG_LINE_RE = None  # compiled lazily in create_app
+
+
+def parse_log_entries(text: str) -> list[dict]:
+    """Parse a log file into entries, folding continuation lines into
+    the previous entry (``Program.cs:769-808``). Expected line shape:
+    ``YYYY-mm-dd HH:MM:SS[.fff] [LVL] message``."""
+    import re
+
+    pat = re.compile(
+        r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(?:[.,]\d{3})?) "
+        r"\[?(\w{3,5})\]? (.*)$"
+    )
+    entries: list[dict] = []
+    cur: dict | None = None
+    for raw in text.split("\n"):
+        m = pat.match(raw)
+        if m:
+            if cur is not None:
+                entries.append(cur)
+            cur = {
+                "timestamp": m.group(1),
+                "level": m.group(2).upper(),
+                "message": m.group(3),
+            }
+        elif cur is not None and raw.strip():
+            cur["message"] += "\n" + raw.rstrip()
+    if cur is not None:
+        entries.append(cur)
+    return entries
+
+
 def create_app(
     state: StateStore,
     dlq: DeadLetterStore,
@@ -90,6 +132,8 @@ def create_app(
     connections=None,  # ConnectionHealth | None
     environments=None,  # dict[str, EnvironmentConfig] | () -> dict
     admin_passphrase_sha256: str | None = None,
+    log_dir: str | None = None,
+    version: str = "0.2.0",
 ):
     """Build the Flask app over the control-plane services."""
     if Flask is None:  # pragma: no cover
@@ -327,6 +371,115 @@ def create_app(
             log.info("Resumed %s via the API", label)
         return jsonify({"ok": True, "resumed": resumed, "scope": scope,
                         "label": label})
+
+    # -- dashboard surface (overview / environments / logs) ----------------
+
+    @app.get("/ui/api/overview")
+    def overview():
+        stats = dlq_monitor.stats() if dlq_monitor is not None else {}
+        e = envs()
+        return jsonify(
+            {
+                "version": version,
+                "environment_count": len(e),
+                "tracking_object_count": sum(
+                    len(v.tracking_objects) for v in e.values()
+                ),
+                "endpoint_count": sum(len(v.destinations) for v in e.values()),
+                # lets the pause dialog know whether to ask for the
+                # passphrase; says nothing secret
+                "auth_enabled": admin_passphrase_sha256 is not None,
+                "dead_letters": {
+                    "total": stats.get("total", len(dlq.rows())),
+                    "last_24h": stats.get("last_day", 0),
+                    "last_hour": stats.get("last_hour", 0),
+                },
+            }
+        )
+
+    @app.get("/ui/api/environments")
+    def list_environments():
+        paused = pauses.paused_scopes()
+        out = []
+        for name, e in envs().items():
+            out.append(
+                {
+                    "name": name,
+                    "paused": env_scope(name) in paused,
+                    "settings": {
+                        "polling_interval_seconds": e.polling_interval_seconds,
+                        "retry_count": e.retry_count,
+                        "retry_delay_seconds": e.retry_delay_seconds,
+                        "max_records_per_batch": e.max_records_per_batch,
+                    },
+                    "tracking_objects": [
+                        {
+                            "name": o.name,
+                            "database": o.database,
+                            "table_name": o.table_name,
+                            "initial_sync_mode": o.initial_sync_mode,
+                            "paused": obj_scope(name, o.name) in paused,
+                        }
+                        for o in e.tracking_objects
+                    ],
+                    "destinations": [
+                        {
+                            "name": d.name,
+                            "kind": d.kind,
+                            # credentials intentionally omitted
+                            "options": {
+                                k: v
+                                for k, v in d.options.items()
+                                if k.lower() not in _REDACTED_OPTION_KEYS
+                            },
+                        }
+                        for d in e.destinations
+                    ],
+                }
+            )
+        return jsonify(out)
+
+    @app.get("/ui/api/logs")
+    def logs():
+        import os
+
+        limit = request.args.get("limit", default=200, type=int)
+        offset = request.args.get("offset", default=0, type=int)
+        level = request.args.get("level")
+        empty = {"file": None, "total": 0, "lines": [], "has_more": False}
+        if not log_dir or not os.path.isdir(log_dir):
+            return jsonify(empty)
+        # W4 live: merge the 3 newest files, newest entries first
+        files = sorted(
+            (
+                os.path.join(log_dir, f)
+                for f in os.listdir(log_dir)
+                if f.startswith("log-") and f.endswith(".txt")
+            ),
+            key=os.path.getmtime,
+            reverse=True,
+        )[:3]
+        if not files:
+            return jsonify(empty)
+        entries: list[dict] = []
+        for fp in files:
+            try:
+                with open(fp, encoding="utf-8", errors="replace") as f:
+                    entries.extend(parse_log_entries(f.read()))
+            except OSError:
+                continue  # a rolling file must not blank the whole view
+        entries.sort(key=lambda e: e["timestamp"], reverse=True)
+        if level and level.upper() != "ALL":
+            entries = [e for e in entries if e["level"] == level.upper()]
+        page = entries[offset : offset + limit]
+        return jsonify(
+            {
+                "file": os.path.basename(files[0]),
+                "total": len(entries),
+                "has_more": offset + limit < len(entries),
+                "lines": page,
+            }
+        )
 
     @app.get("/ui/api/pauses")
     def list_pauses():
