@@ -1,0 +1,128 @@
+"""Property-based tests over the pure policy functions — the reference
+tests its backoff as a pure function (DeadLetterReplayServiceTests);
+Hypothesis widens that discipline to every deterministic policy the
+engine's correctness rests on."""
+
+import string
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+from trignis_spark.api import parse_log_entries, passphrase_ok
+from trignis_spark.config import TrackingObject
+from trignis_spark.deadletter import (
+    BACKOFF_CAP_SECONDS,
+    backoff_seconds,
+    payload_hash,
+)
+from trignis_spark.sources.jdbc import POSTGRES, plan_incremental_read
+from trignis_spark.sources.microbatch import _OutboxStreamReader
+
+OBJ = TrackingObject(
+    name="o", table_name="outbox", key_columns=("id",), tracked_columns=("v",)
+)
+
+
+@given(st.integers(min_value=0, max_value=60))
+def test_backoff_monotone_and_capped(attempts):
+    cur = backoff_seconds(attempts)
+    assert 0 < cur <= BACKOFF_CAP_SECONDS
+    assert cur <= backoff_seconds(attempts + 1)  # never shrinks
+    if cur < BACKOFF_CAP_SECONDS:
+        assert backoff_seconds(attempts + 1) in (2 * cur, BACKOFF_CAP_SECONDS)
+
+
+@given(st.text(), st.text())
+def test_payload_hash_is_injective_on_observed_inputs(a, b):
+    # dedup key soundness: equal hash ⟺ equal payload (no silent drops)
+    assert (payload_hash(a) == payload_hash(b)) == (a == b)
+
+
+@given(st.text(alphabet=string.printable, max_size=200))
+def test_passphrase_round_trip(p):
+    import hashlib
+
+    sha = hashlib.sha256(p.encode("utf-8")).hexdigest()
+    if p:
+        assert passphrase_ok(p, sha)
+        assert not passphrase_ok(p + "x", sha)
+    assert passphrase_ok(p, None)  # unconfigured → open
+
+
+@given(
+    st.integers(min_value=0, max_value=10**12),
+    st.integers(min_value=0, max_value=10**12),
+    st.integers(min_value=1, max_value=10**6),
+)
+def test_jdbc_plan_partition_switch_is_exact(from_version, span, threshold):
+    upper = from_version + span
+    q, opts = plan_incremental_read(
+        POSTGRES, OBJ, from_version, upper=upper,
+        parallel_threshold=threshold, url="jdbc:postgresql://h/db",
+    )
+    assert f"id > {from_version}" in q
+    if span > threshold:
+        assert opts["dbtable"] == f"({q}) AS changes"
+        assert (int(opts["lowerBound"]), int(opts["upperBound"])) == (
+            from_version, upper,
+        )
+    else:
+        assert opts["query"] == q and "dbtable" not in opts
+
+
+@given(
+    st.integers(min_value=0, max_value=10**9),
+    st.integers(min_value=0, max_value=10**6),
+    st.integers(min_value=1, max_value=64),
+)
+def test_v2_partitions_cover_range_exactly(lo, span, n):
+    """Version-range slices partition (lo, hi] exactly: contiguous,
+    non-overlapping, covering — no version read twice or skipped."""
+    import pyspark.sql.types as T
+
+    hi = lo + span
+    schema = T.StructType([T.StructField("version", T.LongType())])
+    r = _OutboxStreamReader(schema, {"path": "/x", "numpartitions": str(n)})
+    parts = r.partitions({"version": lo, "horizon": 0},
+                         {"version": hi, "horizon": hi + 1})
+    assert parts[0].lo == lo and parts[-1].hi == hi
+    for a, b in zip(parts, parts[1:]):
+        assert a.hi == b.lo  # contiguous, no gap, no overlap
+    assert sum(p.hi - p.lo for p in parts) == span
+    assert len(parts) <= max(1, n)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["INF", "ERR", "WRN", "DBG"]),
+            st.text(
+                alphabet=string.ascii_letters + string.digits + " .,:-_/",
+                min_size=1, max_size=60,
+            ),
+            st.lists(
+                st.text(
+                    alphabet=string.ascii_letters + string.digits + " .",
+                    min_size=1, max_size=40,
+                ),
+                max_size=3,
+            ),
+        ),
+        max_size=20,
+    )
+)
+def test_log_parser_entry_count_and_fold(entries):
+    """Every well-formed header line becomes exactly one entry; its
+    continuation lines fold into the message, none are lost."""
+    lines = []
+    for i, (lvl, msg, cont) in enumerate(entries):
+        lines.append(f"2026-01-01 00:00:{i % 60:02d}.000 [{lvl}] {msg}")
+        for c in cont:
+            lines.append("  " + c)
+    parsed = parse_log_entries("\n".join(lines))
+    assert len(parsed) == len(entries)
+    for (lvl, msg, cont), p in zip(entries, parsed):
+        assert p["level"] == lvl
+        assert p["message"].startswith(msg.rstrip())
+        for c in cont:
+            assert c.rstrip() in p["message"]
