@@ -466,3 +466,68 @@ def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+def _duck_touch(col: str) -> str:
+    return (
+        f"(live AND (operation = 'I' OR (operation = 'U' AND "
+        f"(changed IS NULL OR list_contains(changed, '{col}')))))"
+    )
+
+
+def _duck_compact_sql() -> str:
+    from trignis_spark.queries import _OUTBOX_SQL
+
+    cols = ("event_type", "value", "props")
+    picks = ",\n         ".join(
+        f"arg_max({{'x': {c}}}, CASE WHEN {_duck_touch(c)} THEN version END).x"
+        f" AS v_{c},\n         "
+        f"max(CASE WHEN {_duck_touch(c)} THEN 1 ELSE 0 END) AS t_{c}"
+        for c in cols
+    )
+    mask_items = ", ".join(
+        f"CASE WHEN t_{c} = 1 THEN '{c}' END" for c in cols
+    )
+    return f"""
+    WITH outbox AS ({_OUTBOX_SQL}),
+    ld AS (SELECT *, max(CASE WHEN operation = 'D' THEN version END)
+                     OVER (PARTITION BY user_key) AS last_d FROM outbox),
+    lv AS (SELECT *, version > coalesce(last_d, -1) AS live FROM ld),
+    g AS (
+      SELECT user_key,
+         max(version) AS version,
+         max(CASE WHEN live THEN 1 ELSE 0 END) AS any_live,
+         max(CASE WHEN live AND operation = 'I' THEN 1 ELSE 0 END) AS any_ins,
+         {picks}
+      FROM lv GROUP BY user_key)
+    SELECT user_key, version,
+      CASE WHEN any_live = 0 THEN 'D'
+           WHEN any_ins = 1 THEN 'I' ELSE 'U' END AS operation,
+      CASE WHEN any_live != 0 AND any_ins != 1 THEN
+        list_filter([{mask_items}], x -> x IS NOT NULL) END AS changed,
+      v_event_type AS event_type, v_value AS value, v_props AS props
+    FROM g ORDER BY user_key
+    """
+
+
+@register("cf_compact_changes", _duck_compact_sql())
+def cf_compact_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-batch net-change compaction (the mirror sink's first
+    stage): a key's multiple changes collapse to one net row — rows at
+    or before the last delete are dead history, column values come from
+    the latest change that defined them, net-U masks are the union of
+    touched columns. Window + groupBy on the key, one exchange; the
+    oracle replays the same set-wise semantics with arg_max (struct-
+    wrapped so cleared-to-NULL values survive DuckDB's NULL-skipping
+    arg_max)."""
+    from trignis_spark.sinks.mirror import compact_changes
+
+    from trignis_spark.queries import _outbox
+
+    out = compact_changes(
+        _outbox(spark, sf_dir), ("user_key",), ("event_type", "value", "props")
+    )
+    return out.select(
+        "user_key", "version", "operation", "changed",
+        "event_type", "value", "props",
+    ).orderBy("user_key")
