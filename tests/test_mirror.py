@@ -188,3 +188,51 @@ def test_mirror_as_poll_df_sink(spark, sink, tmp_path):
     assert r2.mode == "sync"
     cur = _state(spark, sink)
     assert cur[1][0] == "x2" and cur[2] == ("y", "q")
+
+
+def test_mirror_as_streaming_materialized_view(spark, tmp_path):
+    """V2 stream → foreachBatch df_sink → mirror: the change stream
+    continuously maintains a queryable table, epoch by epoch."""
+    import datetime as dt
+
+    from trignis_spark.config import EnvironmentConfig, TrackingObject
+    from trignis_spark.deadletter import DeadLetterStore
+    from trignis_spark.sinks.base import RetryPolicy
+    from trignis_spark.sources.parquet_outbox import outbox_schema, stream_outbox
+    from trignis_spark.state import StateStore
+    from trignis_spark.streaming.structured import run_export_stream
+
+    env = EnvironmentConfig(
+        name="mv",
+        tracking_objects=(TrackingObject(name="obj", table_name="t"),),
+    )
+    obj = env.tracking_objects[0]
+    mirror = MirrorTableSink(
+        "mirror", str(tmp_path / "mirror"),
+        ("user_key",), ("value", "props"),
+    )
+    path = str(tmp_path / "outbox")
+    rows = [
+        (1, 1, "I", 1, None, dt.datetime(2024, 1, 1), 10.0, "{}"),
+        (2, 2, "I", 2, None, dt.datetime(2024, 1, 1), 20.0, "{}"),
+        (3, 3, "U", 1, ["value"], dt.datetime(2024, 1, 1), 11.0, "{}"),
+    ]
+    spark.createDataFrame(rows, outbox_schema()).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    q = run_export_stream(
+        stream_outbox(spark, path), env, obj, [],
+        StateStore(str(tmp_path / "state")),
+        DeadLetterStore(str(tmp_path / "dlq")),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+        retry=RetryPolicy(attempts=1, delay_seconds=0, sleep=lambda _: None),
+        df_sinks=[mirror],
+    )
+    q.awaitTermination(120)
+    ctx2 = ExportContext("mv", "", "obj", "mv/obj")
+    state = {
+        r["user_key"]: r["value"]
+        for r in mirror.read_current(spark, ctx2).collect()
+    }
+    assert state == {1: 11.0, 2: 20.0}  # U folded onto the I within the epoch

@@ -43,12 +43,16 @@ def make_export_batch_fn(
     state: StateStore,
     dlq: DeadLetterStore,
     retry: RetryPolicy | None = None,
+    df_sinks=None,  # list[DataFrameSink] — executor-parallel destinations
 ):
-    """The foreachBatch body: envelope the micro-batch, fan out, DLQ
-    failures, mirror the watermark."""
+    """The foreachBatch body: distributed DataFrame sinks first (the
+    batch never leaves the executors — e.g. a MirrorTableSink turns the
+    stream into a continuously-maintained materialized view), then the
+    chunked envelope fan-out, DLQ failures, watermark mirror."""
     retry = retry or RetryPolicy(
         attempts=env.retry_count, delay_seconds=env.retry_delay_seconds
     )
+    df_sinks = df_sinks or []
 
     def export_batch(batch_df: DataFrame, epoch_id: int) -> None:
         agg = batch_df.agg(
@@ -64,6 +68,24 @@ def make_export_batch_fn(
             object_name=obj.name,
             key=f"{env.name}/{obj.name}/epoch-{epoch_id}",
         )
+        if df_sinks:
+            from trignis_spark.sinks.spark_file import batch_manifest
+
+            metadata = {"Sync": {"Version": new_wm, "Type": "Diff",
+                                 "ReasonCode": 0}}
+            manifest = batch_manifest(ctx, 0, new_wm, agg["n"])
+            for dfs in df_sinks:
+                try:
+                    dfs.write_df(batch_df.orderBy(cf.VERSION), ctx, metadata)
+                except Exception as e:  # noqa: BLE001
+                    dlq.save(
+                        source_key=f"{env.name}/{obj.name}/{dfs.name}",
+                        tracking_object_name=obj.name,
+                        environment_name=env.name,
+                        database_name=obj.database,
+                        data=manifest,
+                        error_message=str(e),
+                    )
         # bounded chunks, same as the poller's envelope path — the epoch
         # is never materialized whole on the driver
         ordered = batch_df.orderBy(cf.VERSION)
@@ -95,13 +117,14 @@ def run_export_stream(
     trigger_seconds: int | None = None,
     available_now: bool = False,
     retry: RetryPolicy | None = None,
+    df_sinks=None,
 ):
     """Start the streaming export query. ``available_now=True`` drains
     everything pending then stops (test/backfill mode); otherwise the
     processing-time trigger plays the polling interval."""
     writer = (
         stream_df.writeStream.foreachBatch(
-            make_export_batch_fn(env, obj, sinks, state, dlq, retry)
+            make_export_batch_fn(env, obj, sinks, state, dlq, retry, df_sinks)
         )
         .option("checkpointLocation", checkpoint_dir)
         .queryName(f"export-{env.name}-{obj.name}")
