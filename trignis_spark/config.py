@@ -26,7 +26,7 @@ DEFAULT_MAX_PAYLOAD_BYTES = 5 * 1024 * 1024
 DEFAULT_DLQ_RETENTION_DAYS = 60
 
 SINK_KINDS = (
-    "file", "http", "kafka", "memory",
+    "file", "http", "kafka", "memory", "mirror",
     "rabbitmq", "aws-sqs", "azure-servicebus", "azure-eventhubs",
 )
 SYNC_MODES = ("Full", "Incremental")
@@ -121,6 +121,12 @@ def validate_environment(env: EnvironmentConfig) -> tuple[list[str], list[str]]:
                 )
         if sink.kind == "kafka" and not sink.options.get("topic"):
             errors.append(f"sink '{sink.name}': kafka sink requires topic")
+        if sink.kind == "mirror":
+            for req in ("path", "key_cols", "tracked_cols"):
+                if not sink.options.get(req):
+                    errors.append(
+                        f"sink '{sink.name}': mirror sink requires {req}"
+                    )
         # MQ-type requirement matrix (ConfigurationValidator.cs:270-341);
         # 'send' is the injectable-transport escape hatch
         if sink.kind in _MQ_REQUIREMENTS and "send" not in sink.options:

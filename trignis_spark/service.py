@@ -84,10 +84,16 @@ class TrignisSparkService:
     # -- wiring ------------------------------------------------------------
 
     def _build_pipeline(self, env: EnvironmentConfig) -> PollPipeline:
-        sinks = [
+        from trignis_spark.sinks.spark_file import DataFrameSink
+
+        built = [
             build_sink(s.kind, s.name, s.options, env=env)
             for s in env.destinations
         ]
+        # DataFrame sinks (mirror tables, partitioned exports) take the
+        # distributed path; everything else fans out via envelopes
+        sinks = [s for s in built if not isinstance(s, DataFrameSink)]
+        df_sinks = [s for s in built if isinstance(s, DataFrameSink)]
         obj_sources = {
             obj.name: self.source_factory(obj) for obj in env.tracking_objects
         }
@@ -96,6 +102,7 @@ class TrignisSparkService:
             env,
             source_fn=lambda s, obj: obj_sources[obj.name](s, obj),
             sinks=sinks,
+            df_sinks=df_sinks,
             state=self.state,
             dlq=self.dlq,
             pauses=self.pauses,

@@ -36,6 +36,16 @@ def build_sink(kind: str, name: str, options: dict, env=None) -> Sink:
         from trignis_spark.sinks.kafka import KafkaSink
 
         return KafkaSink(name, **options)
+    if kind == "mirror":
+        from trignis_spark.sinks.mirror import MirrorTableSink
+
+        return MirrorTableSink(
+            name=name,
+            path=options["path"],
+            key_cols=tuple(options.get("key_cols", ())),
+            tracked_cols=tuple(options.get("tracked_cols", ())),
+            keep_generations=options.get("keep_generations", 2),
+        )
     if kind in ("rabbitmq", "aws-sqs", "azure-servicebus", "azure-eventhubs"):
         from trignis_spark.sinks.queue import CappedQueueSink
 
