@@ -145,3 +145,64 @@ def test_resize_stub_strides_bytes(spark):
     r = resize_stub(attach_payload(docs), stride=4).collect()[0]
     assert bytes(r["payload"]) == b"ae"
     assert (r["orig_len"], r["resized_len"]) == (8, 2)
+
+
+def test_scrub_pii_counts_and_stages(spark):
+    from trignis_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c99@ex-1.org then 10.0.0.255 and plain 12345 end")],
+        "id long, note string",
+    )
+    r = scrub_pii(df, text_col="note").collect()[0]
+    assert (r["n_email"], r["n_ipv4"], r["n_number"]) == (1, 1, 1)
+    # the email's and IP's digits are redacted before the number pass
+    assert r["scrubbed"] == "mail <EMAIL> then <IP> and plain <NUM> end"
+
+
+def test_scrub_pii_no_matches_passthrough(spark):
+    from trignis_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame([(1, "no pii here at all")], "id long, note string")
+    r = scrub_pii(df, text_col="note").collect()[0]
+    assert (r["n_email"], r["n_ipv4"], r["n_number"]) == (0, 0, 0)
+    assert r["scrubbed"] == "no pii here at all"
+
+
+def test_duplicated_spans_finds_shared_8gram(spark):
+    from trignis_spark.operators.text import duplicated_spans
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),
+            (2, "head " + shared),
+            (3, "totally different words with no overlap at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicated_spans(docs, span_words=8, min_docs=2).collect()
+    spans = {r["span"]: (r["tf"], r["df"], r["first_doc"]) for r in rows}
+    assert spans == {shared: (2, 2, 1)}
+
+
+def test_incremental_pairs_matches_batch_against_corpus_only(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    docs = spark.createDataFrame(
+        [
+            (1, base),  # corpus
+            (2, base),  # corpus twin of 1 — must NOT be reported (corpus-corpus)
+            (10, near),  # batch: near-dup of corpus docs
+            (11, "unrelated text about window functions and shuffle planning"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = dd.shingle_table(docs)
+    batch = sh.filter(F.col("doc_id") >= 10)
+    corpus = sh.filter(F.col("doc_id") < 10)
+    got = {
+        (r["batch_doc"], r["corpus_doc"])
+        for r in dd.incremental_pairs(corpus, batch, threshold=0.5).collect()
+    }
+    assert got == {(10, 1), (10, 2)}

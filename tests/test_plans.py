@@ -102,3 +102,23 @@ def test_microbatch_v2_partitions_split_version_range(spark):
     assert parts[0].lo == 0 and parts[-1].hi == 1_000_000
     spans = [p.hi - p.lo for p in parts]
     assert max(spans) - min(spans) <= 125_000  # balanced slices
+
+
+def test_incremental_dedup_broadcasts_batch_and_no_cartesian(spark):
+    from trignis_spark.queries import QUERIES
+
+    df = QUERIES["dedup_incremental"](spark, SF)
+    assert_broadcast_join(df)
+    assert_no_cartesian_product(df)
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    from trignis_spark.operators.text import scrub_pii
+    from trignis_spark.tables import load as _load
+
+    ev = _load(spark, SF, "events").select("event_id", "props")
+    df = scrub_pii(ev, text_col="props")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan

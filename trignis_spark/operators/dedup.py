@@ -260,6 +260,63 @@ def simhash_pairs(
     )
 
 
+def incremental_pairs(
+    corpus_shingles: DataFrame,
+    batch_shingles: DataFrame,
+    threshold: float,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Incremental dedup: near-duplicate matches of an *arriving batch*
+    against an *existing corpus* — the shape a change-feed-fed training
+    pipeline runs every poll cycle (only new/changed documents are
+    checked, never corpus×corpus).
+
+    Both inputs are ``shingle_table`` outputs. Candidates come from an
+    inverted-index equijoin on the shingle hash; exact Jaccard verifies
+    each candidate. Returns (batch_doc, corpus_doc, jaccard) for every
+    pair at or above ``threshold``.
+
+    Scale shape: the batch side is small by construction (one poll
+    cycle), so with ``broadcast_batch`` the candidate join is map-side —
+    the corpus inverted index is probed in place and never shuffled.
+    Corpus document sizes are recomputed here for self-containment; a
+    production index stores them alongside the shingles so the size join
+    is a lookup, not an aggregation.
+    """
+    b = batch_shingles.select(
+        F.col("doc_id").alias("batch_doc"), "shingle"
+    )
+    if broadcast_batch:
+        b = F.broadcast(b)
+    c = corpus_shingles.select(
+        F.col("doc_id").alias("corpus_doc"), "shingle"
+    )
+    inter = (
+        c.join(b, "shingle")
+        .groupBy("batch_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("isz"))
+    )
+    szb = batch_shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("szb")
+    ).withColumnRenamed("doc_id", "batch_doc")
+    szc = corpus_shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("szc")
+    ).withColumnRenamed("doc_id", "corpus_doc")
+    return (
+        inter.join(F.broadcast(szb), "batch_doc")
+        .join(szc, "corpus_doc")
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            (
+                F.col("isz").cast("double")
+                / (F.col("szb") + F.col("szc") - F.col("isz"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def cluster_near_duplicates(
     docs: DataFrame, pairs: DataFrame, max_iterations: int = 20
 ) -> DataFrame:

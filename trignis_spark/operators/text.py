@@ -97,6 +97,83 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Redaction patterns, applied in order (emails before IPs before bare
+#: digit runs so a scrubbed email's digits aren't double-counted). The
+#: patterns stay inside the RE2 ∩ Java-regex common subset so the DuckDB
+#: oracle replays them byte-for-byte.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("number", r"[0-9]+", "<NUM>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """PII-style redaction scrub (C4/CCNet-style corpus hygiene): replace
+    emails, IPv4 addresses, then residual digit runs with typed
+    placeholder tokens, counting each category as it is removed.
+
+    Pure built-in ``regexp_replace``/``regexp_extract_all`` chain — a
+    map-only stage with no shuffle; at 100 TB this runs at scan speed
+    inside whole-stage codegen. Counts are taken on the text as it stood
+    *before* that pattern's replacement, so categories never
+    double-count (an email's digits are gone before the number pass).
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(*df.columns, *counts, cur.alias(out_col))
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    span_words: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-span detection (the corpus-level signal behind
+    exact-substring deduplication, Lee et al. 2022): every word
+    ``span_words``-gram occurring in at least ``min_docs`` distinct
+    documents, with term frequency, document frequency, and the first
+    (canonical) document.
+
+    Explode → one groupBy on the span; map-side partial aggregation
+    absorbs within-partition repeats before the only exchange. At 100 TB
+    the shuffle key should be the span's 8-byte hash with the span text
+    carried as a payload (group by (hash, span)) — same plan shape, and
+    the equality comparison stays on fixed-width integers.
+    """
+    toks = docs.select(
+        "doc_id", F.expr(pf.tokens(pf.SPARK, text_col)).alias("w")
+    )
+    spans = toks.filter(F.expr(f"size(w) >= {span_words}")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {span_words - 1}), "
+                f"i -> array_join(slice(w, i, {span_words}), ' '))"
+            )
+        ).alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("df") >= min_docs)
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprinting: SHA-256 of whitespace-normalized text plus
     the portable rolling hash (the engine's cheap locality-free content

@@ -468,6 +468,160 @@ def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Corpus hygiene: PII scrub, duplicated spans, incremental dedup
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+#: Deterministic note fixture: event props + a synthesized contact line so
+#: every redaction pattern actually fires on the synthetic corpus.
+_DNOTE = (
+    "props || ' contact user' || CAST(user_id AS VARCHAR)"
+    " || '@mail.example.com from 10.' || CAST(user_id % 256 AS VARCHAR)"
+    " || '.0.' || CAST(event_id % 256 AS VARCHAR)"
+)
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH base AS (SELECT event_id, {_DNOTE} AS note FROM events),
+    s1 AS (SELECT event_id,
+             CAST(len(regexp_extract_all(note, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_email,
+             regexp_replace(note, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+           FROM base),
+    s2 AS (SELECT event_id, n_email,
+             CAST(len(regexp_extract_all(t1, '{_IPV4_RE}')) AS BIGINT)
+               AS n_ipv4,
+             regexp_replace(t1, '{_IPV4_RE}', '<IP>', 'g') AS t2
+           FROM s1),
+    s3 AS (SELECT event_id, n_email, n_ipv4,
+             CAST(len(regexp_extract_all(t2, '[0-9]+')) AS BIGINT)
+               AS n_number,
+             regexp_replace(t2, '[0-9]+', '<NUM>', 'g') AS scrubbed
+           FROM s2)
+    SELECT event_id, n_email, n_ipv4, n_number, scrubbed
+    FROM s3 ORDER BY event_id
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction over an event note (props + a deterministic
+    synthesized contact line, so emails, IPv4s and digit runs all fire):
+    sequential typed-placeholder scrub with per-category counts
+    (`operators/text.py::scrub_pii`). Map-only regexp chain — no
+    shuffle, scan-speed at 100 TB."""
+    from trignis_spark.operators import text as tx
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.concat(
+            F.col("props"),
+            F.lit(" contact user"),
+            F.col("user_id").cast("string"),
+            F.lit("@mail.example.com from 10."),
+            (F.col("user_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("event_id") % 256).cast("string"),
+        ).alias("note"),
+    )
+    out = tx.scrub_pii(base, text_col="note", out_col="scrubbed")
+    return out.select(
+        "event_id", "n_email", "n_ipv4", "n_number", "scrubbed"
+    ).orderBy("event_id")
+
+
+@register(
+    "text_dup_spans",
+    f"""
+    WITH t AS (SELECT doc_id, {_DTOK} AS w FROM documents),
+    s AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w) - 7),
+                                       i -> array_to_string(w[i:i+7], ' ')))
+                   AS span
+          FROM t WHERE len(w) >= 8)
+    SELECT span, count(*) AS tf, count(DISTINCT doc_id) AS df,
+           min(doc_id) AS first_doc
+    FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY tf DESC, span LIMIT 100
+    """,
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (the signal behind exact-substring
+    training-data dedup): word 8-grams shared by ≥2 documents, top-100 by
+    term frequency. Explode → single groupBy with map-side partial agg
+    (`operators/text.py::duplicated_spans`)."""
+    from trignis_spark.operators import text as tx
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        tx.duplicated_spans(docs, span_words=8, min_docs=2)
+        .orderBy(F.desc("tf"), F.asc("span"))
+        .limit(100)
+    )
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH {_DSH_TABLE},
+    bex AS (SELECT doc_id, shingle FROM ex WHERE doc_id % 7 = 3),
+    cex AS (SELECT doc_id, shingle FROM ex WHERE doc_id % 7 <> 3),
+    inter AS (SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc,
+                     count(*) AS isz
+              FROM bex b JOIN cex c ON c.shingle = b.shingle GROUP BY 1, 2),
+    jac AS (SELECT batch_doc, corpus_doc,
+                   CAST(isz AS DOUBLE) / (s1.sz + s2.sz - isz) AS jaccard
+            FROM inter JOIN sizes s1 ON s1.doc_id = batch_doc
+                       JOIN sizes s2 ON s2.doc_id = corpus_doc),
+    f AS (SELECT * FROM jac WHERE jaccard >= 0.5),
+    r AS (SELECT *, row_number() OVER (PARTITION BY batch_doc
+                                       ORDER BY jaccard DESC, corpus_doc)
+                      AS rn
+          FROM f)
+    SELECT batch_doc, corpus_doc, jaccard,
+           CASE WHEN jaccard >= 0.8 THEN 'drop' ELSE 'review' END AS decision
+    FROM r WHERE rn = 1 ORDER BY batch_doc
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: documents arriving in a change batch
+    (doc_id % 7 = 3 stands in for the poll cycle's new/changed docs)
+    matched against the existing corpus, best corpus match per batch doc
+    with a drop/review decision. The batch side broadcasts, so the
+    corpus inverted index is probed map-side — the every-poll-cycle
+    shape for a CDC-fed training pipeline
+    (`operators/dedup.py::incremental_pairs`)."""
+    from pyspark.sql.window import Window
+
+    from trignis_spark.operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    sh = dd.shingle_table(docs)
+    batch = sh.filter(F.expr("doc_id % 7 = 3"))
+    corpus = sh.filter(F.expr("doc_id % 7 <> 3"))
+    pairs = dd.incremental_pairs(corpus, batch, threshold=0.5)
+    w = Window.partitionBy("batch_doc").orderBy(
+        F.desc("jaccard"), F.asc("corpus_doc")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            "jaccard",
+            F.when(F.col("jaccard") >= 0.8, F.lit("drop"))
+            .otherwise(F.lit("review"))
+            .alias("decision"),
+        )
+        .orderBy("batch_doc")
+    )
+
+
 def _duck_touch(col: str) -> str:
     return (
         f"(live AND (operation = 'I' OR (operation = 'U' AND "
