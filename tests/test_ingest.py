@@ -1,0 +1,103 @@
+"""Streaming ingestion gate: per-stage filtering, replay idempotence,
+compaction view, and an end-to-end file-stream run where the index
+persists across two stream restarts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from trignis_spark.operators import dedup_index as di
+from trignis_spark.streaming import ingest
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR_BASE = BASE.replace("today", "tonight")
+OTHER = "completely different content about spark planning and shuffles here"
+CLEAN_A = "fresh unique sentence describing partition layout choices for large tables"
+NEAR_A = CLEAN_A.replace("large", "huge")
+CLEAN_B = "another standalone paragraph covering watermark semantics in streaming jobs"
+JUNK = "!!!! ???? !!!! ???? !!!! ???? !!!! ????"
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture
+def index(spark):
+    yield "ingest_idx_t"
+    spark.sql("DROP TABLE IF EXISTS ingest_idx_t")
+    spark.sql("DROP TABLE IF EXISTS ingest_idx_t_docs")
+
+
+def test_gate_stages_filter_and_extend(spark, index, tmp_path):
+    di.build_index(spark, _frame(spark, [(1, BASE), (2, OTHER)]), index)
+    accepted_path = str(tmp_path / "accepted")
+    stats: list[ingest.IngestStats] = []
+    fn = ingest.make_ingest_batch_fn(
+        spark, index, accepted_path,
+        min_quality=0.05, threshold=0.5, stats=stats,
+    )
+    batch = _frame(spark, [
+        (10, NEAR_BASE),   # near-dup of corpus doc 1
+        (11, CLEAN_A),     # accepted
+        (12, CLEAN_A),     # exact dup of 11 (higher id loses)
+        (13, JUNK),        # low quality
+        (14, NEAR_A),      # in-batch near-dup of survivor 11
+        (15, CLEAN_B),     # accepted
+    ])
+    fn(batch, epoch_id=0)
+
+    assert [s.__dict__ for s in stats] == [{
+        "epoch_id": 0, "arrived": 6, "already_known": 0, "exact_dup": 1,
+        "low_quality": 1, "corpus_near_dup": 1, "batch_near_dup": 1,
+        "accepted": 2,
+    }]
+    got = spark.read.parquet(accepted_path)
+    assert {r["doc_id"] for r in got.collect()} == {11, 15}
+    # the index sidecar now carries the admitted docs alongside the seeds
+    members = {
+        r["doc_id"] for r in spark.table(di._docs_table(index)).collect()
+    }
+    assert members == {1, 2, 11, 15}
+
+    # replay of the same epoch: membership anti-join drops everything
+    fn(batch, epoch_id=0)
+    assert stats[-1].already_known == 2  # 11 and 15 now known
+    assert stats[-1].accepted == 0
+    assert spark.read.parquet(accepted_path).count() == 2  # no re-append
+
+
+def test_accepted_corpus_compacts_duplicate_appends(spark, tmp_path):
+    path = str(tmp_path / "acc")
+    rows = _frame(spark, [(1, BASE), (2, OTHER)])
+    for epoch in (0, 1):  # simulate the crash-window double append
+        rows.withColumn("epoch_id", F.lit(epoch).cast("long")) \
+            .write.mode("append").parquet(path)
+    compacted = ingest.accepted_corpus(spark, path)
+    assert compacted.count() == 2
+    assert {r["epoch_id"] for r in compacted.collect()} == {0}  # earliest wins
+
+
+def test_stream_runs_and_index_survives_restart(spark, index, tmp_path):
+    di.build_index(spark, _frame(spark, [(1, BASE)]), index)
+    src = str(tmp_path / "src")
+    accepted_path = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_wave(rows):
+        _frame(spark, rows).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = ingest.run_ingest_stream(
+            stream, spark, index, accepted_path, ckpt,
+            min_quality=0.05, threshold=0.5,
+        )
+        q.awaitTermination(120)
+
+    run_wave([(11, CLEAN_A), (12, NEAR_BASE)])  # 12 near-dups seed doc 1
+    first = {r["doc_id"] for r in spark.read.parquet(accepted_path).collect()}
+    assert first == {11}
+
+    # second stream run, fresh query, same checkpoint: only the new file
+    # is read, and the probe sees wave-1's admitted doc through the index
+    run_wave([(21, NEAR_A), (22, CLEAN_B)])  # 21 near-dups admitted doc 11
+    final = {r["doc_id"] for r in spark.read.parquet(accepted_path).collect()}
+    assert final == {11, 22}

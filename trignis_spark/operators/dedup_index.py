@@ -40,6 +40,16 @@ def _docs_table(table: str) -> str:
     return f"{table}_docs"
 
 
+def _refresh(spark: SparkSession, table: str) -> None:
+    """Invalidate the caller session's cached file listing for both
+    index tables. Needed because writes may run on a *different* session
+    than later reads — inside ``foreachBatch`` the write goes through the
+    micro-batch's cloned session, and without this the probing session
+    keeps serving the pre-append file list."""
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(_docs_table(table))
+
+
 def _sized_shingles(docs: DataFrame, n: int) -> DataFrame:
     sh = shingle_table(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -70,6 +80,7 @@ def build_index(
         .format("parquet")
         .saveAsTable(_docs_table(table))
     )
+    _refresh(spark, table)
 
 
 def probe_index(
@@ -150,4 +161,5 @@ def extend_index(
         .format("parquet")
         .saveAsTable(_docs_table(table))
     )
+    _refresh(spark, table)
     return added

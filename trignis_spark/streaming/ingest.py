@@ -1,0 +1,218 @@
+"""Streaming corpus ingestion gate: change stream → quality gate →
+near-dup probe against the persistent corpus index → accept + extend.
+
+This is the production composition of the training-data pipeline on the
+reference's poll loop (``ChangeTrackingBackgroundService.cs:360-420``
+delivers batches; here each delivered batch is curated instead of
+exported): documents arrive as micro-batches (the DSv2 outbox source,
+a file stream, or any streaming frame with an id and a text column)
+and each epoch passes through
+
+1. **membership anti-join** — documents already admitted to the corpus
+   index sidecar are dropped first, so a replayed epoch (at-least-once
+   upstream) re-admits nothing;
+2. **exact in-batch dedup** — lowest ``doc_id`` per content hash wins;
+3. **quality gate** — ``operators.text.quality_scores`` at or above
+   ``min_quality``;
+4. **corpus near-dup probe** — ``dedup_index.probe_index`` at or above
+   ``threshold`` rejects (exact corpus duplicates are the Jaccard-1.0
+   special case, so the probe subsumes an exact check);
+5. **in-batch near-dup** — among survivors, a document is rejected when
+   a *lower-id* survivor in the same batch is its near-duplicate
+   (conservative greedy: deterministic, never admits a near-dup pair;
+   may over-reject on chains a~b~c, which fuzzy clustering
+   (``dedup.cluster_near_duplicates``) resolves offline if needed);
+6. **accept** — append ``(doc_id, text, epoch_id)`` to the accepted
+   store and ``dedup_index.extend_index`` the same rows.
+
+Delivery semantics match the rest of the engine (at-least-once,
+idempotent where it matters): the index extend is exactly-once by
+anti-join; the accepted-store append is at-least-once — a crash between
+the append and the extend can leave one epoch's rows appended twice,
+which ``accepted_corpus`` compacts on read by ``doc_id``. In the common
+replay case (epoch completed, offset commit lost) step 1 empties the
+batch and nothing is re-written.
+
+Scale shape: every gate is an executor-side join against either a
+broadcast batch or the bucketed index — the corpus is never shuffled
+per epoch. The only driver-side materialization is the per-stage
+counter row (one tiny agg per epoch) when stats are requested.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trignis_spark.operators import dedup as dd
+from trignis_spark.operators import dedup_index as di
+from trignis_spark.operators.text import quality_scores
+
+
+@dataclass(frozen=True)
+class IngestStats:
+    """Per-epoch gate telemetry: how many documents each stage removed."""
+
+    epoch_id: int
+    arrived: int
+    already_known: int
+    exact_dup: int
+    low_quality: int
+    corpus_near_dup: int
+    batch_near_dup: int
+    accepted: int
+
+
+def _in_batch_rejects(survivors: DataFrame, threshold: float, n: int) -> DataFrame:
+    """doc_ids rejected by the greedy lower-id-wins in-batch rule."""
+    sh = dd.shingle_table(survivors, n)
+    pairs = dd.incremental_pairs(sh, sh, threshold, broadcast_batch=False)
+    return (
+        pairs.filter(F.col("corpus_doc") < F.col("batch_doc"))
+        .select(F.col("batch_doc").alias("doc_id"))
+        .distinct()
+    )
+
+
+def make_ingest_batch_fn(
+    spark: SparkSession,
+    index_table: str,
+    accepted_path: str,
+    *,
+    min_quality: float = 0.0,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stats: list[IngestStats] | None = None,
+):
+    """Build the ``foreachBatch`` body for a curated-ingestion stream.
+
+    The returned callable takes ``(batch_df, epoch_id)``; ``batch_df``
+    needs an ``id_col`` (long, unique per document) and a ``text_col``.
+    Pass a list as ``stats`` to collect per-epoch :class:`IngestStats`
+    (costs one counting aggregation per epoch; omit for zero telemetry
+    overhead on the hot path).
+    """
+
+    def ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        docs = batch_df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+        docs = docs.localCheckpoint(eager=True)  # cut the stream lineage
+        known = spark.table(di._docs_table(index_table)).select("doc_id")
+        fresh = docs.join(known, "doc_id", "left_anti")
+
+        w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+        uniq = (
+            fresh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+        good = uniq.join(
+            quality_scores(uniq)
+            .filter(F.col("quality_score") >= min_quality)
+            .select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+
+        corpus_hits = (
+            di.probe_index(spark, index_table, good, threshold, n)
+            .select(F.col("batch_doc").alias("doc_id"))
+            .distinct()
+        )
+        no_corpus_dup = good.join(corpus_hits, "doc_id", "left_anti")
+        accepted = no_corpus_dup.join(
+            _in_batch_rejects(no_corpus_dup, threshold, n),
+            "doc_id",
+            "left_anti",
+        ).localCheckpoint(eager=True)
+
+        if stats is not None:
+            n_docs, n_fresh, n_uniq, n_good, n_nocorp, n_acc = (
+                docs.count(),
+                fresh.count(),
+                uniq.count(),
+                good.count(),
+                no_corpus_dup.count(),
+                accepted.count(),
+            )
+            stats.append(
+                IngestStats(
+                    epoch_id=epoch_id,
+                    arrived=n_docs,
+                    already_known=n_docs - n_fresh,
+                    exact_dup=n_fresh - n_uniq,
+                    low_quality=n_uniq - n_good,
+                    corpus_near_dup=n_good - n_nocorp,
+                    batch_near_dup=n_nocorp - n_acc,
+                    accepted=n_acc,
+                )
+            )
+
+        if accepted.isEmpty():
+            return
+        (
+            accepted.withColumn("epoch_id", F.lit(epoch_id).cast("long"))
+            .write.mode("append")
+            .parquet(accepted_path)
+        )
+        di.extend_index(spark, accepted, index_table, n)
+
+    return ingest_batch
+
+
+def accepted_corpus(spark: SparkSession, accepted_path: str) -> DataFrame:
+    """Read the accepted store compacted to one row per ``doc_id``
+    (earliest epoch wins) — absorbs the at-least-once append window."""
+    w = Window.partitionBy("doc_id").orderBy("epoch_id")
+    return (
+        spark.read.parquet(accepted_path)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def run_ingest_stream(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    index_table: str,
+    accepted_path: str,
+    checkpoint_dir: str,
+    *,
+    min_quality: float = 0.0,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stats: list[IngestStats] | None = None,
+    trigger_available_now: bool = True,
+):
+    """Wire the gate into a Structured Streaming query. The checkpoint
+    commits the epoch only after the gate returns, so the index extend
+    rides the same watermark-advances-after-export contract (T2) as the
+    export path."""
+    fn = make_ingest_batch_fn(
+        spark,
+        index_table,
+        accepted_path,
+        min_quality=min_quality,
+        threshold=threshold,
+        n=n,
+        id_col=id_col,
+        text_col=text_col,
+        stats=stats,
+    )
+    writer = (
+        stream_df.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
