@@ -685,3 +685,115 @@ def cf_compact_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_key", "version", "operation", "changed",
         "event_type", "value", "props",
     ).orderBy("user_key")
+
+
+# --------------------------------------------------------------------------
+# Training-sequence preparation: context-length chunking + shard assignment
+# --------------------------------------------------------------------------
+
+_CHUNK_W = 32  # window length in tokens (context length stand-in)
+_CHUNK_S = 24  # stride in tokens (8-token overlap between windows)
+
+
+@register(
+    "text_chunk_windows",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DTOK} AS t FROM documents),
+    c AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, (length(t) - 1) // {_CHUNK_S}))
+               AS chunk_index
+      FROM toks WHERE length(t) > 0),
+    s AS (
+      SELECT doc_id, chunk_index,
+             list_slice(t, chunk_index * {_CHUNK_S} + 1,
+                        chunk_index * {_CHUNK_S} + {_CHUNK_W}) AS chunk
+      FROM c)
+    SELECT doc_id,
+           CAST(chunk_index AS BIGINT) AS chunk_index,
+           CAST(chunk_index * {_CHUNK_S} AS BIGINT) AS start_token,
+           CAST(length(chunk) AS BIGINT) AS n_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM s
+    ORDER BY doc_id, chunk_index
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: each document split into overlapping
+    fixed-token windows (W=32, stride 24) — the sequence-preparation
+    step before packing examples to a training context length.
+
+    Map-only fan-out (explode of a per-row sequence); no shuffle until
+    the presentation sort. At 100 TB the sort is dropped and the chunks
+    stream straight into the shard writer (``corpus_shard_assign``)."""
+    from trignis_spark.functions import portable as pf
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr(pf.tokens(pf.SPARK, "text")).alias("t")
+    )
+    chunks = toks.filter("size(t) > 0").select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(t) - 1) div {_CHUNK_S}), "
+                f"i -> slice(t, i * {_CHUNK_S} + 1, {_CHUNK_W}))"
+            )
+        ).alias("chunk_index", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        (F.col("chunk_index") * _CHUNK_S).cast("long").alias("start_token"),
+        F.expr("CAST(size(chunk) AS BIGINT)").alias("n_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_index")
+
+
+_N_SHARDS = 8
+
+from trignis_spark.functions import portable as _pf  # noqa: E402
+
+_DUCK_DOC_HASH = _pf.rolling_hash(_pf.DUCK, "text")
+
+
+@register(
+    "corpus_shard_assign",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_DUCK_DOC_HASH} AS h
+      FROM documents),
+    s AS (
+      SELECT doc_id, h, CAST(h % {_N_SHARDS} AS BIGINT) AS shard FROM h)
+    SELECT doc_id, shard, h,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS BIGINT) AS position
+    FROM s
+    ORDER BY shard, position
+    """,
+)
+def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a
+    shard (portable content hash mod N) and a reproducible position
+    within its shard (ordered by hash, doc_id tie-break) — the
+    materialized form of the epoch-0 data order for training.
+
+    One shuffle on the shard key; position assignment is a per-shard
+    sort that parallelizes across shards, so at 100 TB each shard sorts
+    ~1/N of the corpus and no global single-reducer sort exists."""
+    from pyspark.sql import Window
+
+    from trignis_spark.functions import portable as pf
+
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", F.expr(pf.rolling_hash(pf.SPARK, "text")).alias("h")
+    )
+    s = h.withColumn("shard", (F.col("h") % _N_SHARDS).cast("long"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        s.withColumn("position", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "h", "position")
+        .orderBy("shard", "position")
+    )
