@@ -26,7 +26,7 @@ DEFAULT_MAX_PAYLOAD_BYTES = 5 * 1024 * 1024
 DEFAULT_DLQ_RETENTION_DAYS = 60
 
 SINK_KINDS = (
-    "file", "http", "kafka", "memory", "mirror",
+    "file", "http", "kafka", "memory", "mirror", "rollup",
     "rabbitmq", "aws-sqs", "azure-servicebus", "azure-eventhubs",
 )
 SYNC_MODES = ("Full", "Incremental")
@@ -126,6 +126,12 @@ def validate_environment(env: EnvironmentConfig) -> tuple[list[str], list[str]]:
                 if not sink.options.get(req):
                     errors.append(
                         f"sink '{sink.name}': mirror sink requires {req}"
+                    )
+        if sink.kind == "rollup":
+            for req in ("path", "ts_col", "value_col"):
+                if not sink.options.get(req):
+                    errors.append(
+                        f"sink '{sink.name}': rollup sink requires {req}"
                     )
         # MQ-type requirement matrix (ConfigurationValidator.cs:270-341);
         # 'send' is the injectable-transport escape hatch

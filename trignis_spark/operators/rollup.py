@@ -83,3 +83,35 @@ def cascade(
         current = coarsen(current, res, dims)
         out[res] = current
     return out
+
+
+#: stable accumulator type carried across incremental merges — wide
+#: enough for 100 TB-scale sums (24 integer digits), and fixed so the
+#: stored rollup schema does not drift as Spark widens sum() precision
+_SUM_T = "decimal(30,6)"
+
+
+def normalize_level(level: DataFrame) -> DataFrame:
+    """Pin a rollup level to the stable stored schema."""
+    return level.withColumn("val_sum", F.col("val_sum").cast(_SUM_T))
+
+
+def merge_rollup(
+    current: DataFrame, delta: DataFrame, dims: Sequence[str]
+) -> DataFrame:
+    """Exact merge of two same-resolution rollups: decomposable partial
+    aggregates re-aggregate, so ``merge(rollup(A), rollup(B)) ==
+    rollup(A ∪ B)`` (property-checked in tests).
+
+    The shuffle key is (bucket, dims) over *rollup* rows — cardinality
+    bounded by buckets × dimension values, orders of magnitude below the
+    raw stream. Only touched buckets change, but re-writing untouched
+    ones costs one bounded scan, not a raw-data scan."""
+    u = normalize_level(current).unionByName(normalize_level(delta))
+    return (
+        u.groupBy("bucket", *dims)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("val_sum").cast(_SUM_T).alias("val_sum"),
+        )
+    )

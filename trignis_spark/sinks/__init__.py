@@ -46,6 +46,18 @@ def build_sink(kind: str, name: str, options: dict, env=None) -> Sink:
             tracked_cols=tuple(options.get("tracked_cols", ())),
             keep_generations=options.get("keep_generations", 2),
         )
+    if kind == "rollup":
+        from trignis_spark.sinks.rollup_sink import RollupSink
+
+        return RollupSink(
+            name=name,
+            path=options["path"],
+            ts_col=options["ts_col"],
+            value_col=options["value_col"],
+            dims=tuple(options.get("dims", ())),
+            resolution=options.get("resolution", "hour"),
+            keep_generations=options.get("keep_generations", 2),
+        )
     if kind in ("rabbitmq", "aws-sqs", "azure-servicebus", "azure-eventhubs"):
         from trignis_spark.sinks.queue import CappedQueueSink
 

@@ -28,7 +28,6 @@ Mechanics:
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window
@@ -41,6 +40,7 @@ from trignis_spark.operators.changefeed import (
     apply_changes,
 )
 from trignis_spark.sinks.base import ExportContext
+from trignis_spark.sinks.generations import GenerationStore
 from trignis_spark.sinks.spark_file import DataFrameSink
 
 
@@ -133,9 +133,10 @@ def compact_changes(
 
 
 @dataclass
-class MirrorTableSink(DataFrameSink):
+class MirrorTableSink(GenerationStore, DataFrameSink):
     """Maintain a parquet mirror of one tracked table under
-    ``path/<object>/gen-<version>`` with a ``_CURRENT`` pointer."""
+    ``path/<object>/gen-<version>`` with a ``_CURRENT`` pointer
+    (bookkeeping shared via :class:`GenerationStore`)."""
 
     name: str
     path: str
@@ -143,61 +144,13 @@ class MirrorTableSink(DataFrameSink):
     tracked_cols: tuple[str, ...]
     keep_generations: int = field(default=2)
 
-    # -- pointer bookkeeping ----------------------------------------------
-
-    def _root(self, ctx: ExportContext) -> str:
-        return os.path.join(self.path, ctx.object_name)
-
-    def _pointer(self, ctx: ExportContext) -> str:
-        return os.path.join(self._root(ctx), "_CURRENT")
-
-    def current_generation(self, ctx: ExportContext) -> str | None:
-        try:
-            with open(self._pointer(ctx), encoding="utf-8") as f:
-                gen = f.read().strip()
-        except OSError:
-            return None
-        full = os.path.join(self._root(ctx), gen)
-        return full if os.path.isdir(full) else None
-
-    def read_current(self, spark, ctx: ExportContext) -> DataFrame | None:
-        cur = self.current_generation(ctx)
-        return None if cur is None else spark.read.parquet(cur)
-
-    def _swap(self, ctx: ExportContext, gen_name: str) -> None:
-        pointer = self._pointer(ctx)
-        tmp = pointer + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(gen_name)
-        os.replace(tmp, pointer)  # atomic on POSIX
-
-    def _prune(self, ctx: ExportContext, current: str) -> None:
-        import shutil
-
-        root = self._root(ctx)
-        gens = sorted(
-            (d for d in os.listdir(root) if d.startswith("gen-")),
-            key=lambda d: int(d.split("-", 1)[1]),
-        )
-        for d in gens[: -self.keep_generations]:
-            if d != current:
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-
-    # -- the sink ----------------------------------------------------------
-
     def write_df(self, batch: DataFrame, ctx: ExportContext,
                  metadata: dict) -> None:
         spark = batch.sparkSession
         sync = metadata.get("Sync", {})
         version = sync.get("Version", 0)
-        gen_name = f"gen-{version}"
-        root = self._root(ctx)
-        gen_dir = os.path.join(root, gen_name)
-        if os.path.isdir(gen_dir):
-            # at-least-once replay of an already-applied batch: idempotent
-            self._swap(ctx, gen_name)
+        if self.replay_of_applied(ctx, version):
             return
-        os.makedirs(root, exist_ok=True)
 
         cols = [*self.key_cols, *self.tracked_cols]
         old = self.read_current(spark, ctx)
@@ -209,6 +162,4 @@ class MirrorTableSink(DataFrameSink):
         else:
             net = compact_changes(batch, self.key_cols, self.tracked_cols)
             state = apply_changes(old, net, self.key_cols, self.tracked_cols)
-        state.write.mode("overwrite").parquet(gen_dir)
-        self._swap(ctx, gen_name)
-        self._prune(ctx, gen_name)
+        self.commit_generation(state, ctx, version)
