@@ -1,0 +1,77 @@
+"""Persistent IVF index: probe parity with the one-shot operator,
+nprobe recall dial, idempotent extends, and probe plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from trignis_spark.operators import ann_index as ai
+from trignis_spark.operators import similarity as sim
+from trignis_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+QUERY_PRED = "vec_id % 100 = 0"
+
+
+@pytest.fixture
+def index(spark):
+    yield "ann_idx_t"
+    spark.sql("DROP TABLE IF EXISTS ann_idx_t")
+    spark.sql("DROP TABLE IF EXISTS ann_idx_t_ids")
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"], r["rank"]) for r in df.collect()}
+
+
+def test_probe_matches_one_shot_ivf(spark, index):
+    emb = load(spark, SF, "embeddings")
+    ai.build_ann_index(spark, emb, index)
+    queries = emb.filter(F.expr(QUERY_PRED))
+    got = _pairs(ai.probe_ann_index(spark, index, queries, k=10, nprobe=1))
+    want = _pairs(sim.ivf_topk(emb, QUERY_PRED, k=10))
+    assert got == want and got
+
+
+def test_nprobe_improves_recall_vs_brute_force(spark, index):
+    emb = load(spark, SF, "embeddings")
+    ai.build_ann_index(spark, emb, index)
+    queries = emb.filter(F.expr(QUERY_PRED))
+    truth = _pairs(sim.cosine_topk(emb, QUERY_PRED, k=10))
+    truth_pairs = {(q, n) for q, n, _ in truth}
+
+    def recall(nprobe):
+        got = _pairs(ai.probe_ann_index(spark, index, queries, 10, nprobe))
+        return len({(q, n) for q, n, _ in got} & truth_pairs) / len(truth_pairs)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 > 0.2  # probing 4 of 16 cells recovers a meaningful share
+
+
+def test_extend_is_idempotent_and_new_vectors_searchable(spark, index):
+    emb = load(spark, SF, "embeddings")
+    first, rest = emb.filter("vec_id < 400"), emb.filter("vec_id >= 400")
+    ai.build_ann_index(spark, first, index)
+    n_rest = rest.count()
+
+    assert ai.extend_ann_index(spark, rest, index) == n_rest
+    assert ai.extend_ann_index(spark, rest, index) == 0  # replay no-op
+    assert spark.table("ann_idx_t_ids").count() == emb.count()
+
+    # with the full corpus indexed, probing matches the one-shot op
+    queries = emb.filter(F.expr(QUERY_PRED))
+    got = _pairs(ai.probe_ann_index(spark, index, queries, k=10, nprobe=1))
+    want = _pairs(sim.ivf_topk(emb, QUERY_PRED, k=10))
+    assert got == want
+
+
+def test_probe_plan_broadcasts_queries(spark, index):
+    from trignis_spark.plans import assert_broadcast_join, assert_no_cartesian_product
+
+    emb = load(spark, SF, "embeddings")
+    ai.build_ann_index(spark, emb, index)
+    probe = ai.probe_ann_index(
+        spark, index, emb.filter(F.expr(QUERY_PRED)), k=5, nprobe=2
+    )
+    assert_broadcast_join(probe)
+    assert_no_cartesian_product(probe)

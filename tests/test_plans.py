@@ -122,3 +122,43 @@ def test_pii_scrub_is_shuffle_free(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan
+
+
+def test_chunk_windows_is_map_only_before_sort(spark):
+    from trignis_spark.plans import assert_max_exchanges, assert_read_schema_pruned
+
+    df = q.QUERIES["text_chunk_windows"](spark, SF)
+    # chunk fan-out is a per-row explode: the presentation sort is the
+    # only shuffle, and the scan reads just (doc_id, text)
+    assert_max_exchanges(df, 1)
+    assert_read_schema_pruned(
+        df, required=("doc_id", "text"), absent=("lang", "source")
+    )
+
+
+def test_shard_assign_single_shard_shuffle(spark):
+    from trignis_spark.plans import assert_max_exchanges
+
+    df = q.QUERIES["corpus_shard_assign"](spark, SF)
+    # one hash shuffle for the per-shard window + the presentation
+    # range sort; no other data movement
+    assert_max_exchanges(df, 2)
+
+
+def test_index_probe_broadcasts_batch_never_cartesian(spark):
+    from trignis_spark.operators import dedup_index as di
+    from trignis_spark.plans import assert_broadcast_join
+
+    docs = load(spark, SF, "documents")
+    spark.sql("DROP TABLE IF EXISTS plan_idx")
+    spark.sql("DROP TABLE IF EXISTS plan_idx_docs")
+    try:
+        di.build_index(spark, docs.limit(50), "plan_idx")
+        probe = di.probe_index(
+            spark, "plan_idx", docs.limit(5), threshold=0.5
+        )
+        assert_broadcast_join(probe)
+        assert_no_cartesian_product(probe)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS plan_idx")
+        spark.sql("DROP TABLE IF EXISTS plan_idx_docs")

@@ -55,3 +55,25 @@ def assert_no_cartesian_product(df: DataFrame) -> None:
     assert "CartesianProduct" not in plan, (
         f"plan degraded to a cartesian product:\n{plan}"
     )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of *shuffle* Exchange operators in the physical plan —
+    the scale budget a query must hold as data grows 100×. Broadcast
+    and reused exchanges don't count (they don't move the big side)."""
+    plan = plan_str(df, "simple")
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        or "Exchange rangepartitioning" in ln
+        or "Exchange SinglePartition" in ln
+        if "ReusedExchange" not in ln
+    )
+
+
+def assert_max_exchanges(df: DataFrame, n: int) -> None:
+    got = count_exchanges(df)
+    assert got <= n, (
+        f"plan has {got} exchanges, budget {n}:\n{plan_str(df)}"
+    )
