@@ -126,3 +126,60 @@ def test_log_parser_entry_count_and_fold(entries):
         assert p["message"].startswith(msg.rstrip())
         for c in cont:
             assert c.rstrip() in p["message"]
+
+
+# --------------------------------------------------------------------------
+# Rollup merge algebra (Spark-backed, bounded examples)
+# --------------------------------------------------------------------------
+
+import datetime as _dt
+
+import pytest as _pytest
+from hypothesis import HealthCheck, settings
+
+_TS = st.integers(min_value=0, max_value=5_000)  # minutes over ~3.5 days
+_VAL = st.sampled_from([0.0, 1.25, -2.5, 10.0, 0.125])
+_DIM = st.sampled_from(["a", "b"])
+
+
+def _event_rows():
+    row = st.tuples(_TS, _DIM, _VAL)
+    return st.lists(row, min_size=0, max_size=12)
+
+
+@_pytest.mark.usefixtures("spark")
+class TestRollupMergeAlgebra:
+    @given(batch_a=_event_rows(), batch_b=_event_rows())
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_merge_of_rollups_equals_rollup_of_union(
+        self, spark, batch_a, batch_b
+    ):
+        """merge(rollup(A), rollup(B)) == rollup(A ∪ B) — the exactness
+        claim the continuous-aggregate sink rests on, over arbitrary
+        batch splits, empty batches, and colliding buckets."""
+        from trignis_spark.operators import rollup as ru
+
+        def df(rows):
+            data = [
+                (_dt.datetime(2024, 1, 1) + _dt.timedelta(minutes=m), d, v)
+                for m, d, v in rows
+            ]
+            return spark.createDataFrame(
+                data, "ts timestamp_ntz, dim string, value double"
+            )
+
+        def level(frame):
+            return ru.rollup_level(frame, "ts", "hour", ("dim",), "value")
+
+        merged = ru.merge_rollup(level(df(batch_a)), level(df(batch_b)), ("dim",))
+        direct = ru.normalize_level(level(df(batch_a).unionByName(df(batch_b))))
+
+        canon = lambda f: sorted(  # noqa: E731
+            (r["bucket"], r["dim"], r["n"], str(r["val_sum"]))
+            for r in f.collect()
+        )
+        assert canon(merged) == canon(direct)
