@@ -101,3 +101,48 @@ def test_stream_runs_and_index_survives_restart(spark, index, tmp_path):
     run_wave([(21, NEAR_A), (22, CLEAN_B)])  # 21 near-dups admitted doc 11
     final = {r["doc_id"] for r in spark.read.parquet(accepted_path).collect()}
     assert final == {11, 22}
+
+
+def test_ingest_from_dsv2_outbox_source(spark, index, tmp_path):
+    """Full closure: documents ride the outbox envelope through the
+    DataSource-V2 micro-batch source, the adapter lifts (doc_id, text)
+    from the props JSON, and the gate curates per epoch."""
+    import json
+
+    from trignis_spark.sources.microbatch import OutboxDataSource
+    from trignis_spark.sources.parquet_outbox import outbox_schema
+    import datetime as dt
+
+    spark.dataSource.register(OutboxDataSource)
+    di.build_index(spark, _frame(spark, [(1, BASE)]), index)
+    path = str(tmp_path / "outbox")
+    accepted_path = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+
+    def wave(start, docs_payloads):
+        rows = [
+            (
+                start + i, start + i, "I", 7, ["text"],
+                dt.datetime(2024, 1, 1), 0.0,
+                json.dumps(p) if p is not None else None,
+            )
+            for i, p in enumerate(docs_payloads)
+        ]
+        spark.createDataFrame(rows, outbox_schema()).coalesce(1) \
+            .write.mode("append").parquet(path)
+
+    wave(1, [
+        {"doc_id": 11, "text": CLEAN_A},
+        {"doc_id": 12, "text": NEAR_BASE},  # near-dup of seed doc 1
+        None,                               # malformed payload: skipped
+    ])
+    stream = spark.readStream.format("trignis_outbox") \
+        .option("path", path).load()
+    q = ingest.run_ingest_stream(
+        ingest.documents_from_outbox(stream),
+        spark, index, accepted_path, ckpt,
+        min_quality=0.05, threshold=0.5,
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(accepted_path).collect()}
+    assert got == {11}

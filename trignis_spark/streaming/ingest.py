@@ -216,3 +216,22 @@ def run_ingest_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def documents_from_outbox(outbox_df: DataFrame) -> DataFrame:
+    """Adapter: a document change feed riding the outbox envelope.
+
+    Inserted/updated documents arrive as outbox rows whose ``props``
+    JSON carries ``{"doc_id": ..., "text": ...}`` (the reference's
+    "everything else is yours" payload contract,
+    ``stored-procedure.md:70``); deletes carry no text and are not
+    ingestion candidates. Composes upstream of the gate:
+    ``run_ingest_stream(documents_from_outbox(stream), ...)``."""
+    return (
+        outbox_df.filter(F.col("operation") != "D")
+        .select(
+            F.get_json_object("props", "$.doc_id").cast("long").alias("doc_id"),
+            F.get_json_object("props", "$.text").alias("text"),
+        )
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
