@@ -797,3 +797,118 @@ def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shard", "h", "position")
         .orderBy("shard", "position")
     )
+
+
+# --------------------------------------------------------------------------
+# Window-frame shapes: RANGE (time-based) moving aggregate + rank family
+# --------------------------------------------------------------------------
+
+
+@register(
+    "w6_moving_time_average",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
+                       date_trunc('second', ts)) AS sec,
+             value
+      FROM events)
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+           CAST(CAST(sum(CAST(value AS {_DEC})) OVER w AS DOUBLE)
+                / count(*) OVER w AS DOUBLE) AS moving_avg
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def w6_moving_time_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-user trailing-1-hour moving
+    average of event values. The frame is anchored on *event time*
+    (epoch seconds from a fixed NTZ anchor — timezone-free in both
+    engines), not row counts, so bursts and gaps weight correctly.
+
+    One shuffle on user_id serves the window; the decimal sum is divided
+    once at the end (identical expression tree to the oracle). Peers
+    (equal timestamps) share a frame by RANGE semantics in both
+    engines, so the result is deterministic without a full tiebreak."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', "
+            "date_trunc('second', ts))"
+        ).alias("sec"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return (
+        e.select(
+            "user_id", "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.count(F.lit(1)).over(w).alias("n_trailing"),
+            (
+                F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+                / F.count(F.lit(1)).over(w)
+            ).alias("moving_avg"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "w7_rank_family",
+    f"""
+    WITH r AS (
+      SELECT event_type, event_id, value,
+             ntile(10) OVER w AS decile,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+    SELECT event_type, CAST(decile AS BIGINT) AS decile,
+           count(*) AS n,
+           CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) AS decile_value,
+           CAST(min(pct_rank) AS DOUBLE) AS min_pct_rank,
+           CAST(max(cume) AS DOUBLE) AS max_cume
+    FROM r
+    GROUP BY event_type, decile
+    ORDER BY event_type, decile
+    """,
+)
+def w7_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family windows (ntile / percent_rank / cume_dist) with a
+    total order (value, event_id tiebreak), rolled up to decile
+    summaries per event type — the distribution-profile query a
+    curation pipeline runs before choosing quality thresholds.
+
+    Both engines compute the identical (rank-1)/(n-1) arithmetic;
+    the decile rollup keeps the output bounded regardless of corpus
+    size (one shuffle for the window, one for the rollup)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+    return (
+        r.groupBy("event_type", F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(_DEC)).cast("double")
+            .alias("decile_value"),
+            F.min("pct_rank").cast("double").alias("min_pct_rank"),
+            F.max("cume").cast("double").alias("max_cume"),
+        )
+        .orderBy("event_type", "decile")
+    )
