@@ -912,3 +912,74 @@ def w7_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "decile")
     )
+
+
+_PACK_BUDGET = 512  # token budget per packed training sequence
+
+
+@register(
+    "corpus_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_DUCK_DOC_HASH} AS h,
+             length({_DTOK}) AS n_tokens
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_tokens, CAST(h % {_N_SHARDS} AS BIGINT) AS shard, h
+      FROM t),
+    c AS (
+      SELECT shard, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s)
+    SELECT shard,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM c
+    GROUP BY shard, seq_id
+    ORDER BY shard, seq_id
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents are packed into fixed-token-budget
+    training sequences within their shard. Deterministic distributed
+    form of greedy packing: documents take the reproducible shard order
+    (hash, doc_id), a running token total assigns each document to the
+    sequence where it *starts* (``(cum - n) div budget``), and the
+    rollup reports per-sequence fill.
+
+    Per-shard window + rollup share one shuffle on the shard key; each
+    shard packs independently, so at 100 TB packing parallelizes across
+    shards with no global coordination."""
+    from pyspark.sql import Window
+
+    from trignis_spark.functions import portable as pf
+
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(pf.rolling_hash(pf.SPARK, "text")).alias("h"),
+        F.expr(f"size({pf.tokens(pf.SPARK, 'text')})").alias("n_tokens"),
+    )
+    s = t.withColumn("shard", (F.col("h") % _N_SHARDS).cast("long"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = s.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.groupBy(
+            "shard",
+            # integer div, not double division: exact at any magnitude
+            F.expr(f"(cum - n_tokens) div {_PACK_BUDGET}")
+            .cast("long")
+            .alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("shard", "seq_id")
+    )
