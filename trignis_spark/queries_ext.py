@@ -983,3 +983,41 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "seq_id")
     )
+
+
+_PIECE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "text_regex_tokens",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PIECE_RE}')) AS BIGINT)
+             AS n_pieces,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+             AS n_words,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+             AS n_numbers,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
+             AS n_punct
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style segmentation counts: the GPT-2-ish pre-tokenizer
+    classes (letter runs | digit runs | single punctuation) counted per
+    document — the exact-arithmetic complement to ``text_token_stats``'s
+    chars/4 sub-word estimate. Map-only ``regexp_extract_all`` over
+    built-ins (RE2/Java-common regex subset), shuffle-free until the
+    presentation sort."""
+    docs = load(spark, sf_dir, "documents")
+    def n(pat):
+        return F.size(F.regexp_extract_all("text", F.lit(pat), 0)).cast("long")
+    return docs.select(
+        "doc_id",
+        n(_PIECE_RE).alias("n_pieces"),
+        n("[A-Za-z]+").alias("n_words"),
+        n("[0-9]+").alias("n_numbers"),
+        n("[^A-Za-z0-9 ]").alias("n_punct"),
+    ).orderBy("doc_id")
