@@ -185,3 +185,35 @@ def test_batch_reader_full_scan(registered, tmp_path):
     df = spark.read.format("trignis_outbox").option("path", path).load()
     assert df.count() == 12
     assert set(df.columns) >= {"version", "xact_id", "operation"}
+
+
+def test_max_versions_per_trigger_governs_batch_size(spark, tmp_path):
+    """T5 on the offset axis: each micro-batch advances the watermark by
+    at most maxVersionsPerTrigger; nothing is skipped, only deferred."""
+    path = str(tmp_path / "outbox")
+    _write_wave(spark, path, start=1, n=100)
+    reader = _OutboxStreamReader(
+        spark.read.parquet(path).schema,
+        {"path": path, "maxversionspertrigger": "40"},
+    )
+    assert reader.initialOffset() == {"version": 0, "horizon": 0}
+    o1 = reader.latestOffset()
+    assert o1["version"] == 40  # capped, not 100
+    o2 = reader.latestOffset()
+    assert o2["version"] == 80
+    o3 = reader.latestOffset()
+    assert o3["version"] == 100  # caught up; horizon still respected
+    assert reader.latestOffset()["version"] == 100  # stable at the head
+
+    # a restart replans from the committed offset: the governor anchors
+    # there instead of double-counting
+    fresh = _OutboxStreamReader(
+        spark.read.parquet(path).schema,
+        {"path": path, "maxversionspertrigger": "40"},
+    )
+    parts = fresh.partitions(
+        {"version": 60, "horizon": 101}, {"version": 100, "horizon": 101}
+    )
+    assert parts
+    assert fresh._last_end == 60  # anchored to the replanned start
+    assert fresh.latestOffset()["version"] == 100  # 60 + 40 cap

@@ -101,12 +101,24 @@ class _OutboxStreamReader(DataSourceStreamReader):
         self.fixed_horizon = (
             int(options["horizon"]) if "horizon" in options else None
         )
+        # batch-size governor on the offset axis (T5; ≙ Kafka's
+        # maxOffsetsPerTrigger): each offset probe advances the version
+        # watermark by at most this many versions. Binds per
+        # latestOffset() call — a Trigger.AvailableNow drain may probe
+        # ahead and consolidate the backlog into fewer batches
+        self.max_versions = (
+            int(options["maxversionspertrigger"])
+            if "maxversionspertrigger" in options
+            else None
+        )
+        self._last_end: int | None = None
         self.schema_ddl = schema
         self.columns = [f.name for f in schema.fields]
 
     # -- offsets ----------------------------------------------------------
 
     def initialOffset(self) -> dict:
+        self._last_end = 0
         return {"version": 0, "horizon": 0}
 
     def _probe(self) -> tuple[int, int]:
@@ -141,12 +153,19 @@ class _OutboxStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         max_v, horizon = self._probe()
+        if self.max_versions is not None and self._last_end is not None:
+            max_v = min(max_v, self._last_end + self.max_versions)
+        self._last_end = max_v
         return {"version": max_v, "horizon": horizon}
 
     # -- planning / reading ------------------------------------------------
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["version"], end["version"]
+        # restart path: Spark replans from the committed offset — anchor
+        # the governor there so the first capped batch resumes correctly
+        if self._last_end is None or self._last_end < lo:
+            self._last_end = lo
         horizon = end.get("horizon") or None
         if hi <= lo:
             return [VersionRangePartition(lo, lo, horizon)]
