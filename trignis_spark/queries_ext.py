@@ -11,7 +11,16 @@ the reference inventory (SURVEY.md §2) nor the TPC-H shapes exercise:
   customers);
 - Gopher-style token-repetition quality signals over ``documents``
   (type-token ratio, top-token fraction) — the standard pre-training
-  corpus filters alongside ``text_quality_score``.
+  corpus filters alongside ``text_quality_score``;
+- decontamination / keep-canonical dedup / n-gram LM counts / embedding
+  centroids; PII scrub and duplicated-span signals;
+- the training-sequence prep trio: context-length chunking
+  (``text_chunk_windows``) → deterministic shard assignment
+  (``corpus_shard_assign``) → token-budget sequence packing
+  (``corpus_pack_sequences``);
+- window-frame shapes: time-based RANGE moving average and the
+  ntile/percent_rank/cume_dist rank family;
+- GPT-2-ish pre-tokenizer segmentation counts (``text_regex_tokens``).
 
 Determinism per queries.py rules: decimal accumulation for value sums,
 integer counts, one double division at the end with an identical
