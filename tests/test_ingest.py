@@ -146,3 +146,48 @@ def test_ingest_from_dsv2_outbox_source(spark, index, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(accepted_path).collect()}
     assert got == {11}
+
+
+def test_embedding_gate_rejects_near_dups_and_extends(spark, tmp_path):
+    from trignis_spark.operators import ann_index as ai
+
+    def vframe(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    spark.sql("DROP TABLE IF EXISTS emb_gate_idx")
+    spark.sql("DROP TABLE IF EXISTS emb_gate_idx_ids")
+    try:
+        corpus = vframe([
+            (1, [1.0, 0.5, -0.25, 2.0]),
+            (2, [-1.0, 1.5, 0.75, -0.5]),
+        ])
+        ai.build_ann_index(spark, corpus, "emb_gate_idx", n_buckets=4)
+        accepted_path = str(tmp_path / "acc")
+        stats: list[ingest.EmbeddingIngestStats] = []
+        fn = ingest.make_embedding_ingest_fn(
+            spark, "emb_gate_idx", accepted_path,
+            cos_threshold=0.99, nprobe=1, n_buckets=4, stats=stats,
+        )
+        batch = vframe([
+            (10, [2.0, 1.0, -0.5, 4.0]),    # scaled copy of vec 1: cos=1
+            (11, [0.1, -2.0, 1.0, 0.3]),    # genuinely new direction
+        ])
+        fn(batch, epoch_id=0)
+        assert stats[-1].__dict__ == {
+            "epoch_id": 0, "arrived": 2, "already_known": 0,
+            "near_dup": 1, "accepted": 1,
+        }
+        got = {r["vec_id"] for r in spark.read.parquet(accepted_path).collect()}
+        assert got == {11}
+        ids = {r["vec_id"] for r in spark.table("emb_gate_idx_ids").collect()}
+        assert ids == {1, 2, 11}
+
+        # replay: everything known, nothing re-appended
+        fn(batch, epoch_id=0)
+        assert stats[-1].accepted == 0 and stats[-1].already_known == 1
+        assert spark.read.parquet(accepted_path).count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS emb_gate_idx")
+        spark.sql("DROP TABLE IF EXISTS emb_gate_idx_ids")

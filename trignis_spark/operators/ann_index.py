@@ -128,9 +128,12 @@ def probe_ann_index(
     k: int = 10,
     nprobe: int = 1,
     n_buckets: int = DEFAULT_BUCKETS,
+    include_score: bool = False,
 ) -> DataFrame:
     """Approximate top-k neighbors of each query vector:
-    (query_id, neighbor_id, rank), ties broken on neighbor_id.
+    (query_id, neighbor_id, rank), ties broken on neighbor_id;
+    with ``include_score`` a ``cos`` column rides along (used by the
+    embedding ingestion gate's near-dup threshold).
 
     ``queries`` needs (vec_id, embedding). The query set is small by
     construction, so its cell fan-out (1 + (nprobe-1) Hamming-1
@@ -165,8 +168,11 @@ def probe_ann_index(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
     )
+    cols = ["query_id", "neighbor_id", "rank"]
+    if include_score:
+        cols.append("cos")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+        .select(*cols)
     )

@@ -235,3 +235,89 @@ def documents_from_outbox(outbox_df: DataFrame) -> DataFrame:
         )
         .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding modality: the ANN-index twin of the text gate
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class EmbeddingIngestStats:
+    """Per-epoch telemetry for the embedding gate."""
+
+    epoch_id: int
+    arrived: int
+    already_known: int
+    near_dup: int
+    accepted: int
+
+
+def make_embedding_ingest_fn(
+    spark: SparkSession,
+    ann_table: str,
+    accepted_path: str,
+    *,
+    cos_threshold: float = 0.95,
+    nprobe: int = 2,
+    n_buckets: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    stats: list[EmbeddingIngestStats] | None = None,
+):
+    """``foreachBatch`` body curating an embedding stream against the
+    persistent IVF index (``operators/ann_index.py``): vectors already
+    indexed are dropped (replay-safe), vectors whose nearest indexed
+    neighbor reaches ``cos_threshold`` are rejected as near-duplicates,
+    the rest are appended and indexed exactly-once.
+
+    Same delivery contract and scale shape as the text gate: broadcast
+    batch, bucket-pruned index probe, corpus never shuffled per epoch.
+    The cosine gate is approximate exactly like IVF search is — a
+    near-dup hiding in an unprobed cell survives; raise ``nprobe`` to
+    trade cost for strictness."""
+    from trignis_spark.operators import ann_index as ai
+
+    kw = {} if n_buckets is None else {"n_buckets": n_buckets}
+
+    def ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        vecs = batch_df.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(emb_col).alias("embedding"),
+        ).localCheckpoint(eager=True)
+        known = spark.table(ai._ids_table(ann_table))
+        fresh = vecs.join(known, "vec_id", "left_anti")
+
+        hits = (
+            ai.probe_ann_index(
+                spark, ann_table, fresh, k=1, nprobe=nprobe,
+                include_score=True, **kw,
+            )
+            .filter(F.col("cos") >= cos_threshold)
+            .select(F.col("query_id").alias("vec_id"))
+            .distinct()
+        )
+        accepted = fresh.join(hits, "vec_id", "left_anti") \
+            .localCheckpoint(eager=True)
+
+        if stats is not None:
+            n_all, n_fresh, n_acc = vecs.count(), fresh.count(), accepted.count()
+            stats.append(
+                EmbeddingIngestStats(
+                    epoch_id=epoch_id,
+                    arrived=n_all,
+                    already_known=n_all - n_fresh,
+                    near_dup=n_fresh - n_acc,
+                    accepted=n_acc,
+                )
+            )
+        if accepted.isEmpty():
+            return
+        (
+            accepted.withColumn("epoch_id", F.lit(epoch_id).cast("long"))
+            .write.mode("append")
+            .parquet(accepted_path)
+        )
+        ai.extend_ann_index(spark, accepted, ann_table, **kw)
+
+    return ingest_batch
