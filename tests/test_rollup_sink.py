@@ -127,3 +127,64 @@ def test_rollup_sink_kind_builds_and_validates():
     )
     errs, _ = validate_environment(env)
     assert any("rollup sink requires ts_col" in e for e in errs)
+
+
+def test_rollup_as_poll_df_sink(spark, tmp_path):
+    """Wired as a PollPipeline df_sink: each poll cycle's change batch
+    advances the continuously-maintained rollup alongside the
+    watermark."""
+    import datetime as dt
+
+    from trignis_spark.config import EnvironmentConfig, TrackingObject
+    from trignis_spark.deadletter import DeadLetterStore
+    from trignis_spark.sinks.base import RetryPolicy
+    from trignis_spark.state import StateStore
+    from trignis_spark.streaming.poller import PollPipeline
+
+    sink = RollupSink(
+        name="rollup", path=str(tmp_path / "rollups"),
+        ts_col="ts", value_col="value", dims=("event_type",),
+        resolution="hour",
+    )
+    rows = [
+        (1, 1, "I", "click", dt.datetime(2024, 1, 1, 10, 5), 1.5),
+        (2, 2, "I", "view", dt.datetime(2024, 1, 1, 10, 40), 2.0),
+    ]
+    schema = ("version long, xact_id long, operation string, "
+              "event_type string, ts timestamp_ntz, value double")
+    env = EnvironmentConfig(
+        name="e",
+        tracking_objects=(
+            TrackingObject(name="events", table_name="t",
+                           initial_sync_mode="Full"),
+        ),
+    )
+    p = PollPipeline(
+        spark, env,
+        source_fn=lambda s, o: s.createDataFrame(rows, schema),
+        sinks=[], df_sinks=[sink],
+        state=StateStore(str(tmp_path / "state")),
+        dlq=DeadLetterStore(str(tmp_path / "dlq")),
+        retry=RetryPolicy(attempts=1, delay_seconds=0, sleep=lambda _: None),
+    )
+    ctx_obj = CTX.__class__(environment="e", database="", object_name="events")
+    [r1] = p.run_cycle()
+    cur = {
+        (str(r["bucket"]), r["event_type"]): (r["n"], str(r["val_sum"]))
+        for r in sink.read_current(spark, ctx_obj).collect()
+    }
+    assert cur == {
+        ("2024-01-01 10:00:00", "click"): (1, "1.500000"),
+        ("2024-01-01 10:00:00", "view"): (1, "2.000000"),
+    }
+    # next cycle: two more events, one in a new hour bucket
+    rows.append((3, 3, "I", "click", dt.datetime(2024, 1, 1, 10, 50), 0.5))
+    rows.append((4, 4, "I", "click", dt.datetime(2024, 1, 1, 11, 5), 4.0))
+    [r2] = p.run_cycle()
+    assert r2.mode == "sync"
+    cur = {
+        (str(r["bucket"]), r["event_type"]): (r["n"], str(r["val_sum"]))
+        for r in sink.read_current(spark, ctx_obj).collect()
+    }
+    assert cur[("2024-01-01 10:00:00", "click")] == (2, "2.000000")
+    assert cur[("2024-01-01 11:00:00", "click")] == (1, "4.000000")
