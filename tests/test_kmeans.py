@@ -1,0 +1,97 @@
+"""Distributed Lloyd's k-means and the trained-quantizer IVF path:
+determinism, assignment sanity, probe-all exactness, and trained
+extends."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from trignis_spark.operators import ann_index as ai
+from trignis_spark.operators import kmeans as km
+from trignis_spark.operators import similarity as sim
+from trignis_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+QUERY_PRED = "vec_id % 100 = 0"
+
+
+@pytest.fixture
+def trained_index(spark):
+    yield "ann_trained_t"
+    for suffix in ("", "_ids", "_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS ann_trained_t{suffix}")
+
+
+def _centroid_map(cdf):
+    return {r["cid"]: tuple(round(x, 9) for x in r["cvec"])
+            for r in cdf.collect()}
+
+
+def test_training_is_deterministic_and_total(spark):
+    emb = load(spark, SF, "embeddings")
+    c1 = km.train_kmeans(emb, k=8, iters=3)
+    c2 = km.train_kmeans(emb, k=8, iters=3)
+    assert _centroid_map(c1) == _centroid_map(c2)
+    assert set(_centroid_map(c1)) == set(range(8))
+
+    # every vector lands in exactly one cluster
+    assigned = km.assign_clusters(emb, c1)
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+
+
+def test_lloyd_rounds_do_not_increase_distortion(spark):
+    emb = load(spark, SF, "embeddings")
+
+    def distortion(centroids):
+        vecs = km._as_double_vec(emb, "embedding")
+        a = km.assign_clusters(emb, centroids).join(vecs, "vec_id").join(
+            F.broadcast(centroids), "cid"
+        )
+        return a.select(
+            F.sum(F.expr(km._SQDIST.format(a="v", b="cvec"))).alias("d")
+        ).first()["d"]
+
+    d1 = distortion(km.train_kmeans(emb, k=8, iters=1))
+    d3 = distortion(km.train_kmeans(emb, k=8, iters=3))
+    assert d3 <= d1 + 1e-9
+
+
+def test_trained_probe_all_cells_equals_brute_force(spark, trained_index):
+    emb = load(spark, SF, "embeddings")
+    cents = km.train_kmeans(emb, k=8, iters=2)
+    ai.build_ann_index(spark, emb, trained_index, centroids=cents)
+
+    queries = emb.filter(F.expr(QUERY_PRED))
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ai.probe_ann_index(
+            spark, trained_index, queries, k=10, nprobe=8
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in sim.cosine_topk(emb, QUERY_PRED, k=10).collect()
+    }
+    assert got == want  # probing every cell scores every vector: exact
+
+
+def test_trained_extend_assigns_through_stored_centroids(spark, trained_index):
+    emb = load(spark, SF, "embeddings")
+    first, rest = emb.filter("vec_id < 400"), emb.filter("vec_id >= 400")
+    cents = km.train_kmeans(first, k=8, iters=2)
+    ai.build_ann_index(spark, first, trained_index, centroids=cents)
+
+    assert ai.extend_ann_index(spark, rest, trained_index) == rest.count()
+    # post-extend, probe-all over the full corpus is still exact
+    queries = emb.filter(F.expr(QUERY_PRED))
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ai.probe_ann_index(
+            spark, trained_index, queries, k=5, nprobe=8
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(emb, QUERY_PRED, k=5).collect()
+    }
+    assert got == want

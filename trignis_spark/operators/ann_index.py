@@ -40,11 +40,22 @@ def _ids_table(table: str) -> str:
     return f"{table}_ids"
 
 
+def _centroids_table(table: str) -> str:
+    return f"{table}_centroids"
+
+
 def _refresh(spark: SparkSession, table: str) -> None:
     # writes may come from a cloned (foreachBatch) session — invalidate
     # the probing session's cached file listing (see dedup_index)
     spark.catalog.refreshTable(table)
     spark.catalog.refreshTable(_ids_table(table))
+
+
+def _trained_centroids(spark: SparkSession, table: str) -> DataFrame | None:
+    name = _centroids_table(table)
+    if spark.catalog.tableExists(name):
+        return spark.table(name)
+    return None
 
 
 def _bucket_expr(vec_col: str, n_buckets: int) -> str:
@@ -56,7 +67,17 @@ def _bucket_expr(vec_col: str, n_buckets: int) -> str:
     )
 
 
-def _rows(embeddings: DataFrame, n_buckets: int) -> DataFrame:
+def _rows(embeddings: DataFrame, n_buckets: int,
+          centroids: DataFrame | None = None) -> DataFrame:
+    if centroids is not None:
+        from trignis_spark.operators.kmeans import assign_clusters
+
+        assigned = assign_clusters(embeddings, centroids)
+        return (
+            _prep(embeddings)
+            .join(assigned, "vec_id")
+            .select(F.col("cid").alias("bucket"), "vec_id", "v", "n2")
+        )
     return _prep(embeddings).select(
         F.expr(_bucket_expr("v", n_buckets)).alias("bucket"),
         "vec_id",
@@ -70,9 +91,29 @@ def build_ann_index(
     embeddings: DataFrame,
     table: str,
     n_buckets: int = DEFAULT_BUCKETS,
+    centroids: DataFrame | None = None,
 ) -> None:
-    """Materialize the IVF index (overwrites both tables)."""
-    rows = _rows(embeddings, n_buckets)
+    """Materialize the IVF index (overwrites both tables).
+
+    With ``centroids`` (a trained quantizer from
+    ``kmeans.train_kmeans``: (cid, cvec) rows) the inverted file is
+    partitioned by nearest-centroid cell and the centroids are stored
+    in a ``<table>_centroids`` sidecar, so probes and extends assign
+    consistently; without it the deterministic sign-pattern quantizer
+    applies."""
+    if centroids is not None:
+        centroids = centroids.localCheckpoint(eager=True)
+        n_buckets = max(1, centroids.count())
+        (
+            centroids.write.mode("overwrite")
+            .format("parquet")
+            .saveAsTable(_centroids_table(table))
+        )
+        spark.catalog.refreshTable(_centroids_table(table))
+    else:
+        # a rebuild without a quantizer must not leave a stale one behind
+        spark.sql(f"DROP TABLE IF EXISTS {_centroids_table(table)}")
+    rows = _rows(embeddings, n_buckets, centroids)
     (
         rows.write.mode("overwrite")
         .bucketBy(n_buckets, "bucket")
@@ -98,8 +139,13 @@ def extend_ann_index(
     """Append vectors not already present (idempotent under replay);
     returns the number actually added."""
     known = spark.table(_ids_table(table))
+    cents = _trained_centroids(spark, table)
+    if cents is not None:
+        n_buckets = max(1, cents.count())  # layout follows the quantizer
     fresh = _rows(
-        embeddings.join(known, "vec_id", "left_anti"), n_buckets
+        embeddings.join(known, "vec_id", "left_anti"),
+        n_buckets,
+        cents,
     ).localCheckpoint(eager=True)
     added = fresh.count()
     if added == 0:
@@ -139,19 +185,38 @@ def probe_ann_index(
     construction, so its cell fan-out (1 + (nprobe-1) Hamming-1
     neighbors) broadcasts and the bucketed index is scanned in place —
     per-search cost is O(probed cells), independent of corpus size."""
-    bits = int(math.log2(n_buckets))
-    nprobe = max(1, min(nprobe, bits + 1))
-    q = _prep(queries).select(
+    base = _prep(queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("n2").alias("qn2"),
-        F.expr(_bucket_expr("v", n_buckets)).alias("home"),
     )
-    # probe cells: home plus the first (nprobe-1) bit-flip neighbors
-    flips = [F.col("home")] + [
-        F.col("home").bitwiseXOR(F.lit(1 << i)) for i in range(nprobe - 1)
-    ]
-    q = q.withColumn("qbucket", F.explode(F.array(*flips)))
+    cents = _trained_centroids(spark, table)
+    if cents is not None:
+        # trained quantizer: probe the nprobe nearest centroid cells
+        from trignis_spark.operators.kmeans import _SQDIST
+
+        nprobe = max(1, nprobe)
+        scored_c = base.join(F.broadcast(cents)).withColumn(
+            "d2", F.expr(_SQDIST.format(a="qv", b="cvec"))
+        )
+        wc = Window.partitionBy("query_id").orderBy("d2", "cid")
+        q = (
+            scored_c.withColumn("_rn", F.row_number().over(wc))
+            .filter(F.col("_rn") <= nprobe)
+            .select("query_id", "qv", "qn2", F.col("cid").alias("qbucket"))
+        )
+    else:
+        bits = int(math.log2(n_buckets))
+        nprobe = max(1, min(nprobe, bits + 1))
+        q = base.withColumn(
+            "home", F.expr(_bucket_expr("qv", n_buckets))
+        )
+        # probe cells: home plus the first (nprobe-1) bit-flip neighbors
+        flips = [F.col("home")] + [
+            F.col("home").bitwiseXOR(F.lit(1 << i))
+            for i in range(nprobe - 1)
+        ]
+        q = q.withColumn("qbucket", F.explode(F.array(*flips))).drop("home")
     idx = spark.table(table)
     scored = (
         idx.join(F.broadcast(q), idx["bucket"] == q["qbucket"])

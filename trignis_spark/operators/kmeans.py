@@ -1,0 +1,118 @@
+"""Distributed Lloyd's k-means over an embedding column — the coarse
+quantizer trainer for the IVF index (``ann_index`` accepts the trained
+centroids in place of its sign-pattern stand-in).
+
+Scale shape per iteration: the centroid set is tiny (k × dim) and
+broadcast; assignment is a map-side argmin over the corpus (no corpus
+shuffle), and the centroid update is one partial-aggregated shuffle
+keyed by (cluster, component) — cardinality k·dim, independent of
+corpus size. The loop runs a fixed ``iters`` (IVF training does not
+need convergence detection; a fixed small number of Lloyd rounds is
+the standard recipe), so no per-round driver-side convergence check
+exists at all.
+
+Determinism: initialization is the first k vectors by ``vec_id`` (no
+RNG), and mean accumulation is fixed-point decimal so the trained
+centroids are reproducible across partitionings — the property the
+oracle-checked queries rely on elsewhere in the repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: fixed-point accumulator for order-independent component means
+_ACC = "decimal(30,12)"
+
+#: squared L2 distance between two equal-length double arrays
+_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _as_double_vec(embeddings: DataFrame, emb_col: str) -> DataFrame:
+    return embeddings.select(
+        "vec_id",
+        F.expr(f"transform({emb_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+
+
+def init_centroids(embeddings: DataFrame, k: int,
+                   emb_col: str = "embedding") -> DataFrame:
+    """Deterministic seed: the k lowest-``vec_id`` vectors become
+    centroids 0..k-1."""
+    vecs = _as_double_vec(embeddings, emb_col)
+    w = Window.orderBy("vec_id")
+    return (
+        vecs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select((F.col("_rn") - 1).cast("int").alias("cid"),
+                F.col("v").alias("cvec"))
+    )
+
+
+def assign_clusters(embeddings: DataFrame, centroids: DataFrame,
+                    emb_col: str = "embedding") -> DataFrame:
+    """(vec_id, cid): each vector's nearest centroid (squared L2, ties
+    to the lowest cid). Broadcast centroids → map-side argmin; the
+    corpus is never shuffled."""
+    vecs = _as_double_vec(embeddings, emb_col)
+    scored = vecs.join(F.broadcast(centroids)).withColumn(
+        "d2", F.expr(_SQDIST.format(a="v", b="cvec"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def _update(embeddings: DataFrame, centroids: DataFrame,
+            emb_col: str) -> DataFrame:
+    """One Lloyd round: assign, then recompute component means in
+    fixed-point; clusters that lost every member keep their centroid."""
+    vecs = _as_double_vec(embeddings, emb_col)
+    assigned = assign_clusters(embeddings, centroids, emb_col).join(
+        vecs, "vec_id"
+    )
+    comp = assigned.select(
+        "cid", F.posexplode("v").alias("pos", "x")
+    )
+    means = (
+        comp.groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast(_ACC)) / F.count(F.lit(1))
+            ).cast("double").alias("m")
+        )
+        .groupBy("cid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), "
+                "s -> s.m)"
+            ).alias("cvec")
+        )
+    )
+    return (
+        centroids.select("cid", F.col("cvec").alias("_old"))
+        .join(means, "cid", "left")
+        .select("cid", F.coalesce("cvec", "_old").alias("cvec"))
+    )
+
+
+def train_kmeans(embeddings: DataFrame, k: int, iters: int = 5,
+                 emb_col: str = "embedding") -> DataFrame:
+    """Train k centroids with ``iters`` Lloyd rounds. Returns
+    (cid INT, cvec ARRAY<DOUBLE>), localCheckpointed per round so the
+    lineage stays flat regardless of ``iters``."""
+    centroids = init_centroids(embeddings, k, emb_col).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iters):
+        centroids = _update(embeddings, centroids, emb_col).localCheckpoint(
+            eager=True
+        )
+    return centroids
