@@ -84,9 +84,12 @@ def _update(embeddings: DataFrame, centroids: DataFrame,
     means = (
         comp.groupBy("cid", "pos")
         .agg(
+            # exact decimal accumulation, ONE double division at the end
+            # (identical expression tree to the SQL oracle)
             (
-                F.sum(F.col("x").cast(_ACC)) / F.count(F.lit(1))
-            ).cast("double").alias("m")
+                F.sum(F.col("x").cast(_ACC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
         )
         .groupBy("cid")
         .agg(

@@ -1030,3 +1030,104 @@ def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         n("[0-9]+").alias("n_numbers"),
         n("[^A-Za-z0-9 ]").alias("n_punct"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# IVF quantizer training (k-means, 2 unrolled Lloyd rounds, k=4)
+# --------------------------------------------------------------------------
+
+_KM_K = 4
+
+_DSQ = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2]))), "
+    "(x, y) -> x + y)"
+)
+
+
+def _km_assign_sql(vecs: str, cents: str) -> str:
+    """One argmin assignment round as SQL (ties to the lowest cid)."""
+    return f"""
+      SELECT vec_id, cid FROM (
+        SELECT {vecs}.vec_id, {cents}.cid,
+               row_number() OVER (
+                 PARTITION BY {vecs}.vec_id
+                 ORDER BY {_DSQ.format(a=f'{vecs}.v', b=f'{cents}.cvec')},
+                          {cents}.cid) AS rn
+        FROM {vecs}, {cents}) WHERE rn = 1
+    """
+
+
+def _km_update_sql(assign: str, cents: str) -> str:
+    """Component means in fixed decimal, one double division; empty
+    clusters keep their previous centroid."""
+    return f"""
+      SELECT {cents}.cid, coalesce(m.cvec, {cents}.cvec) AS cvec
+      FROM {cents} LEFT JOIN (
+        SELECT cid, list(m ORDER BY pos) AS cvec FROM (
+          SELECT cid, pos,
+                 CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
+          FROM (
+            SELECT a.cid,
+                   unnest(generate_series(0, len(e.v) - 1)) AS pos,
+                   unnest(e.v) AS x
+            FROM ({assign}) a JOIN e USING (vec_id))
+          GROUP BY cid, pos)
+        GROUP BY cid) m ON m.cid = {cents}.cid
+    """
+
+
+@register(
+    "emb_kmeans_quantizer",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+      FROM e ORDER BY vec_id LIMIT {_KM_K}),
+    c1 AS ({_km_update_sql(_km_assign_sql('e', 'c0'), 'c0')}),
+    c2 AS ({_km_update_sql(_km_assign_sql('e', 'c1'), 'c1')}),
+    sizes AS (
+      SELECT cid, count(*) AS n_members FROM ({_km_assign_sql('e', 'c2')})
+      GROUP BY cid)
+    SELECT c2.cid,
+           CAST(t.pos AS BIGINT) AS pos,
+           round(c2.cvec[t.pos + 1], 9) AS m,
+           CAST(coalesce(sizes.n_members, 0) AS BIGINT) AS n_members
+    FROM c2
+    LEFT JOIN sizes ON sizes.cid = c2.cid,
+    LATERAL (SELECT unnest(generate_series(0, len(c2.cvec) - 1)) AS pos) t
+    ORDER BY c2.cid, pos
+    """,
+)
+def emb_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer training as an oracle-checked query: two
+    deterministic Lloyd rounds (k=4, first-k init, fixed-point decimal
+    means, argmin ties to the lowest cluster) over the embeddings
+    table, reported as per-(cluster, component) centroid values plus
+    member counts. The oracle unrolls the same two rounds as chained
+    CTEs — both engines share the init, fold order, tie-break, and the
+    single double division, so centroids match bit-for-bit (rounded to
+    9 decimals as ulp insurance).
+
+    Scale shape per round: broadcast k×dim centroids, map-side argmin
+    (corpus never shuffled), (cluster, component) partial-agg mean —
+    cardinality k·dim, corpus-size-independent."""
+    from trignis_spark.operators import kmeans as km
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = km.train_kmeans(emb, _KM_K, iters=2)
+    sizes = km.assign_clusters(emb, cents).groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        cents.select("cid", F.posexplode("cvec").alias("pos", "m"))
+        .join(sizes, "cid", "left")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("pos").cast("long").alias("pos"),
+            F.round("m", 9).alias("m"),
+            F.coalesce("n_members", F.lit(0)).cast("long")
+            .alias("n_members"),
+        )
+        .orderBy("cid", "pos")
+    )
