@@ -1131,3 +1131,50 @@ def emb_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid", "pos")
     )
+
+
+@register(
+    "corpus_mix_weights",
+    """
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    t AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang)),
+               (a, b) -> a + b) AS total
+      FROM c)
+    SELECT c.lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+           sqrt(CAST(c.n_docs AS DOUBLE)) / t.total AS weight
+    FROM c, t
+    ORDER BY c.lang
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (α=0.5): sampling weight per
+    language proportional to sqrt(n_docs) — the standard recipe for
+    upweighting low-resource slices when assembling a training mix.
+
+    Cross-engine determinism: sqrt is IEEE-correctly-rounded (both
+    engines agree bit-for-bit) and the normalizing total is a fold over
+    the lang-sorted list, not an unordered SUM — the one place naive
+    double summation would break the value hash. The weight table is
+    #langs rows; the only corpus-sized work is one count shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = c.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(named_struct("
+            "'lang', lang, 's', sqrt(CAST(n_docs AS DOUBLE))))), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.s)"
+        ).alias("total")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.expr("sqrt(CAST(n_docs AS DOUBLE))") / F.col("total"))
+            .alias("weight"),
+        )
+        .orderBy("lang")
+    )
