@@ -193,3 +193,44 @@ def test_session_window_stats_native(spark, tmp_path):
     for r in rows:
         assert r["session_end"] > r["session_start"]
         assert r["n_events"] >= 1
+
+
+def test_streaming_dedup_within_watermark_ignores_ts_drift(spark, tmp_path):
+    """Same key, drifted event time: still suppressed — the native
+    dropDuplicatesWithinWatermark path (key-only identity, bounded
+    state)."""
+    import datetime as dt
+
+    from trignis_spark.sources.parquet_outbox import outbox_schema
+    from trignis_spark.streaming.structured import (
+        streaming_dedup_within_watermark,
+    )
+
+    path, ckpt = str(tmp_path / "outbox"), str(tmp_path / "ckpt-ddw")
+
+    def wave(rows):
+        spark.createDataFrame(rows, outbox_schema()).coalesce(1) \
+            .write.mode("append").parquet(path)
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    wave([(v, v, "I", 1, ["value"], t0, 1.0, "{}") for v in (1, 2, 3)])
+    # replay of version 3 with a 2-minute-drifted timestamp
+    wave([(3, 3, "I", 1, ["value"],
+           t0 + dt.timedelta(minutes=2), 1.0, "{}")])
+
+    captured = []
+
+    def capture(batch_df, epoch_id):
+        captured.extend(r.asDict() for r in batch_df.collect())
+
+    stream = spark.readStream.schema(outbox_schema()).parquet(path)
+    q = (
+        streaming_dedup_within_watermark(stream, keys=["version"])
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r["version"] for r in captured) == [1, 2, 3]

@@ -200,3 +200,23 @@ def streaming_dedup(
     return stream_df.withWatermark(event_time_col, watermark_delay).dropDuplicates(
         [*keys, event_time_col]
     )
+
+
+def streaming_dedup_within_watermark(
+    stream_df: DataFrame,
+    keys: list[str],
+    event_time_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup where the *keys alone* are the identity: a
+    replayed row with the same keys but a different event time is still
+    a duplicate (the reference's content-hash D1 semantics — identity
+    does not include arrival time). Native
+    ``dropDuplicatesWithinWatermark`` keeps the state bounded by the
+    watermark delay without smuggling the timestamp into the key, which
+    ``streaming_dedup`` has to do. Use this form when duplicates can
+    arrive with drifted timestamps (e.g. re-extracted change batches
+    where the extraction time rides along)."""
+    return stream_df.withWatermark(
+        event_time_col, watermark_delay
+    ).dropDuplicatesWithinWatermark(keys)
