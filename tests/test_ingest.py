@@ -191,3 +191,85 @@ def test_embedding_gate_rejects_near_dups_and_extends(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS emb_gate_idx")
         spark.sql("DROP TABLE IF EXISTS emb_gate_idx_ids")
+
+
+def test_curate_sink_through_poll_pipeline(spark, index, tmp_path):
+    """Config kind 'curate' as a PollPipeline df_sink: the tracked
+    table's change batches grow a curated corpus in lockstep with the
+    watermark, replay-safe."""
+    import datetime as dt
+    import json
+
+    from trignis_spark.config import (
+        EnvironmentConfig,
+        SinkConfig,
+        TrackingObject,
+        validate_environment,
+    )
+    from trignis_spark.deadletter import DeadLetterStore
+    from trignis_spark.sinks import build_sink
+    from trignis_spark.sinks.base import RetryPolicy
+    from trignis_spark.sources.parquet_outbox import outbox_schema
+    from trignis_spark.state import StateStore
+    from trignis_spark.streaming.poller import PollPipeline
+
+    di.build_index(spark, _frame(spark, [(1, BASE)]), index)
+    accepted = str(tmp_path / "accepted")
+    sink = build_sink(
+        "curate", "cur",
+        {"index_table": index, "accepted_path": accepted,
+         "min_quality": 0.05, "threshold": 0.5},
+    )
+
+    rows = [
+        (v, v, "I", 7, ["text"], dt.datetime(2024, 1, 1), 0.0,
+         json.dumps(p))
+        for v, p in (
+            (1, {"doc_id": 11, "text": CLEAN_A}),
+            (2, {"doc_id": 12, "text": NEAR_BASE}),  # near-dup of seed
+        )
+    ]
+    env = EnvironmentConfig(
+        name="e",
+        tracking_objects=(
+            TrackingObject(name="docs", table_name="t",
+                           initial_sync_mode="Full"),
+        ),
+    )
+    p = PollPipeline(
+        spark, env,
+        source_fn=lambda s, o: s.createDataFrame(rows, outbox_schema()),
+        sinks=[], df_sinks=[sink],
+        state=StateStore(str(tmp_path / "state")),
+        dlq=DeadLetterStore(str(tmp_path / "dlq")),
+        retry=RetryPolicy(attempts=1, delay_seconds=0, sleep=lambda _: None),
+    )
+    p.run_cycle()
+    got = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
+    assert got == {11}
+    members = {
+        r["doc_id"] for r in spark.table(di._docs_table(index)).collect()
+    }
+    assert members == {1, 11}
+
+    # replayed cycle (same rows, watermark unmoved → same batch): no-op
+    p2 = PollPipeline(
+        spark, env,
+        source_fn=lambda s, o: s.createDataFrame(rows, outbox_schema()),
+        sinks=[], df_sinks=[sink],
+        state=StateStore(str(tmp_path / "state2")),
+        dlq=DeadLetterStore(str(tmp_path / "dlq2")),
+        retry=RetryPolicy(attempts=1, delay_seconds=0, sleep=lambda _: None),
+    )
+    p2.run_cycle()
+    assert spark.read.parquet(accepted).count() == 1
+
+    # config validation: required options enforced
+    env_bad = EnvironmentConfig(
+        name="e2",
+        tracking_objects=(TrackingObject(name="o", table_name="t"),),
+        destinations=(SinkConfig(name="c", kind="curate",
+                                 options={"index_table": "x"}),),
+    )
+    errs, _ = validate_environment(env_bad)
+    assert any("curate sink requires accepted_path" in e for e in errs)

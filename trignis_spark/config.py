@@ -26,7 +26,7 @@ DEFAULT_MAX_PAYLOAD_BYTES = 5 * 1024 * 1024
 DEFAULT_DLQ_RETENTION_DAYS = 60
 
 SINK_KINDS = (
-    "file", "http", "kafka", "memory", "mirror", "rollup",
+    "file", "http", "kafka", "memory", "mirror", "rollup", "curate",
     "rabbitmq", "aws-sqs", "azure-servicebus", "azure-eventhubs",
 )
 SYNC_MODES = ("Full", "Incremental")
@@ -132,6 +132,12 @@ def validate_environment(env: EnvironmentConfig) -> tuple[list[str], list[str]]:
                 if not sink.options.get(req):
                     errors.append(
                         f"sink '{sink.name}': rollup sink requires {req}"
+                    )
+        if sink.kind == "curate":
+            for req in ("index_table", "accepted_path"):
+                if not sink.options.get(req):
+                    errors.append(
+                        f"sink '{sink.name}': curate sink requires {req}"
                     )
         # MQ-type requirement matrix (ConfigurationValidator.cs:270-341);
         # 'send' is the injectable-transport escape hatch

@@ -46,6 +46,20 @@ def build_sink(kind: str, name: str, options: dict, env=None) -> Sink:
             tracked_cols=tuple(options.get("tracked_cols", ())),
             keep_generations=options.get("keep_generations", 2),
         )
+    if kind == "curate":
+        from trignis_spark.sinks.curate import CurateSink
+
+        return CurateSink(
+            name=name,
+            index_table=options["index_table"],
+            accepted_path=options["accepted_path"],
+            min_quality=options.get("min_quality", 0.0),
+            threshold=options.get("threshold", 0.8),
+            n=options.get("n", 3),
+            id_col=options.get("id_col", "doc_id"),
+            text_col=options.get("text_col", "text"),
+            props_json=options.get("props_json", True),
+        )
     if kind == "rollup":
         from trignis_spark.sinks.rollup_sink import RollupSink
 
