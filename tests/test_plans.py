@@ -162,3 +162,15 @@ def test_index_probe_broadcasts_batch_never_cartesian(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS plan_idx")
         spark.sql("DROP TABLE IF EXISTS plan_idx_docs")
+
+
+def test_kmeans_seed_has_no_global_window(spark):
+    # VERDICT r02 #1: the seed must be a distributed TakeOrdered, never
+    # a partition-less window funnelling the corpus through one task.
+    from trignis_spark.operators import kmeans as km
+
+    emb = load(spark, SF, "embeddings")
+    seed = km.init_centroids(emb, k=8)
+    plan = seed._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "TakeOrdered" in plan, plan

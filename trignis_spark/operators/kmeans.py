@@ -42,14 +42,23 @@ def _as_double_vec(embeddings: DataFrame, emb_col: str) -> DataFrame:
 def init_centroids(embeddings: DataFrame, k: int,
                    emb_col: str = "embedding") -> DataFrame:
     """Deterministic seed: the k lowest-``vec_id`` vectors become
-    centroids 0..k-1."""
+    centroids 0..k-1.
+
+    Scale shape: ``orderBy().limit(k)`` runs as a distributed
+    TakeOrderedAndProject (per-partition top-k, then a k·partitions
+    merge on one task), so the corpus never funnels through a single
+    partition. The cid assignment is a single aggregate over the k
+    surviving rows — no window function anywhere in the plan.
+    """
     vecs = _as_double_vec(embeddings, emb_col)
-    w = Window.orderBy("vec_id")
+    top = vecs.orderBy("vec_id").limit(k)
+    packed = top.agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("s")
+    )
     return (
-        vecs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select((F.col("_rn") - 1).cast("int").alias("cid"),
-                F.col("v").alias("cvec"))
+        packed.select(F.posexplode("s").alias("cid", "sv"))
+        .select(F.col("cid").cast("int").alias("cid"),
+                F.col("sv.v").alias("cvec"))
     )
 
 
