@@ -54,6 +54,55 @@ def _rows_multiset(rows, cols):
     return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+def register_views(con, sf_dir: str) -> None:
+    """Register the driver's parquet tables as DuckDB views, same names
+    the driver's gate uses."""
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+
+def check_one(spark, con, sf_dir, fn, oracle):
+    """Run one registered query on Spark and its oracle on DuckDB and
+    compare. Returns (status, problems): status in {'pass','weak'} and
+    problems a list of human-readable mismatch strings (empty = green).
+    'weak' = no oracle registered, rows-only check (query must at least
+    execute). Spark/DuckDB errors surface as problems, not exceptions —
+    same contract as the driver's gate."""
+    try:
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = sdf.collect()
+    except Exception as e:  # noqa: BLE001
+        return "fail", [f"spark error: {e}"]
+    if oracle is None:
+        return "weak", []
+    try:
+        rel = con.sql(oracle)
+        ocols = [d[0] for d in rel.description]
+        orows = rel.fetchall()
+    except Exception as e:  # noqa: BLE001
+        return "fail", [f"duckdb error: {e}"]
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+    if sorted(scols) != sorted(ocols):
+        problems.append(
+            f"columns spark={sorted(scols)} oracle={sorted(ocols)}"
+        )
+    if not problems:
+        sm = _rows_multiset([tuple(r) for r in srows], scols)
+        om = _rows_multiset(orows, ocols)
+        if sm != om:
+            extra_s = list((sm - om).items())[:3]
+            extra_o = list((om - sm).items())[:3]
+            problems.append(
+                f"values differ; spark-only={extra_s} oracle-only={extra_o}"
+            )
+    return ("fail" if problems else "pass"), problems
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -62,10 +111,7 @@ def main() -> int:
 
     spark = get_spark("trignis-check")
     con = duckdb.connect()
-    for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
-        )
+    register_views(con, args.sf)
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -75,46 +121,18 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        try:
-            sdf = fn(spark, args.sf)
-            scols = sdf.columns
-            srows = sdf.collect()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {e}")
-            n_fail += 1
-            continue
-        if name not in oracles:
-            print(f"WEAK {name}: rows={len(srows)} (no oracle, rows-only check)")
-            n_weak += 1
-            continue
-        try:
-            rel = con.sql(oracles[name])
-            ocols = [d[0] for d in rel.description]
-            orows = rel.fetchall()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {e}")
-            n_fail += 1
-            continue
+        status, problems = check_one(
+            spark, con, args.sf, fn, oracles.get(name)
+        )
         dt = time.time() - t0
-        problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
-        if not problems:
-            sm = _rows_multiset([tuple(r) for r in srows], scols)
-            om = _rows_multiset(orows, ocols)
-            if sm != om:
-                extra_s = list((sm - om).items())[:3]
-                extra_o = list((om - sm).items())[:3]
-                problems.append(
-                    f"values differ; spark-only={extra_s} oracle-only={extra_o}"
-                )
-        if problems:
+        if status == "fail":
             print(f"FAIL {name}: " + " | ".join(problems))
             n_fail += 1
+        elif status == "weak":
+            print(f"WEAK {name}: (no oracle, rows-only check) ({dt:.2f}s)")
+            n_weak += 1
         else:
-            print(f"PASS {name}: rows={len(srows)} ({dt:.2f}s)")
+            print(f"PASS {name}: ({dt:.2f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
     return 1 if n_fail else 0

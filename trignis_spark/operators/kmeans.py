@@ -49,6 +49,13 @@ def init_centroids(embeddings: DataFrame, k: int,
     merge on one task), so the corpus never funnels through a single
     partition. The cid assignment is a single aggregate over the k
     surviving rows — no window function anywhere in the plan.
+
+    Assumes ``vec_id`` is unique (the embeddings table's key). The
+    ``array_sort`` orders the k structs by their leading ``vec_id``
+    field; with duplicate vec_ids the comparison would fall through to
+    the embedding arrays, which still yields a deterministic (if
+    arbitrary-looking) cid order but no longer the documented
+    "k lowest vec_ids in order" contract.
     """
     vecs = _as_double_vec(embeddings, emb_col)
     top = vecs.orderBy("vec_id").limit(k)
