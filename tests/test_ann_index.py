@@ -48,6 +48,32 @@ def test_nprobe_improves_recall_vs_brute_force(spark, index):
     assert r4 > 0.2  # probing 4 of 16 cells recovers a meaningful share
 
 
+def test_trained_quantizer_recall_dial(spark, index):
+    """The production recall/cost dial: with a trained k-means coarse
+    quantizer, recall@10 is monotone in nprobe, crosses 0.8 by
+    nprobe=8/16 cells (measured 0.88 on the sf0.01 corpus — random unit
+    vectors, the hard case), and probing every cell IS brute force
+    (recall exactly 1.0). BASELINE.md carries the measured sweep."""
+    from trignis_spark.operators import kmeans as km
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    cents = km.train_kmeans(emb, k=16, iters=3)
+    ai.build_ann_index(spark, emb, index, centroids=cents)
+    queries = emb.filter(F.expr(QUERY_PRED))
+    truth = _pairs(sim.cosine_topk(emb, QUERY_PRED, k=10))
+    truth_pairs = {(q, n) for q, n, _ in truth}
+
+    def recall(nprobe):
+        got = _pairs(ai.probe_ann_index(spark, index, queries, 10, nprobe))
+        return len({(q, n) for q, n, _ in got} & truth_pairs) / len(truth_pairs)
+
+    r = {np_: recall(np_) for np_ in (1, 4, 8, 16)}
+    assert r[1] <= r[4] <= r[8] <= r[16]
+    assert r[8] >= 0.8
+    assert r[16] == 1.0  # nprobe = n_cells degenerates to exact search
+    spark.sql(f"DROP TABLE IF EXISTS {index}_centroids")
+
+
 def test_extend_is_idempotent_and_new_vectors_searchable(spark, index):
     emb = load(spark, SF, "embeddings")
     first, rest = emb.filter("vec_id < 400"), emb.filter("vec_id >= 400")

@@ -71,11 +71,17 @@ def ivf_topk(
     query_pred: str = "vec_id % 100 = 0",
     k: int = 10,
     n_buckets: int = 16,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-bucket vectors by the sign
     pattern of their first ``log2(n_buckets)`` components (a deterministic
-    stand-in for a trained coarse quantizer), probe only the query's
-    bucket. Approximate — lower recall, ~n_buckets× less scoring work."""
+    stand-in for a trained coarse quantizer), probe the query's bucket
+    plus the first ``nprobe - 1`` single-bit-flip neighbor cells (the
+    Hamming-1 neighborhood — the natural "next nearest cells" of a sign
+    quantizer). Approximate — recall and scoring cost both grow with
+    ``nprobe``; candidates stay O(probed cells), never corpus-sized.
+    Flips beyond ``log2(n_buckets)`` address empty cells and are no-ops,
+    so recall plateaus at ``nprobe = log2(n_buckets) + 1``."""
     import math
 
     bits = int(math.log2(n_buckets))
@@ -88,7 +94,14 @@ def ivf_topk(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("n2").alias("qn2"),
-        F.col("bucket").alias("qbucket"),
+        F.col("bucket").alias("home"),
+    )
+    flips = [F.col("home")] + [
+        F.col("home").bitwiseXOR(F.lit(1 << i)) for i in range(max(0, nprobe - 1))
+    ]
+    q = (
+        q.withColumn("qbucket", F.explode(F.array(*flips)))
+        .drop("home")
     )
     scored = (
         base.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))

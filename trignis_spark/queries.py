@@ -1666,6 +1666,107 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SWEEP_NPROBES = (1, 2, 4, 8)
+
+
+@register(
+    "ann_ivf_nprobe_sweep",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, {_DNORM2.format(a='v')} AS n2,
+                 {_IVF_BUCKET.format(v='v')} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2, bucket AS home
+          FROM n WHERE vec_id % 100 = 0),
+    params AS (SELECT unnest([{", ".join(str(p) for p in _SWEEP_NPROBES)}])
+                 AS np),
+    probe AS (
+      SELECT params.np, q.query_id, q.qv, q.qn2,
+             CASE WHEN js.j = 0 THEN q.home
+                  ELSE xor(q.home, (1 << (js.j - 1))) END AS qbucket
+      FROM q, params, (SELECT unnest(range(8)) AS j) js
+      WHERE js.j < params.np),
+    s AS (
+      SELECT p.np, p.query_id, n.vec_id AS neighbor_id,
+             {_DDOT.format(a='p.qv', b='n.v')} / sqrt(p.qn2 * n.n2) AS cos
+      FROM probe p JOIN n ON n.bucket = p.qbucket
+                         AND n.vec_id <> p.query_id),
+    ivf AS (
+      SELECT np, query_id, neighbor_id FROM (
+        SELECT np, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY np, query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM s) WHERE rank <= 10),
+    sb AS (
+      SELECT q.query_id, n.vec_id AS neighbor_id,
+             {_DDOT.format(a='q.qv', b='n.v')} / sqrt(q.qn2 * n.n2) AS cos
+      FROM q, n WHERE n.vec_id <> q.query_id),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM sb) WHERE rank <= 10),
+    hits AS (
+      SELECT i.np, i.query_id, count(*) AS n
+      FROM ivf i JOIN brute b ON b.query_id = i.query_id
+                             AND b.neighbor_id = i.neighbor_id
+      GROUP BY i.np, i.query_id),
+    perq AS (
+      SELECT params.np, qq.query_id, coalesce(h.n, 0) AS n
+      FROM params CROSS JOIN (SELECT DISTINCT query_id FROM brute) qq
+      LEFT JOIN hits h ON h.np = params.np AND h.query_id = qq.query_id)
+    SELECT CAST(np AS BIGINT) AS nprobe,
+           CAST(sum(n) AS DOUBLE) / (count(*) * 10.0) AS mean_recall_at_10,
+           CAST(count(*) AS BIGINT) AS n_queries
+    FROM perq GROUP BY np ORDER BY np
+    """,
+)
+def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/cost dial, measured: mean recall@10 vs the exact
+    brute-force baseline at nprobe ∈ {1, 2, 4, 8}. One row per setting —
+    the tuning table a user reads to pick their operating point, and a
+    driver-checked oracle so a quantizer regression shows up as a value
+    mismatch, not a silent quality drop. Each setting is an independent
+    bucket-probe plan unioned together; the brute baseline is computed
+    once and reused across settings."""
+    emb = load(spark, sf_dir, "embeddings")
+    brute = sim.cosine_topk(emb)
+    brute_pairs = brute.select("query_id", "neighbor_id").localCheckpoint(
+        eager=True
+    )
+    per_np = []
+    for np_ in _SWEEP_NPROBES:
+        ivf = sim.ivf_topk(emb, nprobe=np_)
+        hits = (
+            ivf.join(brute_pairs, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        per_q = (
+            brute_pairs.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left_outer")
+            .select(F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+        )
+        per_np.append(
+            per_q.agg(
+                (
+                    F.sum("n").cast("double")
+                    / (F.count(F.lit(1)) * F.lit(10.0))
+                ).alias("mean_recall_at_10"),
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+            ).select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "mean_recall_at_10",
+                "n_queries",
+            )
+        )
+    out = per_np[0]
+    for df in per_np[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("nprobe")
+
+
 # --------------------------------------------------------------------------
 # SQL-surface breadth: correlated subqueries, grouping sets, semi-joins,
 # window frames — the relational shapes a reference user's ad-hoc queries
