@@ -10,6 +10,7 @@ runs — scan, shuffle, agg — without driver-side collect overhead).
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -42,7 +43,9 @@ OPTIONAL = [
     "rollup_daily_cascade",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_scaled",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_scaled",
     "ann_cosine_topk",
     "text_quality_score",
     "corpus_build",
@@ -57,7 +60,18 @@ OPTIONAL = [
 
 
 def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf",
+        default=None,
+        help="scale-factor dir (overrides $SPARK_GRAFT_SF_DIR); e.g. "
+        ".localdata/sf1 from tools/gen_sf.py",
+    )
+    args = ap.parse_args()
+    sf_dir = (
+        args.sf
+        or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("trignis-bench")
     spark.sparkContext.setLogLevel("ERROR")

