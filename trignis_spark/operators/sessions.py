@@ -74,6 +74,100 @@ def sessionize(
     )
 
 
+def sessionize_chunked(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+    chunk_seconds: int = 86400,
+) -> DataFrame:
+    """Skew-resistant sessionize — identical output to :func:`sessionize`
+    (equivalence-tested), but the big ordered window is partitioned by
+    ``(user, time-chunk)`` instead of user alone, so one bot user's
+    events spread over ``span / chunk_seconds`` partitions instead of
+    funneling through a single task.
+
+    Two-level prefix-sum: sessions are numbered locally within each
+    chunk, then a per-``(user, chunk)`` summary (one row per chunk —
+    thousands of times smaller than the events) is windowed per user to
+    (a) decide whether each chunk's first event continues the previous
+    chunk's last session (the cross-boundary lag) and (b) accumulate the
+    session-count base each chunk starts from. ``global session_no =
+    base + local_no - continues``. The stitch window runs over summary
+    rows only, so the per-user work is O(active chunks), never O(events).
+    """
+    reserved = {
+        "_chunk", "_sec", "_prev_sec", "_is_new", "_local_no",
+        "_first_sec", "_last_sec", "_n_local", "_prev_last",
+        "_continues", "_base", "session_no",
+    }
+    clash = reserved.intersection(events.columns)
+    if clash:
+        raise ValueError(
+            f"sessionize_chunked: input already has column(s) "
+            f"{sorted(clash)}; rename or drop them first"
+        )
+    # chunk id from a fixed NTZ anchor — timezone-free and deterministic
+    sec_epoch = F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+        f"date_trunc('second', {ts_col}))"
+    )
+    ev = events.withColumn("_sec", F.date_trunc("second", F.col(ts_col)))
+    ev = ev.withColumn(
+        "_chunk", F.floor(sec_epoch / F.lit(chunk_seconds)).cast("long")
+    )
+    wl = Window.partitionBy(user_col, "_chunk").orderBy(ts_col, id_col)
+    ev = ev.withColumn("_prev_sec", F.lag("_sec").over(wl)).withColumn(
+        "_is_new",
+        F.when(
+            F.col("_prev_sec").isNull()
+            | (
+                F.expr("timestampdiff(SECOND, _prev_sec, _sec)")
+                > gap_seconds
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    ev = ev.withColumn(
+        "_local_no",
+        F.sum("_is_new").over(
+            wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    summary = ev.groupBy(user_col, "_chunk").agg(
+        F.min("_sec").alias("_first_sec"),
+        F.max("_sec").alias("_last_sec"),
+        F.max("_local_no").alias("_n_local"),
+    )
+    ws = Window.partitionBy(user_col).orderBy("_chunk")
+    summary = summary.withColumn(
+        "_prev_last", F.lag("_last_sec").over(ws)
+    ).withColumn(
+        "_continues",
+        F.when(
+            F.expr("timestampdiff(SECOND, _prev_last, _first_sec)")
+            <= gap_seconds,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    summary = summary.withColumn(
+        "_base",
+        F.sum(F.col("_n_local") - F.col("_continues")).over(
+            ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - (F.col("_n_local") - F.col("_continues")),
+    ).select(user_col, "_chunk", "_continues", "_base")
+    out = ev.join(summary, [user_col, "_chunk"]).withColumn(
+        "session_no",
+        F.col("_base") + F.col("_local_no") - F.col("_continues"),
+    )
+    return out.drop(
+        "_chunk", "_sec", "_prev_sec", "_is_new", "_local_no",
+        "_continues", "_base",
+    )
+
+
 def session_stats(
     events: DataFrame,
     user_col: str = "user_id",

@@ -44,9 +44,7 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 # --------------------------------------------------------------------------
 
 
-@register(
-    "sessionize_events",
-    f"""
+_SESSIONIZE_SQL = f"""
     WITH m AS (
         SELECT user_id, event_id, ts, value,
                CASE WHEN lag(date_trunc('second', ts)) OVER w IS NULL
@@ -68,14 +66,44 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
            CAST(sum(CAST(value AS {_DEC})) AS DOUBLE) AS total_value
     FROM s GROUP BY user_id, session_no
     ORDER BY user_id, session_no
-    """,
-)
+    """
+
+
+@register("sessionize_events", _SESSIONIZE_SQL)
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionize the events stream with a 30-minute inactivity gap and
     roll up per-session stats. Single shuffle on user_id; both window
     passes and the final groupBy reuse the same partitioning."""
     ev = load(spark, sf_dir, "events")
     out = sess.session_stats(ev, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        F.col("session_no").cast("bigint").alias("session_no"),
+        "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("start_s"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("end_s"),
+        "total_value",
+    ).orderBy("user_id", "session_no")
+
+
+@register("sessionize_events_scaled", _SESSIONIZE_SQL)
+def sessionize_events_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-user-proof sessionize: identical rollup to
+    sessionize_events (same oracle SQL — the outputs are provably
+    equal), but through ``sessionize_chunked``, whose big ordered window
+    partitions by (user, day) instead of user alone. A bot user's year
+    of events spreads over ~365 tasks instead of one; the cross-chunk
+    stitch runs on one summary row per (user, day)."""
+    ev = load(spark, sf_dir, "events")
+    s = sess.sessionize_chunked(ev, gap_seconds=1800)
+    out = s.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.col("value").cast("decimal(20,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
     return out.select(
         "user_id",
         F.col("session_no").cast("bigint").alias("session_no"),
