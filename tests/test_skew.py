@@ -53,3 +53,38 @@ def test_salted_join_rejects_outer_joins(spark):
     small = spark.createDataFrame([(1, "x")], "k long, label string")
     with _pytest.raises(ValueError, match="inner/left"):
         salted_join(big, small, ["k"], how="full")
+
+
+def test_chunked_running_sum_equals_single_window(spark):
+    """Two-level prefix sum == plain running sum, including under a
+    100x-hot partition key; the sub-chunked window's max group is
+    bounded by the chunk granularity."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(7)
+    rows = [(1, i, rng.randint(1, 9), i % 16) for i in range(3200)]  # hot key
+    rows += [(k, i, rng.randint(1, 9), i % 16)
+             for k in range(2, 30) for i in range(32)]
+    df = spark.createDataFrame(rows, "k long, ord long, val long, chunk long")
+    # contract: chunk monotone along ord — remap chunk to ord div 200
+    df = df.withColumn("chunk", (F.col("ord") / 200).cast("long"))
+
+    w = (
+        Window.partitionBy("k").orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {(r["k"], r["ord"], r["cum"]) for r in
+            df.withColumn("cum", F.sum("val").over(w)).collect()}
+    from trignis_spark.operators.skew import chunked_running_sum
+
+    got = {(r["k"], r["ord"], r["cum"]) for r in
+           chunked_running_sum(df, ["k"], ["ord"], "val", "chunk").collect()}
+    assert got == want
+
+    plain_max = df.groupBy("k").count().agg(F.max("count")).first()[0]
+    chunk_max = (
+        df.groupBy("k", "chunk").count().agg(F.max("count")).first()[0]
+    )
+    assert plain_max == 3200 and chunk_max <= 200

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -69,6 +69,48 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("bigint"))
     joined = big_s.join(small_s, [*on, "__salt"], how)
     return joined.drop("__salt")
+
+
+def chunked_running_sum(
+    df: DataFrame,
+    part_keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    chunk_col: str,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Running sum over ``(part_keys) ORDER BY (order_cols)`` computed as
+    a two-level prefix sum partitioned by ``(part_keys, chunk_col)`` —
+    identical values to the single window, but a hot partition key's rows
+    spread over its chunks instead of funneling through one task.
+
+    Contract: ``chunk_col`` must be monotone non-decreasing along
+    ``order_cols`` within each partition (e.g. the leading bits of the
+    leading order column), so chunks are contiguous runs of the global
+    order. The stitch aggregates one row per (partition, chunk) and
+    windows those — O(chunks) per key, never O(rows)."""
+    wl = (
+        Window.partitionBy(*part_keys, chunk_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = df.withColumn("_local_cum", F.sum(value_col).over(wl))
+    totals = local.groupBy(*part_keys, chunk_col).agg(
+        F.sum(value_col).alias("_chunk_sum")
+    )
+    ws = (
+        Window.partitionBy(*part_keys)
+        .orderBy(chunk_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = totals.withColumn(
+        "_base", F.coalesce(F.sum("_chunk_sum").over(ws), F.lit(0))
+    ).select(*part_keys, chunk_col, "_base")
+    return (
+        local.join(base, [*part_keys, chunk_col])
+        .withColumn(out_col, F.col("_base") + F.col("_local_cum"))
+        .drop("_local_cum", "_base")
+    )
 
 
 def top_keys(df: DataFrame, keys: Sequence[str], k: int = 20) -> DataFrame:

@@ -954,9 +954,7 @@ def w7_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_BUDGET = 512  # token budget per packed training sequence
 
 
-@register(
-    "corpus_pack_sequences",
-    f"""
+_PACK_SQL = f"""
     WITH t AS (
       SELECT doc_id,
              {_DUCK_DOC_HASH} AS h,
@@ -977,8 +975,10 @@ _PACK_BUDGET = 512  # token budget per packed training sequence
     FROM c
     GROUP BY shard, seq_id
     ORDER BY shard, seq_id
-    """,
-)
+    """
+
+
+@register("corpus_pack_sequences", _PACK_SQL)
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: documents are packed into fixed-token-budget
     training sequences within their shard. Deterministic distributed
@@ -1010,6 +1010,44 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.groupBy(
             "shard",
             # integer div, not double division: exact at any magnitude
+            F.expr(f"(cum - n_tokens) div {_PACK_BUDGET}")
+            .cast("long")
+            .alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("shard", "seq_id")
+    )
+
+
+@register("corpus_pack_sequences_scaled", _PACK_SQL)
+def corpus_pack_sequences_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-shard-proof sequence packing: identical output to
+    corpus_pack_sequences (same oracle), but the per-shard running token
+    sum goes through ``skew.chunked_running_sum`` — a two-level prefix
+    sum sub-chunked by the hash's leading range, so a shard's cumsum
+    spreads over 64 tasks instead of one. At 100 TB a shard is
+    corpus/#shards rows; the single-window form funnels each shard
+    through one task, this form bounds any task at shard/64."""
+    from trignis_spark.functions import portable as pf
+    from trignis_spark.operators.skew import chunked_running_sum
+
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(pf.rolling_hash(pf.SPARK, "text")).alias("h"),
+        F.expr(f"size({pf.tokens(pf.SPARK, 'text')})").alias("n_tokens"),
+    )
+    s = t.withColumn("shard", (F.col("h") % _N_SHARDS).cast("long"))
+    # chunk = leading hash range: monotone along the (h, doc_id) order
+    s = s.withColumn("_hchunk", F.expr(f"h div {pf.P31 // 64 + 1}"))
+    c = chunked_running_sum(
+        s, ["shard"], ["h", "doc_id"], "n_tokens", "_hchunk"
+    )
+    return (
+        c.groupBy(
+            "shard",
             F.expr(f"(cum - n_tokens) div {_PACK_BUDGET}")
             .cast("long")
             .alias("seq_id"),
