@@ -1,0 +1,161 @@
+"""Sustained service-loop soak: an advancing change feed polled for many
+cycles through the full composition (orchestrator + config watcher + DLQ
+replay loop), with transient sink failures, a hard outage window, and a
+config-reload storm injected mid-run.
+
+The delivery invariants the reference's stress suite guards
+(``Tests/Stress/DuplicatePollerStressTests.cs``,
+``LifecycleStressTests.cs``), asserted end-to-end on the envelope
+stream itself:
+
+* **zero lost versions** — every version the source ever committed is
+  delivered exactly once across direct exports and DLQ replays;
+* **zero duplicate deliveries** — no version appears in two envelopes;
+* **never two pollers** — the probe log shows no overlapping cycles for
+  an environment, across every hot reload;
+* sustained throughput is printed (recorded in BASELINE.md).
+"""
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from trignis_spark.operators import changefeed as cf
+from trignis_spark.service import TrignisSparkService
+from trignis_spark.sinks.base import RetryPolicy
+from trignis_spark.sinks.memory import MemorySink
+from trignis_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+N_VERSIONS = 1000  # event_id 0..999 at sf0.001
+STEP = 100
+
+
+def _env_json(retry_delay: float = 0.0) -> str:
+    return json.dumps(
+        {
+            "name": "alpha",
+            "max_records_per_batch": 120,
+            "retry_count": 2,
+            "retry_delay_seconds": retry_delay,
+            "tracking_objects": [
+                {"name": "events", "table_name": "events",
+                 "initial_sync_mode": "Incremental"}
+            ],
+            "destinations": [
+                {"name": "mem", "kind": "memory", "options": {}}
+            ],
+        }
+    )
+
+
+def test_soak_advancing_feed_failures_and_reloads(spark, tmp_path, monkeypatch):
+    cfg = tmp_path / "environments"
+    cfg.mkdir()
+    (cfg / "alpha.json").write_text(_env_json())
+
+    # capture EVERY MemorySink the service ever builds (reloads rebuild
+    # pipelines, each with a fresh sink instance)
+    all_sinks: list[MemorySink] = []
+    import trignis_spark.service as svc_mod
+
+    real_build = svc_mod.build_sink
+
+    def tracking_build(kind, name, options, env=None):
+        sink = real_build(kind, name, options, env=env)
+        if isinstance(sink, MemorySink):
+            all_sinks.append(sink)
+        return sink
+
+    monkeypatch.setattr(svc_mod, "build_sink", tracking_build)
+
+    # the advancing feed: only versions <= limit are "committed" yet
+    limit = {"v": 0}
+    base = cf.events_as_outbox(load(spark, SF, "events")).localCheckpoint(
+        eager=True
+    )
+
+    def source_factory(obj):
+        return lambda s, o: base.filter(F.col(cf.VERSION) <= limit["v"])
+
+    service = TrignisSparkService(
+        spark,
+        str(cfg),
+        str(tmp_path / "work"),
+        source_factory,
+        replay_interval_seconds=0.2,
+        poll_interval_override=0.1,
+        retry=RetryPolicy(attempts=2, delay_seconds=0, sleep=lambda _: None),
+    )
+    assert service.start() == []
+    t_start = time.time()
+    try:
+        deadline = time.time() + 240
+
+        def wm():
+            return service.state.get_last_version("alpha", "events")
+
+        # wait for the seed handshake (watermark 0, nothing exported)
+        while wm() is None and time.time() < deadline:
+            time.sleep(0.03)
+        assert wm() == 0
+
+        reloads_done = 0
+        for step in range(N_VERSIONS // STEP):
+            limit["v"] = min(N_VERSIONS - 1, limit["v"] + STEP)
+            if step % 3 == 1 and all_sinks:
+                all_sinks[-1].fail_times = 1  # transient: retry absorbs it
+            if step == 4 and all_sinks:
+                all_sinks[-1].always_fail = True  # hard outage window
+            if step == 6:
+                for s in all_sinks:
+                    s.always_fail = False
+                    s.fail_times = 0
+            if step in (3, 7):  # config-reload storm mid-traffic
+                reloads_done += 1
+                (cfg / "alpha.json").write_text(
+                    _env_json(retry_delay=0.001 * reloads_done)
+                )
+            target = limit["v"]
+            while wm() != target and time.time() < deadline:
+                time.sleep(0.05)
+            assert wm() == target, f"stalled at {wm()} before {target}"
+
+        # heal everything and drain the DLQ (reset backoff so swept rows
+        # rejoin the rotation inside the test window)
+        for s in all_sinks:
+            s.always_fail = False
+            s.fail_times = 0
+        while service.dlq.rows() and time.time() < deadline:
+            for r in service.dlq.rows():
+                if r["attempts"] > 0:
+                    service.dlq.reset_attempts(r["id"])
+            time.sleep(0.05)
+        assert service.dlq.rows() == [], "DLQ did not drain after healing"
+    finally:
+        service.stop()
+    elapsed = time.time() - t_start
+
+    # --- invariants over the full delivery stream -------------------------
+    delivered: list[int] = []
+    for sink in all_sinks:
+        for payload, _ctx in sink.payloads:
+            env = json.loads(payload)
+            delivered.extend(r["version"] for r in env["Data"])
+    want = set(range(1, N_VERSIONS))  # version 0 was consumed by the seed
+    assert len(delivered) == len(set(delivered)), "duplicate delivery"
+    assert set(delivered) == want, (
+        f"lost versions: {sorted(want - set(delivered))[:10]}..."
+    )
+
+    # never-two-pollers held through the reload storm
+    assert service.probe.overlaps() == []
+    assert service.orchestrator.running() == set()
+    assert len(all_sinks) >= 3, "reload storm never rebuilt the pipeline"
+
+    print(
+        f"\nsoak: {len(delivered)} rows in {elapsed:.1f}s "
+        f"({len(delivered) / elapsed:.0f} rows/s sustained), "
+        f"{len(all_sinks)} sink generations, DLQ drained"
+    )
