@@ -61,6 +61,26 @@ def main() -> int:
     problems = service.start()
     print(f"service up (config problems: {problems}); running {run_seconds}s")
     try:
+        # serve the control plane + dashboard while the pollers run:
+        # http://127.0.0.1:8080/ui  (dashboard / environments /
+        # deadletters / logs views over the JSON API)
+        try:
+            import threading
+
+            from trignis_spark.api import create_app
+
+            app = create_app(
+                service.state, service.dlq, service.pauses,
+                replayer=service.replayer, health_service=service.health,
+                environments=service._envs_snapshot,
+            )
+            threading.Thread(
+                target=lambda: app.run(port=8080, use_reloader=False),
+                daemon=True,
+            ).start()
+            print("dashboard: http://127.0.0.1:8080/ui")
+        except Exception as e:  # flask absent → service still runs
+            print(f"dashboard unavailable: {e}")
         time.sleep(run_seconds)
     finally:
         service.stop()

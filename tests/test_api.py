@@ -317,3 +317,37 @@ def test_logs_merge_filter_paginate(rig, tmp_path):
     # no log dir → empty shape, not an error
     none = create_app(rig.state, rig.dlq, rig.pauses).test_client()
     assert none.get("/ui/api/logs").get_json()["total"] == 0
+
+
+# -- dashboard views (round-4 HTML layer over the JSON API) ----------------
+
+
+def test_ui_views_render_and_reference_live_endpoints(rig):
+    client = rig.app.test_client()
+    for view, marker in [
+        ("/ui", "/ui/api/overview"),
+        ("/ui/environments", "/ui/api/environments"),
+        ("/ui/deadletters", "/ui/api/deadletters"),
+        ("/ui/logs", "/ui/api/logs"),
+    ]:
+        r = client.get(view)
+        assert r.status_code == 200, view
+        html = r.get_data(as_text=True)
+        assert html.startswith("<!DOCTYPE html>")
+        assert marker in html, f"{view} does not fetch {marker}"
+        # every fetch target the page references must exist in the app
+        import re
+
+        for url in re.findall(r'[JP]\("(/[^"?]+)', html):
+            probe = url.replace('" + id + "', "1")
+            resolved = any(
+                rule.rule.split("<")[0].rstrip("/")
+                and probe.startswith(rule.rule.split("<")[0].rstrip("/"))
+                for rule in rig.app.url_map.iter_rules()
+            )
+            assert resolved, f"{view} fetches unknown endpoint {probe}"
+
+
+def test_ui_unknown_view_404s(rig):
+    r = rig.app.test_client().get("/ui/nope")
+    assert r.status_code == 404

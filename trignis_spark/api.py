@@ -495,4 +495,18 @@ def create_app(
             ]
         )
 
+    # -- dashboard views (reference Source/ui/views/*) ---------------------
+
+    from trignis_spark import ui as _ui
+
+    @app.get("/ui")
+    def ui_dashboard():
+        return _ui.PAGES["dashboard"]()
+
+    @app.get("/ui/<view>")
+    def ui_view(view):
+        if view not in _ui.PAGES:
+            return jsonify({"error": "Unknown view", "view": view}), 404
+        return _ui.PAGES[view]()
+
     return app
