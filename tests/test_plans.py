@@ -174,3 +174,46 @@ def test_kmeans_seed_has_no_global_window(spark):
     plan = seed._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "TakeOrdered" in plan, plan
+
+
+def test_scaled_near_dup_variants_never_cartesian(spark):
+    docs = load(spark, SF, "documents")
+    assert_no_cartesian_product(dd.simhash_wide_pairs(docs))
+    assert_no_cartesian_product(
+        q.QUERIES["dedup_embedding_cosine_scaled"](spark, SF)
+    )
+    assert_no_cartesian_product(q.QUERIES["ann_ivf_nprobe_sweep"](spark, SF))
+
+
+def test_chunked_sessionize_has_no_user_only_window(spark):
+    """The scale property as a plan assertion: every window in the
+    chunked sessionize partitions by (user, chunk) or runs over the
+    per-chunk summary — no ordered window keyed on user_id alone over
+    the raw events (the bot-user funnel)."""
+    from trignis_spark.operators.sessions import sessionize_chunked
+
+    ev = load(spark, SF, "events")
+    plan = sessionize_chunked(ev)._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the chunked sessionize plan"
+    for spec in specs:
+        # every window keyed on the user must also carry the chunk key
+        # (as partition key for the raw-event windows, as the ordering
+        # key for the per-chunk summary stitch)
+        if "user_id" in spec:
+            assert "_chunk" in spec, f"user-only window over events: {spec}"
+
+
+def test_chunked_running_sum_windows_include_chunk(spark):
+    df = q.QUERIES["corpus_pack_sequences_scaled"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]+)\)", plan)
+    assert specs, "expected window specs in the packing plan"
+    # raw-row windows must carry the sub-chunk key; the only window
+    # without it is the O(chunks) summary stitch
+    raw = [s for s in specs if "_hchunk" in s]
+    assert raw, f"no sub-chunked window found: {specs}"
