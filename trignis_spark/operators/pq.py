@@ -1,0 +1,191 @@
+"""Product quantization (PQ) for embedding columns — the compression
+half of IVF-PQ, the standard memory/scale technique for billion-vector
+ANN (Jégou et al., "Product Quantization for Nearest Neighbor Search").
+
+The embedding space is split into ``m`` contiguous subspaces; each
+subspace gets its own small k-means codebook, and a vector is stored as
+``m`` one-byte codes instead of ``dim`` floats (here 64 floats → m
+codes: a 32× compression at m=8/k≤256). Search uses asymmetric distance
+computation (ADC): the query stays exact, a per-query lookup table of
+``m × k`` partial dot products is built once, and scoring a database
+vector is ``m`` table lookups — no float vector ever touched.
+
+Scale shape: training is per-(subspace, cluster, component) partial
+aggregation (cardinality m·k·dim/m = k·dim, corpus-independent);
+encoding is a broadcast-codebook map-side argmin; ADC scoring joins the
+(m·k)-row LUT — broadcast — against the codes table and partial-aggs
+the per-(query, vector) sum. The corpus is never shuffled by any stage.
+
+Determinism (oracle rules): first-k-by-vec_id init, fixed-point decimal
+mean accumulation, argmin ties to the lowest cid, ADC sums accumulate
+in decimal — every stage replays exactly in DuckDB SQL
+(``queries_ext.emb_pq_codebook`` / ``ann_pq_topk``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from trignis_spark.operators.kmeans import _ACC, _SQDIST, _as_double_vec
+
+#: partial dot product of two equal-length double arrays
+_SUBDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def split_subvectors(embeddings: DataFrame, m: int,
+                     emb_col: str = "embedding") -> DataFrame:
+    """(vec_id, sub, subv): contiguous equal slices of the embedding.
+    Requires dim % m == 0 (checked lazily by slice bounds)."""
+    vecs = _as_double_vec(embeddings, emb_col)
+    subs = F.explode(
+        F.expr(
+            f"transform(sequence(0, {m - 1}), "
+            f"s -> named_struct('sub', s, "
+            f"'subv', slice(v, s * (size(v) div {m}) + 1, size(v) div {m})))"
+        )
+    ).alias("s")
+    return vecs.select("vec_id", subs).select(
+        "vec_id", F.col("s.sub").alias("sub"), F.col("s.subv").alias("subv")
+    )
+
+
+def init_codebook(embeddings: DataFrame, m: int, k: int,
+                  emb_col: str = "embedding") -> DataFrame:
+    """Seed: the k lowest-vec_id vectors' slices become centroids 0..k-1
+    in every subspace (distributed TakeOrdered, no global window)."""
+    vecs = _as_double_vec(embeddings, emb_col)
+    top = vecs.orderBy("vec_id").limit(k)
+    packed = top.agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("s")
+    )
+    seeds = packed.select(F.posexplode("s").alias("cid", "sv")).select(
+        F.col("cid").cast("int").alias("cid"), F.col("sv.v").alias("v")
+    )
+    subs = F.explode(
+        F.expr(
+            f"transform(sequence(0, {m - 1}), "
+            f"s -> named_struct('sub', s, "
+            f"'cvec', slice(v, s * (size(v) div {m}) + 1, size(v) div {m})))"
+        )
+    ).alias("s")
+    return seeds.select("cid", subs).select(
+        F.col("s.sub").alias("sub"), "cid", F.col("s.cvec").alias("cvec")
+    )
+
+
+def assign_codes(subvecs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, sub, cid): nearest centroid per subspace (squared L2,
+    ties to the lowest cid). Broadcast codebook → map-side argmin."""
+    scored = subvecs.join(F.broadcast(codebook), "sub").withColumn(
+        "d2", F.expr(_SQDIST.format(a="subv", b="cvec"))
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "sub", "cid")
+    )
+
+
+def _update(subvecs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """One grouped Lloyd round across all subspaces at once."""
+    assigned = assign_codes(subvecs, codebook).join(
+        subvecs, ["vec_id", "sub"]
+    )
+    comp = assigned.select("sub", "cid", F.posexplode("subv").alias("pos", "x"))
+    means = (
+        comp.groupBy("sub", "cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast(_ACC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mval")
+        )
+        .groupBy("sub", "cid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, mval))), "
+                "s -> s.mval)"
+            ).alias("cvec")
+        )
+    )
+    return (
+        codebook.select("sub", "cid", F.col("cvec").alias("_old"))
+        .join(means, ["sub", "cid"], "left")
+        .select("sub", "cid", F.coalesce("cvec", "_old").alias("cvec"))
+    )
+
+
+def train_pq(embeddings: DataFrame, m: int = 8, k: int = 16,
+             iters: int = 2, emb_col: str = "embedding") -> DataFrame:
+    """Train the m per-subspace codebooks jointly (one grouped plan per
+    Lloyd round — the m k-means problems share every shuffle). Returns
+    (sub INT, cid INT, cvec ARRAY<DOUBLE>)."""
+    subvecs = split_subvectors(embeddings, m, emb_col).localCheckpoint(
+        eager=True
+    )
+    codebook = init_codebook(embeddings, m, k, emb_col).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iters):
+        codebook = _update(subvecs, codebook).localCheckpoint(eager=True)
+    return codebook
+
+
+def encode_pq(embeddings: DataFrame, codebook: DataFrame, m: int,
+              emb_col: str = "embedding") -> DataFrame:
+    """(vec_id, sub, code): the PQ code per subspace — the compressed
+    representation stored at scale (m bytes/vector)."""
+    subvecs = split_subvectors(embeddings, m, emb_col)
+    return assign_codes(subvecs, codebook).withColumnRenamed("cid", "code")
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    query_pred: str = "vec_id % 100 = 0",
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k: exact query subvectors against PQ codes.
+
+    LUT = (query, sub, cid) partial dots (m·k rows per query —
+    broadcast); scoring joins codes to the LUT and sums the m partials
+    per (query, vector) in fixed-point decimal (order-independent, so
+    the SQL oracle matches bit-for-bit). Returns (query_id, neighbor_id,
+    rank) ranked by approximate dot, ties to the lowest neighbor."""
+    codes = encode_pq(embeddings, codebook, m)
+    qsubs = (
+        split_subvectors(embeddings, m)
+        .join(
+            embeddings.filter(F.expr(query_pred)).select("vec_id"),
+            "vec_id",
+        )
+        .select(F.col("vec_id").alias("query_id"), "sub", "subv")
+    )
+    lut = qsubs.join(F.broadcast(codebook), "sub").select(
+        "query_id",
+        "sub",
+        F.col("cid").alias("code"),
+        F.expr(_SUBDOT.format(a="subv", b="cvec")).alias("pdot"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum(F.col("pdot").cast(_ACC)).cast("double").alias("adot")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1199,6 +1199,164 @@ def emb_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Product quantization (PQ): codebook training + ADC search (IVF-PQ's
+# compression half), both fully oracle-replayed
+# --------------------------------------------------------------------------
+
+_PQ_M = 2  # subspaces (dim 64 → two 32-d halves; small so the oracle unrolls)
+_PQ_K = 4
+
+_PQ_SUBS = f"(SELECT unnest(range({_PQ_M})) AS sub)"
+
+# subvector slice of a list column: contiguous equal splits, 1-based ends
+_PQ_SLICE = "{v}[{s} * (len({v}) // " + str(_PQ_M) + ") + 1 : " \
+    "({s} + 1) * (len({v}) // " + str(_PQ_M) + ")]"
+
+
+def _pq_assign_sql(sv: str, cents: str) -> str:
+    """Grouped argmin per (vec, subspace), ties to the lowest cid."""
+    return f"""
+      SELECT vec_id, sub, cid FROM (
+        SELECT {sv}.vec_id, {sv}.sub, {cents}.cid,
+               row_number() OVER (
+                 PARTITION BY {sv}.vec_id, {sv}.sub
+                 ORDER BY {_DSQ.format(a=f'{sv}.subv', b=f'{cents}.cvec')},
+                          {cents}.cid) AS rn
+        FROM {sv} JOIN {cents} ON {cents}.sub = {sv}.sub) WHERE rn = 1
+    """
+
+
+def _pq_update_sql(assign: str, cents: str) -> str:
+    return f"""
+      SELECT {cents}.sub, {cents}.cid, coalesce(mm.cvec, {cents}.cvec) AS cvec
+      FROM {cents} LEFT JOIN (
+        SELECT sub, cid, list(mv ORDER BY pos) AS cvec FROM (
+          SELECT sub, cid, pos,
+                 CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS mv
+          FROM (
+            SELECT a.sub, a.cid,
+                   unnest(generate_series(0, len(sv.subv) - 1)) AS pos,
+                   unnest(sv.subv) AS x
+            FROM ({assign}) a
+            JOIN sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub)
+          GROUP BY sub, cid, pos)
+        GROUP BY sub, cid) mm
+      ON mm.sub = {cents}.sub AND mm.cid = {cents}.cid
+    """
+
+
+_PQ_TRAIN_CTES = f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sv AS (
+      SELECT e.vec_id, s.sub, {_PQ_SLICE.format(v='e.v', s='s.sub')} AS subv
+      FROM e, {_PQ_SUBS} s),
+    seed AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+      FROM e ORDER BY vec_id LIMIT {_PQ_K}),
+    c0 AS (
+      SELECT s.sub, seed.cid,
+             {_PQ_SLICE.format(v='seed.v', s='s.sub')} AS cvec
+      FROM seed, {_PQ_SUBS} s),
+    c1 AS ({_pq_update_sql(_pq_assign_sql('sv', 'c0'), 'c0')}),
+    c2 AS ({_pq_update_sql(_pq_assign_sql('sv', 'c1'), 'c1')})
+"""
+
+
+@register(
+    "emb_pq_codebook",
+    f"""
+    WITH {_PQ_TRAIN_CTES},
+    sizes AS (
+      SELECT sub, cid, count(*) AS n_members
+      FROM ({_pq_assign_sql('sv', 'c2')}) GROUP BY sub, cid)
+    SELECT CAST(c2.sub AS BIGINT) AS sub, CAST(c2.cid AS BIGINT) AS cid,
+           CAST(t.pos AS BIGINT) AS pos,
+           round(c2.cvec[t.pos + 1], 9) AS centroid_val,
+           CAST(coalesce(sizes.n_members, 0) AS BIGINT) AS n_members
+    FROM c2
+    LEFT JOIN sizes ON sizes.sub = c2.sub AND sizes.cid = c2.cid,
+    LATERAL (SELECT unnest(generate_series(0, len(c2.cvec) - 1)) AS pos) t
+    ORDER BY sub, cid, pos
+    """,
+)
+def emb_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training as an oracle-checked
+    query: two grouped Lloyd rounds over every subspace at once (the m
+    k-means problems share each round's shuffles), k=4 per 32-d half.
+    Same determinism contract as emb_kmeans_quantizer — first-k init,
+    fixed-point means, lowest-cid ties — so per-(subspace, cluster,
+    component) centroids match the chained-CTE oracle bit-for-bit."""
+    from trignis_spark.operators import pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq.train_pq(emb, m=_PQ_M, k=_PQ_K, iters=2)
+    sizes = (
+        pq.assign_codes(pq.split_subvectors(emb, _PQ_M), cb)
+        .groupBy("sub", "cid")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    return (
+        cb.select("sub", "cid", F.posexplode("cvec").alias("pos", "cv"))
+        .join(sizes, ["sub", "cid"], "left")
+        .select(
+            F.col("sub").cast("long").alias("sub"),
+            F.col("cid").cast("long").alias("cid"),
+            F.col("pos").cast("long").alias("pos"),
+            F.round("cv", 9).alias("centroid_val"),
+            F.coalesce("n_members", F.lit(0)).cast("long")
+            .alias("n_members"),
+        )
+        .orderBy("sub", "cid", "pos")
+    )
+
+
+@register(
+    "ann_pq_topk",
+    f"""
+    WITH {_PQ_TRAIN_CTES},
+    codes AS ({_pq_assign_sql('sv', 'c2')}),
+    q AS (SELECT vec_id AS query_id FROM e WHERE vec_id % 100 = 0),
+    qsub AS (
+      SELECT q.query_id, sv.sub, sv.subv
+      FROM sv JOIN q ON sv.vec_id = q.query_id),
+    lut AS (
+      SELECT qsub.query_id, qsub.sub, c2.cid AS code,
+             {{ddot}} AS pdot
+      FROM qsub JOIN c2 ON c2.sub = qsub.sub),
+    s AS (
+      SELECT l.query_id, codes.vec_id AS neighbor_id,
+             CAST(sum(CAST(l.pdot AS DECIMAL(30,12))) AS DOUBLE) AS adot
+      FROM codes
+      JOIN lut l ON l.sub = codes.sub AND l.code = codes.cid
+      WHERE codes.vec_id <> l.query_id
+      GROUP BY l.query_id, codes.vec_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adot DESC, neighbor_id) AS rank
+      FROM s) WHERE rank <= 10
+    """.format(
+        ddot="list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(qsub.subv, c2.cvec), p -> p[1] * p[2])), "
+        "(x, y) -> x + y)"
+    ),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes: the query stays exact, database vectors
+    are m one-byte codes, and scoring is m LUT lookups summed in
+    fixed-point decimal (order-independent, so the oracle's re-derivation
+    of codebook + codes + LUT ranks identically). At scale the codes
+    table is 32× smaller than the float corpus and the LUT is broadcast
+    (m·k rows per query) — the corpus is never shuffled."""
+    from trignis_spark.operators import pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq.train_pq(emb, m=_PQ_M, k=_PQ_K, iters=2)
+    topk = pq.pq_topk(emb, cb, m=_PQ_M)
+    return topk.withColumn("rank", F.col("rank").cast("long"))
+
+
 @register(
     "corpus_mix_weights",
     """
