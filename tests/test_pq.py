@@ -59,3 +59,44 @@ def test_adc_plan_broadcasts_lut_no_cartesian(spark):
     emb = load(spark, SF, "embeddings")
     cb = pq.train_pq(emb, m=2, k=4, iters=1)
     assert_no_cartesian_product(pq.pq_topk(emb, cb, m=2))
+
+
+def test_ivfpq_with_full_shortlist_equals_exact_cell_search(spark):
+    """Degenerate-equivalence invariant: with an unbounded shortlist the
+    ADC stage only orders candidates, the exact re-rank sees the whole
+    cell, and the cascade must equal the exact IVF search of the same
+    cell (ivf_topk, nprobe=1) pair-for-pair."""
+    emb = load(spark, SF, "embeddings")
+    cb = pq.train_pq(emb, m=2, k=4, iters=1)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in pq.ivfpq_topk(emb, cb, m=2, shortlist=10**6).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in sim.ivf_topk(emb).collect()
+    }
+    assert got == want and got
+
+
+def test_ivfpq_rerank_recovers_adc_ordering_loss(spark):
+    """The re-rank stage must not do worse than raw ADC against the
+    exact in-cell answer: agreement with ivf_topk (the exact search of
+    the same candidate set) is at least as high after exact re-ranking
+    of the top-30 as for the pure-ADC top-10."""
+    emb = load(spark, SF, "embeddings")
+    cb = pq.train_pq(emb, m=M, k=K, iters=2)
+    exact_cell = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ivf_topk(emb).collect()
+    }
+    cascade = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq.ivfpq_topk(emb, cb, m=M, shortlist=30).collect()
+    }
+    adc10 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq.ivfpq_topk(emb, cb, m=M, shortlist=10).collect()
+    }
+    assert len(cascade & exact_cell) >= len(adc10 & exact_cell)
+    assert len(cascade & exact_cell) / len(exact_cell) >= 0.5

@@ -144,6 +144,126 @@ def encode_pq(embeddings: DataFrame, codebook: DataFrame, m: int,
     return assign_codes(subvecs, codebook).withColumnRenamed("cid", "code")
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    n_buckets: int = 16,
+    nprobe: int = 1,
+    shortlist: int = 30,
+    k: int = 10,
+    query_pred: str = "vec_id % 100 = 0",
+) -> DataFrame:
+    """The full production ANN stack in one plan: IVF coarse filter →
+    ADC shortlist over PQ codes → exact re-rank of the shortlist.
+
+    1. Candidates = vectors sharing the query's coarse cell (plus
+       ``nprobe - 1`` Hamming-1 neighbor cells) — the corpus-size cut.
+    2. Candidates are ranked by asymmetric distance over their m byte
+       codes (broadcast LUT, fixed-point sums) and the top ``shortlist``
+       survive — the memory-bandwidth cut: only codes are touched.
+    3. The shortlist joins back to the float vectors for exact cosine
+       and the final top ``k`` — the precision-restoring re-rank, sized
+       ``shortlist ≪ cell population``.
+
+    Every stage is deterministic (sign-pattern cells, decimal ADC sums,
+    lowest-id ties), so the whole cascade replays in SQL
+    (``ann_ivfpq_topk``'s oracle)."""
+    import math
+
+    bits = int(math.log2(n_buckets))
+    bucket = " + ".join(
+        f"(CASE WHEN element_at({{v}}, {i + 1}) >= 0.0D THEN {1 << i} "
+        f"ELSE 0 END)"
+        for i in range(bits)
+    )
+    vecs = _as_double_vec(embeddings, "embedding").withColumn(
+        "n2",
+        F.expr(
+            "aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x)"
+        ),
+    ).withColumn("bucket", F.expr(bucket.format(v="v")))
+    q = vecs.filter(F.expr(query_pred)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+        F.col("bucket").alias("home"),
+    )
+    flips = [F.col("home")] + [
+        F.col("home").bitwiseXOR(F.lit(1 << i))
+        for i in range(max(0, nprobe - 1))
+    ]
+    qb = q.withColumn("qbucket", F.explode(F.array(*flips))).drop("home")
+    cand = (
+        vecs.select("vec_id", "bucket")
+        .join(
+            F.broadcast(qb.select("query_id", "qbucket")),
+            F.col("bucket") == F.col("qbucket"),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    codes = encode_pq(embeddings, codebook, m)
+    lut = (
+        q.select("query_id", "qv")
+        .join(
+            F.broadcast(
+                split_subvectors(embeddings, m).select(
+                    F.col("vec_id").alias("query_id"), "sub", "subv"
+                )
+            ),
+            "query_id",
+        )
+        .join(F.broadcast(codebook), "sub")
+        .select(
+            "query_id",
+            "sub",
+            F.col("cid").alias("code"),
+            F.expr(_SUBDOT.format(a="subv", b="cvec")).alias("pdot"),
+        )
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("pdot").cast(_ACC)).cast("double").alias("adot"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("adot"), F.asc("neighbor_id")
+    )
+    short = (
+        adc.withColumn("_srn", F.row_number().over(ws))
+        .filter(F.col("_srn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    x = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("xv"),
+        F.col("n2").alias("xn2"),
+    )
+    exact = (
+        short.join(x, "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qv", "qn2")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.expr(_SUBDOT.format(a="qv", b="xv"))
+                / F.sqrt(F.col("qn2") * F.col("xn2"))
+            ).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     codebook: DataFrame,

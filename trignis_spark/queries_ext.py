@@ -33,7 +33,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trignis_spark.operators import sessions as sess
-from trignis_spark.queries import _DEC, _DJACCARD, _DSH_TABLE, _DTOK, register
+from trignis_spark.queries import (
+    _DDOT,
+    _DEC,
+    _DJACCARD,
+    _DNORM2,
+    _DSH_TABLE,
+    _DTOK,
+    _IVF_BUCKET,
+    register,
+)
 from trignis_spark.tables import load
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -1354,6 +1363,68 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     cb = pq.train_pq(emb, m=_PQ_M, k=_PQ_K, iters=2)
     topk = pq.pq_topk(emb, cb, m=_PQ_M)
+    return topk.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "ann_ivfpq_topk",
+    f"""
+    WITH {_PQ_TRAIN_CTES},
+    codes AS ({_pq_assign_sql('sv', 'c2')}),
+    n AS (SELECT vec_id, v, {_DNORM2.format(a='v')} AS n2,
+                 {_IVF_BUCKET.format(v='v')} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2, bucket AS qbucket
+          FROM n WHERE vec_id % 100 = 0),
+    cand AS (
+      SELECT q.query_id, n.vec_id
+      FROM q JOIN n ON n.bucket = q.qbucket AND n.vec_id <> q.query_id),
+    qsub AS (
+      SELECT q.query_id, sv.sub, sv.subv
+      FROM sv JOIN q ON sv.vec_id = q.query_id),
+    lut AS (
+      SELECT qsub.query_id, qsub.sub, c2.cid AS code,
+             {_DDOT.format(a='qsub.subv', b='c2.cvec')} AS pdot
+      FROM qsub JOIN c2 ON c2.sub = qsub.sub),
+    adc AS (
+      SELECT c.query_id, c.vec_id AS neighbor_id,
+             CAST(sum(CAST(l.pdot AS DECIMAL(30,12))) AS DOUBLE) AS adot
+      FROM cand c
+      JOIN codes ON codes.vec_id = c.vec_id
+      JOIN lut l ON l.query_id = c.query_id AND l.sub = codes.sub
+                AND l.code = codes.cid
+      GROUP BY c.query_id, c.vec_id),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adot DESC, neighbor_id) AS srn
+        FROM adc) WHERE srn <= 30),
+    ex AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_DDOT.format(a='q.qv', b='x.v')} / sqrt(q.qn2 * x.n2) AS cos
+      FROM short s
+      JOIN n x ON x.vec_id = s.neighbor_id
+      JOIN q ON q.query_id = s.query_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM ex) WHERE rank <= 10
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN cascade, oracle-checked end to end: IVF coarse
+    cell filter → ADC ranking over PQ byte codes → exact re-rank of the
+    top-30 shortlist → top-10. Per-query cost is O(cell population) code
+    lookups plus 30 exact dot products — the float corpus is only
+    touched for the shortlist, and nothing shuffles the corpus. All
+    three stages are deterministic, so the DuckDB oracle replays the
+    entire cascade (training included) and the value hash pins it."""
+    from trignis_spark.operators import pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq.train_pq(emb, m=_PQ_M, k=_PQ_K, iters=2)
+    topk = pq.ivfpq_topk(emb, cb, m=_PQ_M, nprobe=1, shortlist=30)
     return topk.withColumn("rank", F.col("rank").cast("long"))
 
 
