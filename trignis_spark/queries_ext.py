@@ -1209,6 +1209,82 @@ def emb_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact order statistics + histograms (distribution profiling)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_exact_percentiles",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per event type — the
+    latency/size distribution profile an operator reads before setting
+    thresholds. Both engines use the same ``p·(n-1)`` lerp, so the
+    doubles match bit-for-bit (verified, no rounding needed). Exact
+    percentile is a sort-based aggregate — fine per group at any scale
+    because groups partition the data; for single-group global
+    percentiles at 100 TB switch to approx_percentile and re-rank the
+    boundary."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("percentile(value, 0.5D)").alias("p50"),
+            F.expr("percentile(value, 0.9D)").alias("p90"),
+            F.expr("percentile(value, 0.99D)").alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_HIST_STEP = 25.0
+
+
+@register(
+    "agg_value_histogram",
+    f"""
+    SELECT event_type,
+           CAST(floor(value / {_HIST_STEP}) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT)
+             AS cents_total
+    FROM events
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per event type (integer-exact bucket totals
+    — floats are bucketed by floor division and summed as cents so both
+    engines agree exactly). One partial-agged shuffle; output bounded by
+    #types × #buckets regardless of corpus size."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(_HIST_STEP)).cast("long")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr("CAST(floor(value * 100.0) AS BIGINT)"))
+            .cast("long")
+            .alias("cents_total"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+# --------------------------------------------------------------------------
 # Product quantization (PQ): codebook training + ADC search (IVF-PQ's
 # compression half), both fully oracle-replayed
 # --------------------------------------------------------------------------
