@@ -1209,6 +1209,130 @@ def emb_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BM25-style retrieval scoring (rational-idf variant, transcendental-free)
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("data", "join", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+#: rational idf — (N - df + 0.5) / (df + 0.5), the BM25 idf argument
+#: *without* the log: monotone in the same direction, and free of the
+#: transcendental whose last-ulp differs between engines (ln mismatches
+#: measured in 22/500 cases), so scores match bit-for-bit.
+_BM25_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(CAST(dl AS DECIMAL(20,0))) AS DOUBLE)
+               / count(*) AS avgdl
+      FROM lens),
+    terms AS (SELECT unnest(['{"', '".join(_BM25_TERMS)}']) AS term),
+    tf AS (
+      SELECT doc_id, tok AS term, count(*) AS tf
+      FROM toks WHERE tok IN (SELECT term FROM terms)
+      GROUP BY doc_id, tok),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+             (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+             / (CAST(tf.tf AS DOUBLE) + {_BM25_K1}
+                * (1.0 - {_BM25_B}
+                   + {_BM25_B} * (CAST(lens.dl AS DOUBLE) / stats.avgdl)))
+             * ((stats.n_docs - CAST(df.df AS DOUBLE) + 0.5)
+                / (CAST(df.df AS DOUBLE) + 0.5)) AS c
+      FROM tf
+      JOIN lens ON lens.doc_id = tf.doc_id
+      JOIN df ON df.term = tf.term
+      CROSS JOIN stats),
+    scored AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(c ORDER BY term)),
+                         (a, b) -> a + b) AS score
+      FROM contrib GROUP BY doc_id)
+    SELECT doc_id, round(score, 9) AS score
+    FROM scored ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+@register("text_bm25_topk", _BM25_SQL)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (rational-idf variant) for a fixed query
+    over the documents table — the lexical-search half of a retrieval
+    stack next to the ANN queries. The idf keeps BM25's
+    ``(N - df + ½)/(df + ½)`` argument un-logged: monotone the same
+    way, but free of the transcendental whose final ulp differs between
+    engines, so every double matches the oracle exactly (round(9) as
+    ulp insurance only on the emitted score). Per-term sums accumulate
+    over ≤|terms| values through one identical expression tree.
+
+    Scale shape: tf is one (doc, term) partial-agged groupBy over the
+    token explode *pre-filtered to the query terms* (the explode never
+    materializes the full vocabulary); df and the length stats are
+    tiny broadcast frames; scoring is map-side."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("split(lower(text), ' ')")).alias("tok"),
+    )
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(20,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(lens, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(_BM25_K1)
+                    * (
+                        F.lit(1.0 - _BM25_B)
+                        + F.lit(_BM25_B)
+                        * (F.col("dl").cast("double") / F.col("avgdl"))
+                    )
+                )
+                * (
+                    (F.col("n_docs") - F.col("df").cast("double") + F.lit(0.5))
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                )
+            ).alias("c"),
+        )
+    )
+    # term-sorted fold, not an unordered SUM: 3 addends are enough for
+    # engine-dependent association to break the value hash
+    scored = contrib.groupBy("doc_id").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(term, c))), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.c)"
+        ).alias("score")
+    )
+    return (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round("score", 9).alias("score"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Exact order statistics + histograms (distribution profiling)
 # --------------------------------------------------------------------------
 
