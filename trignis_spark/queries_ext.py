@@ -1209,6 +1209,98 @@ def emb_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE merge learning (tokenizer training over the corpus)
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_pairs_sql(s: str) -> str:
+    return f"""
+      SELECT p.l AS l, p.r AS r, sum(p.freq) AS n FROM (
+        SELECT s.freq,
+               string_split(s.sym, '|')[t.i] AS l,
+               string_split(s.sym, '|')[t.i + 1] AS r
+        FROM {s} s,
+        LATERAL (SELECT unnest(generate_series(
+                   1, len(string_split(s.sym, '|')) - 1)) AS i) t) p
+      GROUP BY p.l, p.r
+    """
+
+
+def _bpe_apply_sql(s: str, m: str) -> str:
+    return f"""
+      SELECT substr(list_reduce(
+               list_prepend('', string_split(s.sym, '|')),
+               (acc, x) -> CASE
+                 WHEN x = {m}.r
+                  AND right(acc, length({m}.l) + 1) = '|' || {m}.l
+                 THEN substr(acc, 1, length(acc) - length({m}.l) - 1)
+                      || '|' || {m}.l || {m}.r
+                 ELSE acc || '|' || x END), 2) AS sym,
+             s.freq
+      FROM {s} s, {m}
+    """
+
+
+def _bpe_sql() -> str:
+    ctes = [
+        """w AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(text), ' +')) AS w
+        FROM documents)
+      WHERE w <> '' AND w NOT LIKE '%|%' AND w NOT LIKE '%''%'
+        AND w NOT LIKE '%\\%'
+      GROUP BY w)""",
+        "s0 AS (SELECT array_to_string(string_split(w, ''), '|') AS sym, "
+        "freq FROM w)",
+    ]
+    selects = []
+    for i in range(1, _BPE_ROUNDS + 1):
+        ctes.append(
+            f"m{i} AS (SELECT l, r, n FROM ({_bpe_pairs_sql(f's{i - 1}')}) "
+            f"ORDER BY n DESC, l, r LIMIT 1)"
+        )
+        if i < _BPE_ROUNDS:
+            ctes.append(f"s{i} AS ({_bpe_apply_sql(f's{i - 1}', f'm{i}')})")
+        selects.append(
+            f"SELECT {i} AS merge_no, l AS merge_left, r AS merge_right, "
+            f"CAST(n AS BIGINT) AS pair_count FROM m{i}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + " UNION ALL ".join(selects) + " ORDER BY merge_no"
+    )
+
+
+@register("text_bpe_merges", _bpe_sql())
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first 3 merge rules over the corpus:
+    per round, corpus-frequency-weighted adjacent-pair counts over the
+    *distinct-word* table (corpus size only enters the initial word
+    count — the standard trick), argmax with lexicographic tie-break,
+    greedy left-to-right merge application as a map-only string fold.
+    The oracle unrolls the same rounds as chained CTEs, including the
+    fold (both engines evaluate the identical accumulator expression).
+
+    Scale shape per round: one explode+groupBy shuffle bounded by the
+    pair vocabulary, a TakeOrdered(1), and a map-only rewrite; the
+    learned rule is the only thing that ever touches the driver."""
+    from trignis_spark.operators import bpe
+
+    docs = load(spark, sf_dir, "documents")
+    rules = bpe.learn_merges(docs, _BPE_ROUNDS)
+    return spark.createDataFrame(
+        [
+            (i + 1, left, right, int(n))
+            for i, (left, right, n) in enumerate(rules)
+        ],
+        "merge_no int, merge_left string, merge_right string, "
+        "pair_count long",
+    ).orderBy("merge_no")
+
+
+# --------------------------------------------------------------------------
 # BM25-style retrieval scoring (rational-idf variant, transcendental-free)
 # --------------------------------------------------------------------------
 
