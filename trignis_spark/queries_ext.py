@@ -1300,6 +1300,74 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_no")
 
 
+def _bpe_encode_sql() -> str:
+    # the training CTE chain, extended by one final application (s3) and
+    # a corpus-level rollup: token counts before/after the learned
+    # merges = the compression the tokenizer buys at this vocab delta
+    ctes = [
+        """w AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(string_split_regex(lower(text), ' +')) AS w
+        FROM documents)
+      WHERE w <> '' AND w NOT LIKE '%|%' AND w NOT LIKE '%''%'
+        AND w NOT LIKE '%\\%'
+      GROUP BY w)""",
+        "s0 AS (SELECT array_to_string(string_split(w, ''), '|') AS sym, "
+        "freq FROM w)",
+    ]
+    for i in range(1, _BPE_ROUNDS + 1):
+        ctes.append(
+            f"m{i} AS (SELECT l, r, n FROM ({_bpe_pairs_sql(f's{i - 1}')}) "
+            f"ORDER BY n DESC, l, r LIMIT 1)"
+        )
+        ctes.append(f"s{i} AS ({_bpe_apply_sql(f's{i - 1}', f'm{i}')})")
+    last = f"s{_BPE_ROUNDS}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT
+      CAST((SELECT sum(len(string_split(sym, '|')) * freq) FROM s0)
+           AS BIGINT) AS chars_total,
+      CAST((SELECT sum(len(string_split(sym, '|')) * freq) FROM {last})
+           AS BIGINT) AS tokens_total,
+      CAST((SELECT count(DISTINCT u.s) FROM (
+              SELECT unnest(string_split(sym, '|')) AS s FROM {last}) u)
+           AS BIGINT) AS vocab_size
+    """
+    )
+
+
+@register("text_bpe_encode_stats", _bpe_encode_sql())
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff of the learned merges, measured: corpus token count
+    before (characters) and after applying the learned rules, plus the
+    resulting symbol-vocabulary size. Encoding is the same map-only
+    fold as training's apply step; the rollup is two tiny aggregates
+    over the distinct-word table."""
+    from trignis_spark.operators import bpe
+
+    docs = load(spark, sf_dir, "documents")
+    words = bpe.word_table(docs)
+    s = bpe.to_symbols(words).localCheckpoint(eager=True)
+    chars_total = s.agg(
+        F.sum(F.expr("size(split(sym, '[|]')) * freq")).cast("long")
+    ).first()[0]
+    for left, right, _n in bpe.learn_merges(docs, _BPE_ROUNDS):
+        s = bpe.apply_merge(s, left, right).localCheckpoint(eager=True)
+    out = s.agg(
+        F.sum(F.expr("size(split(sym, '[|]')) * freq"))
+        .cast("long")
+        .alias("tokens_total"),
+    ).crossJoin(
+        s.select(F.explode(F.expr("split(sym, '[|]')")).alias("t"))
+        .agg(F.countDistinct("t").cast("long").alias("vocab_size"))
+    )
+    return out.select(
+        F.lit(chars_total).cast("long").alias("chars_total"),
+        "tokens_total",
+        "vocab_size",
+    )
+
+
 # --------------------------------------------------------------------------
 # BM25-style retrieval scoring (rational-idf variant, transcendental-free)
 # --------------------------------------------------------------------------
