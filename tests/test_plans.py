@@ -217,3 +217,19 @@ def test_chunked_running_sum_windows_include_chunk(spark):
     # without it is the O(chunks) summary stitch
     raw = [s for s in specs if "_hchunk" in s]
     assert raw, f"no sub-chunked window found: {specs}"
+
+
+def test_retrieval_and_tokenizer_queries_plan_shapes(spark):
+    """Round-4 retrieval/tokenizer additions: no cartesian anywhere; the
+    only non-hash join allowed is the broadcast of a 1-row stats frame
+    (BM25's avgdl/n_docs); no single-partition global window (top-k is
+    a distributed TakeOrdered)."""
+    for name in ("text_bm25_topk", "ann_ivfpq_topk", "ann_pq_topk",
+                 "text_bpe_merges", "agg_exact_percentiles"):
+        df = q.QUERIES[name](spark, SF)
+        assert_no_cartesian_product(df)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowExec: No Partition Defined" not in plan
+    bm25 = q.QUERIES["text_bm25_topk"](spark, SF)
+    plan = bm25._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan  # global top-20 without a global window
