@@ -66,10 +66,11 @@ def register_views(con, sf_dir: str) -> None:
 def check_one(spark, con, sf_dir, fn, oracle):
     """Run one registered query on Spark and its oracle on DuckDB and
     compare. Returns (status, problems): status in {'pass','weak'} and
-    problems a list of human-readable mismatch strings (empty = green).
-    'weak' = no oracle registered, rows-only check (query must at least
-    execute). Spark/DuckDB errors surface as problems, not exceptions —
-    same contract as the driver's gate."""
+    problems a list of human-readable mismatch strings (empty = green);
+    pass/weak statuses carry the row count as 'pass:N'. 'weak' = no
+    oracle registered, rows-only check (query must at least execute).
+    Spark/DuckDB errors surface as problems, not exceptions — same
+    contract as the driver's gate."""
     try:
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
@@ -77,7 +78,7 @@ def check_one(spark, con, sf_dir, fn, oracle):
     except Exception as e:  # noqa: BLE001
         return "fail", [f"spark error: {e}"]
     if oracle is None:
-        return "weak", []
+        return f"weak:{len(srows)}", []
     try:
         rel = con.sql(oracle)
         ocols = [d[0] for d in rel.description]
@@ -100,7 +101,7 @@ def check_one(spark, con, sf_dir, fn, oracle):
             problems.append(
                 f"values differ; spark-only={extra_s} oracle-only={extra_o}"
             )
-    return ("fail" if problems else "pass"), problems
+    return ("fail" if problems else f"pass:{len(srows)}"), problems
 
 
 def main() -> int:
@@ -128,11 +129,13 @@ def main() -> int:
         if status == "fail":
             print(f"FAIL {name}: " + " | ".join(problems))
             n_fail += 1
-        elif status == "weak":
-            print(f"WEAK {name}: (no oracle, rows-only check) ({dt:.2f}s)")
+        elif status.startswith("weak"):
+            rows = status.split(":", 1)[1]
+            print(f"WEAK {name}: rows={rows} (no oracle, rows-only check) "
+                  f"({dt:.2f}s)")
             n_weak += 1
         else:
-            print(f"PASS {name}: ({dt:.2f}s)")
+            print(f"PASS {name}: rows={status.split(':', 1)[1]} ({dt:.2f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
     return 1 if n_fail else 0
