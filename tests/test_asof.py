@@ -97,3 +97,69 @@ def test_asof_inner_keeps_match_with_null_first_col(spark):
         build_cols=("label", "score"), how="inner",
     ).collect()
     assert len(rows) == 1 and rows[0]["score"] == 5.0
+
+
+def _dir_fixture(spark):
+    probe = spark.createDataFrame(
+        [(1, 10, _t(10)), (2, 10, _t(5)), (3, 10, _t(0)), (4, 10, _t(100)),
+         (5, 10, _t(7))],
+        "pid long, k long, pt timestamp",
+    )
+    build = spark.createDataFrame(
+        [(10, _t(1), "a"), (10, _t(5), "b"), (10, _t(9), "c")],
+        "k long, bt timestamp, label string",
+    )
+    return probe, build
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    probe, build = _dir_fixture(spark)
+    out = {
+        r["pid"]: r["label"]
+        for r in asof_join(
+            probe, build, key="k", probe_time="pt", build_time="bt",
+            build_cols=("label",), direction="forward",
+        ).collect()
+    }
+    assert out[3] == "a"   # next build after t=0
+    assert out[2] == "b"   # equal time counts (>= semantics)
+    assert out[5] == "c"   # t=7 -> next is t=9
+    assert out[1] is None  # nothing after t=10
+    assert out[4] is None
+
+
+def test_asof_nearest_prefers_closer_and_ties_backward(spark):
+    probe, build = _dir_fixture(spark)
+    out = {
+        r["pid"]: r["label"]
+        for r in asof_join(
+            probe, build, key="k", probe_time="pt", build_time="bt",
+            build_cols=("label",), direction="nearest",
+        ).collect()
+    }
+    assert out[5] == "b"   # t=7: 2-min gap both ways -> tie to backward
+    assert out[1] == "c"   # t=10: back gap 1 (c@9) beats fwd none
+    assert out[2] == "b"   # t=5: exact hit is the backward match
+    assert out[3] == "a"   # t=0: only forward exists
+    assert out[4] == "c"   # t=100: only backward exists
+
+
+def test_asof_nearest_tie_goes_backward_and_nulls_fall_through(spark):
+    probe = spark.createDataFrame(
+        [(1, 7, _t(7)), (2, 7, _t(0)), (3, 7, _t(100))],
+        "pid long, k long, pt timestamp",
+    )
+    build = spark.createDataFrame(
+        [(7, _t(5), "b"), (7, _t(9), "c")],
+        "k long, bt timestamp, label string",
+    )
+    out = {
+        r["pid"]: r["label"]
+        for r in asof_join(
+            probe, build, key="k", probe_time="pt", build_time="bt",
+            build_cols=("label",), direction="nearest",
+        ).collect()
+    }
+    assert out[1] == "b"  # equal 2-minute gaps: tie to backward
+    assert out[2] == "b"  # only forward exists (t=0 -> b@5 is forward)
+    assert out[3] == "c"  # only backward exists

@@ -33,14 +33,24 @@ def asof_join(
     build_time: str,
     build_cols: tuple[str, ...],
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each probe row: the build row with the greatest
-    ``build_time <= probe_time`` for the same key.
+    """Per probe row, the matching build row for the same key:
+
+    - ``backward`` (default): greatest ``build_time <= probe_time``;
+    - ``forward``: smallest ``build_time >= probe_time``;
+    - ``nearest``: whichever of the two is closer in time, ties to the
+      backward match (pandas ``merge_asof`` semantics).
 
     Ties at identical ``build_time`` per key must be pre-deduplicated by
     the caller (keep one row per (key, time)) so results are total.
-    ``how='inner'`` drops probe rows with no preceding build row.
+    ``how='inner'`` drops probe rows with no match.
+
+    All directions share one key shuffle; ``nearest`` adds a second sort
+    (not exchange) for the forward-looking window frame.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
     p = probe.withColumn("__side", F.lit(1)).withColumn(
         "__t", F.col(probe_time)
     )
@@ -64,32 +74,70 @@ def asof_join(
     ]
     u = p.select(*cols).unionByName(b.select(*cols))
 
-    # build rows (side 0) sort before probe rows at equal time → "<=" semantics.
-    # Carry the build attributes as ONE struct: the struct itself is
-    # non-null exactly for build rows, so last(..., ignorenulls=True)
-    # carries the whole latest build row atomically — NULL fields inside
-    # it stay NULL (never stitched from an older row), and struct
-    # presence is the correct match test for how='inner'.
-    w = (
+    # Carry the build attributes as ONE struct (plus the build time for
+    # the nearest tie-break): the struct is non-null exactly for build
+    # rows, so last/first(..., ignorenulls=True) carries the whole
+    # matched build row atomically — NULL fields inside it stay NULL
+    # (never stitched from another row), and struct presence is the
+    # correct match test for how='inner'.
+    bstruct = F.when(
+        F.col("__side") == 0,
+        F.struct(F.col("__t").alias("__bt"),
+                 *[F.col(c) for c in build_cols]),
+    )
+    # backward: build rows (side 0) sort before probes at equal time,
+    # so "<=" includes the equal-time build in the preceding frame
+    wb = (
         Window.partitionBy(key)
         .orderBy(F.col("__t"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # forward: probes sort before builds at equal time, so ">=" includes
+    # the equal-time build in the following frame
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__t"), F.desc("__side"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
     carried = u.select(
         *[c for c in u.columns if c not in build_cols],
-        F.last(
-            F.when(
-                F.col("__side") == 0,
-                F.struct(*[F.col(c) for c in build_cols]),
-            ),
-            ignorenulls=True,
-        ).over(w).alias("__b"),
+        F.last(bstruct, ignorenulls=True).over(wb).alias("__bwd"),
+        F.first(bstruct, ignorenulls=True).over(wf).alias("__fwd"),
     )
-    out = carried.filter(F.col("__side") == 1)
+    if direction == "backward":
+        chosen = F.col("__bwd")
+    elif direction == "forward":
+        chosen = F.col("__fwd")
+    else:
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        if isinstance(
+            u.schema["__t"].dataType, (TimestampType, TimestampNTZType)
+        ):
+            back_gap = F.expr("timestampdiff(MICROSECOND, __bwd.__bt, __t)")
+            fwd_gap = F.expr("timestampdiff(MICROSECOND, __t, __fwd.__bt)")
+        else:
+            back_gap = F.col("__t").cast("double") - F.col(
+                "__bwd.__bt"
+            ).cast("double")
+            fwd_gap = F.col("__fwd.__bt").cast("double") - F.col(
+                "__t"
+            ).cast("double")
+        chosen = (
+            F.when(F.col("__bwd").isNull(), F.col("__fwd"))
+            .when(F.col("__fwd").isNull(), F.col("__bwd"))
+            .when(back_gap <= fwd_gap, F.col("__bwd"))
+            .otherwise(F.col("__fwd"))
+        )
+    out = carried.withColumn("__b", chosen).filter(F.col("__side") == 1)
     if how == "inner":
         out = out.filter(F.col("__b").isNotNull())
     return out.select(
-        *[c for c in out.columns if c not in ("__side", "__t", "__b")],
+        *[
+            c
+            for c in out.columns
+            if c not in ("__side", "__t", "__b", "__bwd", "__fwd")
+        ],
         *[F.col(f"__b.{c}").alias(c) for c in build_cols],
     )
 

@@ -1419,6 +1419,102 @@ def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j6f_asof_forward",
+    """
+    WITH build AS (
+      SELECT o_custkey AS k, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2),
+    probe AS (SELECT event_id, user_id AS k, ts FROM events)
+    SELECT p.event_id, p.k AS user_key, b.o_orderkey,
+           strftime(b.o_orderdate, '%Y-%m-%d') AS orderdate_s
+    FROM probe p ASOF LEFT JOIN build b
+      ON p.k = b.k AND p.ts <= b.o_orderdate
+    """,
+)
+def j6f_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each event picks the user's *next* order at or
+    after the event time (the "what happened next" join). Same
+    union-timeline shape as backward, with a forward-looking window."""
+    probe = load(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("k"), "ts"
+    )
+    build = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = aj.asof_join(
+        probe, build,
+        key="k", probe_time="ts", build_time="o_orderdate",
+        build_cols=("o_orderkey", "o_orderdate"),
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        F.col("k").alias("user_key"),
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_s"),
+    )
+
+
+@register(
+    "j6n_asof_nearest",
+    """
+    WITH build AS (
+      SELECT o_custkey AS k, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2),
+    probe AS (SELECT event_id, user_id AS k, ts FROM events),
+    bwd AS (
+      SELECT p.event_id, p.k, p.ts, b.o_orderkey AS bk, b.o_orderdate AS bt
+      FROM probe p ASOF LEFT JOIN build b
+        ON p.k = b.k AND p.ts >= b.o_orderdate),
+    fwd AS (
+      SELECT p.event_id, b.o_orderkey AS fk, b.o_orderdate AS ft
+      FROM probe p ASOF LEFT JOIN build b
+        ON p.k = b.k AND p.ts <= b.o_orderdate)
+    SELECT bwd.event_id, bwd.k AS user_key,
+           CASE WHEN bt IS NULL THEN fk
+                WHEN ft IS NULL THEN bk
+                WHEN date_diff('microseconds', bt, ts)
+                     <= date_diff('microseconds', ts, ft) THEN bk
+                ELSE fk END AS o_orderkey,
+           strftime(CASE WHEN bt IS NULL THEN ft
+                         WHEN ft IS NULL THEN bt
+                         WHEN date_diff('microseconds', bt, ts)
+                              <= date_diff('microseconds', ts, ft) THEN bt
+                         ELSE ft END, '%Y-%m-%d') AS orderdate_s
+    FROM bwd JOIN fwd ON fwd.event_id = bwd.event_id
+    """,
+)
+def j6n_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (pandas merge_asof direction='nearest'): each event
+    picks whichever of the previous/next order is closer in time, ties
+    to the previous. One key shuffle; both direction frames share the
+    exchange. Oracle composes DuckDB's two ASOF directions with the
+    identical microsecond-gap tie rule."""
+    probe = load(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("k"), "ts"
+    )
+    build = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = aj.asof_join(
+        probe, build,
+        key="k", probe_time="ts", build_time="o_orderdate",
+        build_cols=("o_orderkey", "o_orderdate"),
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        F.col("k").alias("user_key"),
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate_s"),
+    )
+
+
+@register(
     "j7_range_join",
     """
     WITH iv AS (
