@@ -56,6 +56,11 @@ OPTIONAL = [
     "tpch_q13_order_distribution",
     "tpch_q17_small_quantity",
     "tpch_q21_waiting_suppliers",
+    "sessionize_events_scaled",
+    "corpus_pack_sequences_scaled",
+    "ann_ivfpq_topk",
+    "text_bm25_topk",
+    "agg_exact_percentiles",
 ]
 
 
