@@ -97,3 +97,42 @@ def test_sink_requires_topic_and_servers():
         KafkaSink("k", topic="")
     with pytest.raises(ValueError):
         KafkaSink("k", topic="t", bootstrap_servers="")
+
+
+# -- distributed batch export (df_sinks path) ------------------------------
+
+
+def test_batch_frame_one_record_per_row_serialized_executor_side(spark):
+    import json
+
+    from trignis_spark.sinks.kafka import build_batch_frame
+
+    batch = spark.createDataFrame(
+        [(5, "I", "x"), (6, "U", "y")], "version long, op string, v string"
+    )
+    rows = build_batch_frame(
+        batch, CTX, {"Sync": {"Version": 6, "Type": "Diff"}},
+        correlation_id="c-9",
+    ).orderBy("key").collect()
+    assert [bytes(r["key"]) for r in rows] == [b"5", b"6"]
+    assert json.loads(rows[0]["value"]) == {"version": 5, "op": "I", "v": "x"}
+    headers = {h["key"]: bytes(h["value"]) for h in rows[0]["headers"]}
+    assert headers["correlation-id"] == b"c-9"
+    assert json.loads(headers["batch-metadata"]) == {
+        "Sync": {"Version": 6, "Type": "Diff"}
+    }
+    # same schema contract as the per-payload frame
+    df = build_batch_frame(batch, CTX)
+    assert df.schema.simpleString() == (
+        "struct<key:binary,value:string,"
+        "headers:array<struct<key:string,value:binary>>>"
+    )
+
+
+def test_batch_sink_requires_topic_and_servers():
+    from trignis_spark.sinks.kafka import KafkaDataFrameSink
+
+    with pytest.raises(ValueError):
+        KafkaDataFrameSink("k", topic="")
+    with pytest.raises(ValueError):
+        KafkaDataFrameSink("k", topic="t", bootstrap_servers="")

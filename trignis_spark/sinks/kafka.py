@@ -120,6 +120,93 @@ def build_frame(
     return spark.createDataFrame([(key, payload, headers)], FRAME_DDL)
 
 
+def build_batch_frame(
+    batch: DataFrame,
+    ctx: ExportContext,
+    metadata: dict | None = None,
+    correlation_id: str | None = None,
+    source: str = "trignis-spark",
+    key_col: str = "version",
+) -> DataFrame:
+    """The connector-bound DataFrame for a whole change batch: one Kafka
+    record per change row, serialized *on executors* (`to_json` over the
+    row struct — the driver never sees a payload). Key = the version
+    column (ordering affinity per partition); headers carry the same
+    content-type/correlation-id/source triple as the per-payload sink,
+    plus the envelope metadata JSON so consumers can reassemble batch
+    context without a side channel."""
+    corr = correlation_id or str(uuid.uuid4())
+    hdrs = [
+        ("content-type", b"application/json"),
+        ("correlation-id", corr.encode("utf-8")),
+        ("source", f"{source}/{ctx.environment}/{ctx.object_name}".encode("utf-8")),
+    ]
+    if metadata:
+        import json as _json
+
+        hdrs.append(
+            ("batch-metadata",
+             _json.dumps(metadata, separators=(",", ":")).encode("utf-8"))
+        )
+    from pyspark.sql import functions as F
+
+    header_col = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("key"), F.lit(v).alias("value")
+            )
+            for k, v in hdrs
+        ]
+    )
+    return batch.select(
+        F.col(key_col).cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in batch.columns])).alias(
+            "value"
+        ),
+        header_col.alias("headers"),
+    )
+
+
+class KafkaDataFrameSink:
+    """Distributed Kafka export (df_sinks path): the change batch stays
+    on executors end to end — serialization via ``to_json`` per
+    partition, produce via the native connector. The per-payload
+    :class:`KafkaSink` is the reference-shaped envelope path; this is
+    the 100 TB path (an initial full sync must never funnel through a
+    driver-side envelope)."""
+
+    def __init__(
+        self,
+        name: str,
+        topic: str,
+        bootstrap_servers: str = "localhost:9092",
+        source: str = "trignis-spark",
+        **auth,
+    ):
+        if not topic:
+            raise ValueError("Kafka Topic is required")
+        if not bootstrap_servers:
+            raise ValueError("Kafka BootstrapServers is required")
+        self.name = name
+        self.topic = topic
+        self.bootstrap_servers = bootstrap_servers
+        self.source = source
+        self.auth = auth
+
+    def write_df(self, batch: DataFrame, ctx: ExportContext,
+                 metadata: dict) -> None:
+        frame = build_batch_frame(
+            batch, ctx, metadata, source=self.source
+        )
+        opts = producer_options(self.bootstrap_servers, **self.auth)
+        (
+            frame.write.format("kafka")
+            .options(**opts)
+            .option("topic", self.topic)
+            .save()
+        )
+
+
 class KafkaSink(Sink):
     """Per-payload Sink adapter over the native connector write."""
 
