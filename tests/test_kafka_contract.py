@@ -136,3 +136,17 @@ def test_batch_sink_requires_topic_and_servers():
         KafkaDataFrameSink("k", topic="")
     with pytest.raises(ValueError):
         KafkaDataFrameSink("k", topic="t", bootstrap_servers="")
+
+
+def test_config_routes_kafka_distributed_to_df_sink():
+    from trignis_spark.sinks import build_sink
+    from trignis_spark.sinks.kafka import KafkaDataFrameSink
+    from trignis_spark.sinks.spark_file import DataFrameSink
+
+    s = build_sink("kafka-distributed", "kd",
+                   {"topic": "t", "bootstrap_servers": "b:9092"})
+    assert isinstance(s, KafkaDataFrameSink)
+    # MUST be a DataFrameSink: the service splits df_sinks from envelope
+    # sinks by this isinstance check (service.py), and a misclassified
+    # sink would be handed string payloads it cannot write
+    assert isinstance(s, DataFrameSink)

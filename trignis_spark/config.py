@@ -26,7 +26,8 @@ DEFAULT_MAX_PAYLOAD_BYTES = 5 * 1024 * 1024
 DEFAULT_DLQ_RETENTION_DAYS = 60
 
 SINK_KINDS = (
-    "file", "http", "kafka", "memory", "mirror", "rollup", "curate",
+    "file", "http", "kafka", "kafka-distributed", "memory", "mirror",
+    "rollup", "curate",
     "rabbitmq", "aws-sqs", "azure-servicebus", "azure-eventhubs",
 )
 SYNC_MODES = ("Full", "Incremental")
@@ -119,7 +120,9 @@ def validate_environment(env: EnvironmentConfig) -> tuple[list[str], list[str]]:
                 errors.append(
                     f"sink '{sink.name}': at most one auth mode, got {auth_modes}"
                 )
-        if sink.kind == "kafka" and not sink.options.get("topic"):
+        if sink.kind in ("kafka", "kafka-distributed") and not sink.options.get(
+            "topic"
+        ):
             errors.append(f"sink '{sink.name}': kafka sink requires topic")
         if sink.kind == "mirror":
             for req in ("path", "key_cols", "tracked_cols"):

@@ -36,6 +36,10 @@ def build_sink(kind: str, name: str, options: dict, env=None) -> Sink:
         from trignis_spark.sinks.kafka import KafkaSink
 
         return KafkaSink(name, **options)
+    if kind == "kafka-distributed":
+        from trignis_spark.sinks.kafka import KafkaDataFrameSink
+
+        return KafkaDataFrameSink(name, **options)
     if kind == "mirror":
         from trignis_spark.sinks.mirror import MirrorTableSink
 

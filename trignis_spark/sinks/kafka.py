@@ -36,6 +36,7 @@ from trignis_spark.sinks.base import (
     Sink,
     TransientSinkError,
 )
+from trignis_spark.sinks.spark_file import DataFrameSink
 
 DEFAULT_MAX_MESSAGE_BYTES = 1024 * 1024  # reference Kafka cap
 MESSAGE_TIMEOUT_MS = 30000  # reference ProducerConfig.MessageTimeoutMs
@@ -167,7 +168,7 @@ def build_batch_frame(
     )
 
 
-class KafkaDataFrameSink:
+class KafkaDataFrameSink(DataFrameSink):
     """Distributed Kafka export (df_sinks path): the change batch stays
     on executors end to end — serialization via ``to_json`` per
     partition, produce via the native connector. The per-payload
