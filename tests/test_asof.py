@@ -163,3 +163,28 @@ def test_asof_nearest_tie_goes_backward_and_nulls_fall_through(spark):
     assert out[1] == "b"  # equal 2-minute gaps: tie to backward
     assert out[2] == "b"  # only forward exists (t=0 -> b@5 is forward)
     assert out[3] == "c"  # only backward exists
+
+
+def test_asof_nearest_on_date_typed_time_columns(spark):
+    # DateType cannot cast to double; nearest must use day-granularity
+    # datediff rather than failing at analysis (ADVICE round-4 regression)
+    import datetime as dt
+
+    d = dt.date
+    probe = spark.createDataFrame(
+        [(1, 7, d(2024, 1, 10)), (2, 7, d(2024, 1, 2))],
+        "pid long, k long, pt date",
+    )
+    build = spark.createDataFrame(
+        [(7, d(2024, 1, 1), "a"), (7, d(2024, 1, 12), "b")],
+        "k long, bt date, label string",
+    )
+    out = {
+        r["pid"]: r["label"]
+        for r in asof_join(
+            probe, build, key="k", probe_time="pt", build_time="bt",
+            build_cols=("label",), direction="nearest",
+        ).collect()
+    }
+    assert out[1] == "b"  # Jan 10: 2 days to b@12 beats 9 days to a@1
+    assert out[2] == "a"  # Jan 2: 1 day back beats 10 days forward

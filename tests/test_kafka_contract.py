@@ -6,7 +6,7 @@ the exact contract the connector receives — the message DataFrame
 (key/value/headers) and the producer options — against the reference's
 message layout (``MessageQueueService.cs:570-657``): null key, JSON
 value, ``content-type``/``correlation-id``/``source`` headers,
-``acks=all``, 30 s message timeout, 1 MB cap. Any drift in the payload
+``acks=all``, 30 s delivery timeout, 1 MB cap. Any drift in the payload
 shape fails these tests even though no record is ever produced.
 """
 
@@ -59,13 +59,19 @@ def test_oversize_rejected_before_any_spark_work():
 
 
 def test_producer_options_plain():
+    # The 30 s delivery bound must be expressed as the *Java* producer's
+    # delivery.timeout.ms: Spark's connector uses the Java client, which
+    # ignores unknown configs, so the librdkafka message.timeout.ms key
+    # would silently never take effect (Java default: 120 s).
     opts = producer_options("broker:9092")
     assert opts == {
         "kafka.bootstrap.servers": "broker:9092",
         "kafka.acks": "all",
-        "kafka.message.timeout.ms": "30000",
+        "kafka.delivery.timeout.ms": "30000",
+        "kafka.request.timeout.ms": "15000",
         "kafka.max.request.size": str(DEFAULT_MAX_MESSAGE_BYTES),
     }
+    assert "kafka.message.timeout.ms" not in opts
 
 
 def test_producer_options_sasl_switch():
@@ -89,6 +95,14 @@ def test_producer_options_ssl_without_credentials():
     o = producer_options("b:9092", security_protocol="SSL")
     assert o["kafka.security.protocol"] == "SSL"
     assert "kafka.sasl.mechanism" not in o
+
+
+def test_sink_oversize_precedes_missing_session():
+    # terminal (never-retried) oversize must win over the retryable
+    # no-SparkSession condition — classification drives DLQ replay policy
+    sink = KafkaSink("k", topic="t", spark=None, max_message_bytes=8)
+    with pytest.raises(OversizePayloadError):
+        sink.write("x" * 9, CTX)
 
 
 def test_sink_requires_topic_and_servers():

@@ -8,6 +8,12 @@ shifts the primary and foreign keys by ``copy * stride`` in lockstep, so
 referential integrity, join fan-outs, selectivity, and value
 distributions are preserved exactly while cardinality grows K-fold.
 ``region``/``nation`` are fixed dimensions and are copied verbatim.
+``events`` additionally shifts ``user_id`` by the custkey stride so each
+copy's users are distinct users that join their own copy's customers;
+note event ``ts`` values are still duplicated verbatim across copies
+(per-user timelines replicate under *different* user ids — fine for
+sessionize/window shapes, but the global timestamp histogram is K
+spikes, not a longer timeline).
 
 ``documents`` and ``embeddings`` get content decorrelation on top of the
 key shift — verbatim tiling would multiply every near-duplicate cluster
@@ -47,8 +53,14 @@ KEYED = {
     "part": ["p_partkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "events": ["event_id"],
+    "events": ["event_id", "user_id"],
 }
+#: columns whose key family is not derivable from the name — events.user_id
+#: joins customer.c_custkey, so it must shift by the custkey stride (each
+#: copy's users are then distinct users that still join their copy's
+#: customers; without this, every user would get K identical-timestamp
+#: copies of each event and events↔customer joins would only match copy 0).
+FAMILY_OVERRIDE = {"user_id": "custkey"}
 FIXED = ["region", "nation"]
 #: tables whose *content* must decorrelate across copies (see module doc)
 CONTENT = {"documents": "doc_id", "embeddings": "vec_id"}
@@ -131,21 +143,23 @@ def generate(src: str, out: str, copies: int) -> None:
     # orders/lineitem must share the orderkey stride, customer/orders the
     # custkey stride, etc. — compute one stride per *key family*.
     fam_stride = {}
+
+    def _family(col: str) -> str:
+        return FAMILY_OVERRIDE.get(col, col.split("_", 1)[1])
+
     for t, cols in KEYED.items():
         for c in cols:
-            fam = c.split("_", 1)[1]  # custkey, orderkey, partkey, ...
-            fam_stride[fam] = max(
-                fam_stride.get(fam, 0), _stride(con, src, t, [c])
+            fam_stride[_family(c)] = max(
+                fam_stride.get(_family(c), 0), _stride(con, src, t, [c])
             )
     for t, cols in KEYED.items():
         exprs = []
         desc = con.sql(f"SELECT * FROM '{src}/{t}.parquet' LIMIT 0").description
         for name, *_ in desc:
             if name in cols:
-                fam = name.split("_", 1)[1]
                 exprs.append(
-                    f"{name} + CAST(c.copy AS BIGINT) * {fam_stride[fam]}"
-                    f" AS {name}"
+                    f"{name} + CAST(c.copy AS BIGINT) * "
+                    f"{fam_stride[_family(name)]} AS {name}"
                 )
             else:
                 exprs.append(name)

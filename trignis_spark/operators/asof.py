@@ -109,13 +109,20 @@ def asof_join(
     elif direction == "forward":
         chosen = F.col("__fwd")
     else:
-        from pyspark.sql.types import TimestampNTZType, TimestampType
+        from pyspark.sql.types import (
+            DateType,
+            TimestampNTZType,
+            TimestampType,
+        )
 
-        if isinstance(
-            u.schema["__t"].dataType, (TimestampType, TimestampNTZType)
-        ):
+        t_type = u.schema["__t"].dataType
+        if isinstance(t_type, (TimestampType, TimestampNTZType)):
             back_gap = F.expr("timestampdiff(MICROSECOND, __bwd.__bt, __t)")
             fwd_gap = F.expr("timestampdiff(MICROSECOND, __t, __fwd.__bt)")
+        elif isinstance(t_type, DateType):
+            # dates cannot cast to double; day-granularity gap instead
+            back_gap = F.datediff(F.col("__t"), F.col("__bwd.__bt"))
+            fwd_gap = F.datediff(F.col("__fwd.__bt"), F.col("__t"))
         else:
             back_gap = F.col("__t").cast("double") - F.col(
                 "__bwd.__bt"

@@ -12,7 +12,7 @@ receives *inspectable without a broker*:
   ``correlation-id``, ``source`` (reference layout:
   ``MessageQueueService.cs:622-632``).
 * :func:`producer_options` returns the ``kafka.*``-prefixed producer
-  options: ``acks=all``, 30 s message timeout, and the same
+  options: ``acks=all``, a 30 s delivery timeout, and the same
   SASL-mechanism / security-protocol switch the reference applies
   (``MessageQueueService.cs:585-610``).
 
@@ -39,7 +39,13 @@ from trignis_spark.sinks.base import (
 from trignis_spark.sinks.spark_file import DataFrameSink
 
 DEFAULT_MAX_MESSAGE_BYTES = 1024 * 1024  # reference Kafka cap
-MESSAGE_TIMEOUT_MS = 30000  # reference ProducerConfig.MessageTimeoutMs
+#: the reference's 30 s delivery bound (ProducerConfig.MessageTimeoutMs is a
+#: librdkafka config; Spark's connector uses the *Java* producer, where the
+#: equivalent end-to-end bound is delivery.timeout.ms — the Java producer
+#: silently ignores unknown configs, so the librdkafka key would never take
+#: effect and the Java default of 120 s would apply instead).
+DELIVERY_TIMEOUT_MS = 30000
+REQUEST_TIMEOUT_MS = 15000  # per-request bound; must be <= delivery timeout
 
 #: header schema the Kafka connector expects for the headers column
 HEADERS_DDL = "array<struct<key: string, value: binary>>"
@@ -69,7 +75,8 @@ def producer_options(
     opts = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "kafka.acks": "all",
-        "kafka.message.timeout.ms": str(MESSAGE_TIMEOUT_MS),
+        "kafka.delivery.timeout.ms": str(DELIVERY_TIMEOUT_MS),
+        "kafka.request.timeout.ms": str(REQUEST_TIMEOUT_MS),
         "kafka.max.request.size": str(DEFAULT_MAX_MESSAGE_BYTES),
     }
     if username and password:
@@ -236,6 +243,12 @@ class KafkaSink(Sink):
         self.auth = auth
 
     def write(self, payload: str, ctx: ExportContext) -> None:
+        # Oversize is a *terminal* failure (never retried) and must take
+        # precedence over the retryable no-SparkSession condition.
+        if len(payload.encode("utf-8")) > self.max_message_bytes:
+            raise OversizePayloadError(
+                f"message exceeds Kafka cap {self.max_message_bytes}B"
+            )
         if self.spark is None:
             raise TransientSinkError("KafkaSink requires a SparkSession")
         df = build_frame(

@@ -81,8 +81,9 @@ const J = (u) => fetch(u).then(r => r.json());
 const P = (u, b) => fetch(u, {{method: "POST",
   headers: {{"Content-Type": "application/json"}},
   body: JSON.stringify(b || {{}})}}).then(r => r.json());
-const esc = (s) => String(s ?? "").replace(/[&<>"]/g,
-  c => ({{"&":"&amp;","<":"&lt;",">":"&gt;",'"':"&quot;"}}[c]));
+const esc = (s) => String(s ?? "").replace(/[&<>"'`]/g,
+  c => ({{"&":"&amp;","<":"&lt;",">":"&gt;",'"':"&quot;",
+          "'":"&#39;","`":"&#96;"}}[c]));
 {script}
 load();
 </script></body></html>"""
