@@ -59,6 +59,7 @@ OPTIONAL = [
     "sessionize_events_scaled",
     "corpus_pack_sequences_scaled",
     "ann_ivfpq_topk",
+    "ann_ivfpq_probe",
     "text_bm25_topk",
     "agg_exact_percentiles",
 ]
@@ -87,6 +88,13 @@ def main() -> int:
     # Warm the JVM + file listing once so per-query numbers measure the
     # pipelines, not session startup.
     registry["cf_batch_watermark"](spark, sf_dir).collect()
+    # Pre-build the persistent IVF-PQ index: ann_ivfpq_probe's number is
+    # the *serving* cost (train-once-probe-many); ann_ivfpq_topk right
+    # above it carries the train-per-call cost for comparison.
+    if "ann_ivfpq_probe" in names:
+        registry["ann_ivfpq_probe"](spark, sf_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
 
     timings: dict[str, float] = {}
     for name in names:

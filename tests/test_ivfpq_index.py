@@ -1,0 +1,111 @@
+"""Persistent IVF-PQ index: probe parity with the one-shot cascade,
+frozen-codebook extends, idempotency, and probe plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from trignis_spark.operators import ivfpq_index as ipq
+from trignis_spark.operators import pq
+from trignis_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+QUERY_PRED = "vec_id % 100 = 0"
+M, K = 2, 4  # match the oracle-scale cascade params (queries_ext)
+
+
+@pytest.fixture
+def index(spark):
+    yield "ivfpq_idx_t"
+    for t in ipq._all_tables("ivfpq_idx_t"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"], r["rank"]) for r in df.collect()}
+
+
+def test_probe_matches_one_shot_cascade(spark, index):
+    """The persisted index must answer exactly what the train-per-call
+    cascade answers: same codebook training, same cells, same ADC sums,
+    same re-rank — persistence changes cost, never results."""
+    emb = load(spark, SF, "embeddings")
+    ipq.build_ivfpq_index(spark, emb, index, m=M, k=K)
+    queries = emb.filter(F.expr(QUERY_PRED))
+    got = _pairs(
+        ipq.ivfpq_probe(spark, index, queries, k=10, nprobe=1, shortlist=30)
+    )
+    cb = pq.train_pq(emb, m=M, k=K, iters=2)
+    want = _pairs(pq.ivfpq_topk(emb, cb, m=M, nprobe=1, shortlist=30, k=10))
+    assert got == want and got
+
+
+def test_extend_is_idempotent_and_uses_frozen_codebook(spark, index):
+    emb = load(spark, SF, "embeddings")
+    head = emb.filter("vec_id < 400")
+    tail = emb.filter("vec_id >= 400")
+    ipq.build_ivfpq_index(spark, head, index, m=M, k=K)
+    cb_before = {
+        (r["sub"], r["cid"], tuple(r["cvec"]))
+        for r in spark.table(ipq._codebook_table(index)).collect()
+    }
+    assert ipq.extend_ivfpq_index(spark, tail, index) == tail.count()
+    # replay adds nothing
+    assert ipq.extend_ivfpq_index(spark, tail, index) == 0
+    assert ipq.extend_ivfpq_index(spark, emb, index) == 0
+    # the codebook is frozen: extends encode through it, never retrain
+    cb_after = {
+        (r["sub"], r["cid"], tuple(r["cvec"]))
+        for r in spark.table(ipq._codebook_table(index)).collect()
+    }
+    assert cb_after == cb_before
+    # codes for extended vectors = encode through the same codebook
+    codebook = spark.table(ipq._codebook_table(index))
+    want_codes = {
+        (r["vec_id"], r["sub"], r["code"])
+        for r in pq.encode_pq(tail, codebook, M).collect()
+    }
+    got_codes = {
+        (r["vec_id"], r["sub"], r["code"])
+        for r in spark.table(ipq._codes_table(index))
+        .filter("vec_id >= 400")
+        .collect()
+    }
+    assert got_codes == want_codes
+
+
+def test_probe_after_extend_sees_new_vectors(spark, index):
+    # sf0.001 has vec_ids 0..499 — split at 350 so the extension is real
+    emb = load(spark, SF, "embeddings")
+    tail = emb.filter("vec_id >= 350")
+    assert tail.count() > 0
+    ipq.build_ivfpq_index(spark, emb.filter("vec_id < 350"), index, m=M, k=K)
+    ipq.extend_ivfpq_index(spark, tail, index)
+    queries = emb.filter(F.expr(QUERY_PRED))
+    got = ipq.ivfpq_probe(spark, index, queries, k=10)
+    assert got.filter("neighbor_id >= 350").count() > 0
+
+
+def test_probe_plan_no_cartesian_no_training(spark, index):
+    """Plan shape: the probe must not retrain (no iterative stages) and
+    must keep every small side broadcast — no cartesian product, no
+    sort-merge join against the corpus tables."""
+    emb = load(spark, SF, "embeddings")
+    ipq.build_ivfpq_index(spark, emb, index, m=M, k=K)
+    queries = emb.filter(F.expr(QUERY_PRED))
+    plan = (
+        ipq.ivfpq_probe(spark, index, queries, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_index_exists_and_meta(spark, index):
+    emb = load(spark, SF, "embeddings")
+    assert not ipq.index_exists(spark, index)
+    ipq.build_ivfpq_index(spark, emb, index, m=M, k=K, n_buckets=16)
+    assert ipq.index_exists(spark, index)
+    meta = spark.table(ipq._meta_table(index)).first()
+    assert (meta["m"], meta["k"], meta["n_buckets"]) == (M, K, 16)

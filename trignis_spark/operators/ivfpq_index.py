@@ -1,0 +1,303 @@
+"""Persistent IVF-PQ index: train once, probe many.
+
+``pq.ivfpq_topk`` runs the full production ANN cascade — IVF coarse
+filter → ADC shortlist → exact re-rank — but *retrains the PQ codebook
+and re-encodes the corpus on every call* (training dominated the sf1
+cascade cost). This module materializes every training artifact so a
+search touches only persisted, bucket-pruned tables, mirroring
+``ann_index`` / ``dedup_index`` for the compressed-code axis:
+
+- ``<name>``           — (bucket INT, vec_id BIGINT, v ARRAY<DOUBLE>,
+  n2 DOUBLE), bucketed by the IVF cell id; only the re-rank shortlist
+  ever reads the float vectors.
+- ``<name>_codebook``  — (sub INT, cid INT, cvec ARRAY<DOUBLE>): the m
+  per-subspace PQ codebooks (m·k rows — broadcast side of every probe).
+- ``<name>_codes``     — (bucket INT, vec_id BIGINT, sub INT,
+  code INT), bucketed by cell id: one bucket-pruned scan yields both
+  the candidate set and its codes (the memory-bandwidth cut — m bytes
+  per vector at scale, the float corpus untouched).
+- ``<name>_ids``       — (vec_id BIGINT) membership sidecar, bucketed
+  by vec_id, for O(lookup) idempotent extends.
+- ``<name>_meta``      — one row (m, k, n_buckets): probe calls need no
+  out-of-band parameters.
+
+The coarse quantizer is the deterministic sign-pattern of the leading
+components (same as ``ann_index``) and PQ training is ``pq.train_pq``'s
+deterministic grouped Lloyd — so a probe's result is bit-for-bit
+replayable in SQL (``queries_ext.ann_ivfpq_probe``'s oracle re-derives
+codebook, codes and cascade from the raw ``embeddings`` table).
+
+Scale shape: probe cost is O(probed cells) code lookups + ``shortlist``
+exact dot products per query — independent of corpus size; extends
+append-encode only the new vectors through the *frozen* codebook
+(standard IVF-PQ practice: the codebook is trained once on a sample and
+reused, drift handled by periodic rebuild).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from trignis_spark.operators.ann_index import _bucket_expr
+from trignis_spark.operators.kmeans import _ACC
+from trignis_spark.operators.pq import (
+    _SUBDOT,
+    encode_pq,
+    split_subvectors,
+    train_pq,
+)
+from trignis_spark.operators.similarity import DOT, _prep
+
+
+def _codebook_table(table: str) -> str:
+    return f"{table}_codebook"
+
+
+def _codes_table(table: str) -> str:
+    return f"{table}_codes"
+
+
+def _ids_table(table: str) -> str:
+    return f"{table}_ids"
+
+
+def _meta_table(table: str) -> str:
+    return f"{table}_meta"
+
+
+def _all_tables(table: str) -> list[str]:
+    return [
+        table,
+        _codebook_table(table),
+        _codes_table(table),
+        _ids_table(table),
+        _meta_table(table),
+    ]
+
+
+def _refresh(spark: SparkSession, table: str) -> None:
+    # writes may come from a cloned (foreachBatch) session — invalidate
+    # the probing session's cached file listing (see dedup_index)
+    for t in _all_tables(table):
+        spark.catalog.refreshTable(t)
+
+
+def index_exists(spark: SparkSession, table: str) -> bool:
+    return all(spark.catalog.tableExists(t) for t in _all_tables(table))
+
+
+def _drop_stale(spark: SparkSession, table: str) -> None:
+    """Drop any prior incarnation of the index, including *orphaned
+    warehouse locations*: a fresh session starts with an empty in-memory
+    catalog, but a previous session's ``saveAsTable`` files may still
+    sit in the warehouse dir and would fail the overwrite with
+    LOCATION_ALREADY_EXISTS. Local/derby-catalog concern only — with a
+    shared metastore the catalog owns the locations."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in _all_tables(table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        path = os.path.join(wh, t.lower())
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+
+
+def _bucketed(embeddings: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, vec_id, v, n2) under the sign-pattern coarse quantizer."""
+    return _prep(embeddings).select(
+        F.expr(_bucket_expr("v", n_buckets)).alias("bucket"),
+        "vec_id",
+        "v",
+        "n2",
+    )
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    table: str,
+    m: int = 8,
+    k: int = 16,
+    n_buckets: int = 16,
+    iters: int = 2,
+) -> None:
+    """Train the PQ codebook and materialize all five tables
+    (overwrites any prior index of the same name)."""
+    _drop_stale(spark, table)
+    codebook = train_pq(embeddings, m=m, k=k, iters=iters).localCheckpoint(
+        eager=True
+    )
+    (
+        codebook.write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(_codebook_table(table))
+    )
+    rows = _bucketed(embeddings, n_buckets)
+    (
+        rows.write.mode("overwrite")
+        .bucketBy(n_buckets, "bucket")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    codes = encode_pq(embeddings, codebook, m).join(
+        rows.select("vec_id", "bucket"), "vec_id"
+    ).select("bucket", "vec_id", "sub", "code")
+    (
+        codes.write.mode("overwrite")
+        .bucketBy(n_buckets, "bucket")
+        .format("parquet")
+        .saveAsTable(_codes_table(table))
+    )
+    (
+        rows.select("vec_id")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "vec_id")
+        .format("parquet")
+        .saveAsTable(_ids_table(table))
+    )
+    meta = spark.createDataFrame(
+        [(m, k, n_buckets)], "m int, k int, n_buckets int"
+    )
+    meta.write.mode("overwrite").format("parquet").saveAsTable(
+        _meta_table(table)
+    )
+    _refresh(spark, table)
+
+
+def extend_ivfpq_index(
+    spark: SparkSession, embeddings: DataFrame, table: str
+) -> int:
+    """Append vectors not already present, encoded through the *frozen*
+    persisted codebook (idempotent under replay); returns the number
+    actually added."""
+    meta = spark.table(_meta_table(table)).first()
+    known = spark.table(_ids_table(table))
+    fresh_src = embeddings.join(known, "vec_id", "left_anti")
+    rows = _bucketed(fresh_src, meta["n_buckets"]).localCheckpoint(eager=True)
+    added = rows.count()
+    if added == 0:
+        return 0
+    codebook = spark.table(_codebook_table(table))
+    codes = encode_pq(fresh_src, codebook, meta["m"]).join(
+        rows.select("vec_id", "bucket"), "vec_id"
+    ).select("bucket", "vec_id", "sub", "code")
+    (
+        rows.write.mode("append")
+        .bucketBy(meta["n_buckets"], "bucket")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    (
+        codes.write.mode("append")
+        .bucketBy(meta["n_buckets"], "bucket")
+        .format("parquet")
+        .saveAsTable(_codes_table(table))
+    )
+    (
+        rows.select("vec_id")
+        .write.mode("append")
+        .bucketBy(meta["n_buckets"], "vec_id")
+        .format("parquet")
+        .saveAsTable(_ids_table(table))
+    )
+    _refresh(spark, table)
+    return added
+
+
+def ivfpq_probe(
+    spark: SparkSession,
+    table: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    shortlist: int = 30,
+) -> DataFrame:
+    """Probe-only IVF-PQ search: (query_id, neighbor_id, rank) — no
+    training, no corpus encode; every corpus-side input is a persisted
+    bucket-pruned table.
+
+    1. Coarse: each query probes its sign-pattern cell plus
+       ``nprobe - 1`` Hamming-1 neighbor cells (broadcast fan-out).
+    2. ADC: one bucket-pruned scan of ``<name>_codes`` yields candidates
+       *and* their codes; the per-query LUT (m·k partial dots against
+       the persisted codebook) is broadcast, and the m partials sum in
+       fixed-point decimal — order-independent, oracle-replayable.
+    3. Re-rank: the ``shortlist`` survivors join the float index for
+       exact cosine and the final top ``k``.
+
+    ``queries`` needs (vec_id, embedding); query vectors need not be in
+    the index (self-matches are excluded when they are)."""
+    meta = spark.table(_meta_table(table)).first()
+    m, n_buckets = meta["m"], meta["n_buckets"]
+    base = _prep(queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+        F.expr(_bucket_expr("v", n_buckets)).alias("home"),
+    )
+    flips = [F.col("home")] + [
+        F.col("home").bitwiseXOR(F.lit(1 << i))
+        for i in range(max(0, nprobe - 1))
+    ]
+    qb = base.withColumn("qbucket", F.explode(F.array(*flips))).select(
+        "query_id", "qbucket"
+    )
+    codebook = spark.table(_codebook_table(table))
+    lut = (
+        split_subvectors(queries, m)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(codebook), "sub")
+        .select(
+            "query_id",
+            "sub",
+            F.col("cid").alias("code"),
+            F.expr(_SUBDOT.format(a="subv", b="cvec")).alias("pdot"),
+        )
+    )
+    codes = spark.table(_codes_table(table))
+    adc = (
+        codes.join(F.broadcast(qb), codes["bucket"] == qb["qbucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("pdot").cast(_ACC)).cast("double").alias("adot"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("adot"), F.asc("neighbor_id")
+    )
+    short = (
+        adc.withColumn("_srn", F.row_number().over(ws))
+        .filter(F.col("_srn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    idx = spark.table(table).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("xv"),
+        F.col("n2").alias("xn2"),
+    )
+    exact = (
+        idx.join(F.broadcast(short), "neighbor_id")
+        .join(
+            F.broadcast(base.select("query_id", "qv", "qn2")), "query_id"
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.expr(DOT.format(a="qv", b="xv"))
+                / F.sqrt(F.col("qn2") * F.col("xn2"))
+            ).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

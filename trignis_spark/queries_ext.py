@@ -1726,9 +1726,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rank", F.col("rank").cast("long"))
 
 
-@register(
-    "ann_ivfpq_topk",
-    f"""
+# The full IVF-PQ cascade, re-derived from raw embeddings: PQ training →
+# codes → coarse cells → ADC → shortlist → exact re-rank. Shared verbatim
+# by ann_ivfpq_topk (train-per-call operator) and ann_ivfpq_probe (probe
+# over the *persisted* index) — persistence must never change results.
+_IVFPQ_CASCADE_SQL = f"""
     WITH {_PQ_TRAIN_CTES},
     codes AS ({_pq_assign_sql('sv', 'c2')}),
     n AS (SELECT vec_id, v, {_DNORM2.format(a='v')} AS n2,
@@ -1770,8 +1772,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cos DESC, neighbor_id) AS rank
       FROM ex) WHERE rank <= 10
-    """,
-)
+    """
+
+
+@register("ann_ivfpq_topk", _IVFPQ_CASCADE_SQL)
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production ANN cascade, oracle-checked end to end: IVF coarse
     cell filter → ADC ranking over PQ byte codes → exact re-rank of the
@@ -1785,6 +1789,33 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     cb = pq.train_pq(emb, m=_PQ_M, k=_PQ_K, iters=2)
     topk = pq.ivfpq_topk(emb, cb, m=_PQ_M, nprobe=1, shortlist=30)
+    return topk.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("ann_ivfpq_probe", _IVFPQ_CASCADE_SQL)
+def ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only IVF-PQ search over the *persisted* index — the
+    production serving shape VERDICT r4 #1 asked for: ``ann_ivfpq_topk``
+    re-trains the codebook and re-encodes the corpus every call, this
+    query trains at most once per (session, sf_dir) via
+    ``ivfpq_index.build_ivfpq_index`` and then answers from the five
+    persisted tables (bucketed codes scan + broadcast codebook LUT +
+    shortlist re-rank). The oracle is the cascade SQL verbatim —
+    persistence must change cost, never results (tests/test_ivfpq_index
+    proves probe ≡ cascade; BASELINE.md carries the probe-vs-train
+    timings)."""
+    import hashlib
+
+    from trignis_spark.operators import ivfpq_index as ipq
+
+    emb = load(spark, sf_dir, "embeddings")
+    name = "ivfpq_q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if not ipq.index_exists(spark, name):
+        ipq.build_ivfpq_index(spark, emb, name, m=_PQ_M, k=_PQ_K, iters=2)
+    queries = emb.filter("vec_id % 100 = 0")
+    topk = ipq.ivfpq_probe(
+        spark, name, queries, k=10, nprobe=1, shortlist=30
+    )
     return topk.withColumn("rank", F.col("rank").cast("long"))
 
 
