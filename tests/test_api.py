@@ -351,3 +351,154 @@ def test_ui_views_render_and_reference_live_endpoints(rig):
 def test_ui_unknown_view_404s(rig):
     r = rig.app.test_client().get("/ui/nope")
     assert r.status_code == 404
+
+
+# -- login session + settings (Program.cs:204,254-374,659-678) -------------
+
+
+@pytest.fixture
+def authed(tmp_path):
+    """A rig with the login gate on (ui_login + passphrase, the
+    reference's authEnabled = webHostEnabled && adminApiKey)."""
+    state = StateStore(str(tmp_path / "state2"))
+    dlq = DeadLetterStore(str(tmp_path / "dlq2"))
+    pauses = PauseStore(str(tmp_path / "pauses2"))
+    app = create_app(
+        state, dlq, pauses,
+        environments={},
+        admin_passphrase_sha256=PASS_SHA,
+        ui_login=True,
+        settings={
+            "global": {
+                "polling_interval_seconds": 30,
+                "admin_passphrase": "SHOULD-NEVER-SHOW",
+                "destinations": [
+                    {"name": "hook", "bearer_token": "tok-123", "url": "u"}
+                ],
+            },
+        },
+    )
+    return app.test_client()
+
+
+def _login(client):
+    csrf = client.get("/ui/api/auth/csrf").get_json()["csrf"]
+    r = client.post("/ui/api/auth", json={"csrf": csrf, "api_key": "s3cret"})
+    assert r.status_code == 200
+    return r
+
+
+def test_ui_gated_until_login_then_open(authed):
+    # views redirect to the login page; API paths 401
+    r = authed.get("/ui")
+    assert r.status_code == 302 and "/ui/login" in r.headers["Location"]
+    assert authed.get("/ui/api/overview").status_code == 401
+    # login page + csrf endpoint are reachable without a session
+    assert authed.get("/ui/login").status_code == 200
+    _login(authed)
+    assert authed.get("/ui").status_code == 200
+    assert authed.get("/ui/api/overview").status_code == 200
+    # health stays open throughout — it is the machine surface
+    assert authed.get("/health/state").status_code == 200
+
+
+def test_login_rejects_bad_csrf_and_bad_key(authed):
+    # a made-up csrf token fails closed
+    r = authed.post("/ui/api/auth", json={"csrf": "nope", "api_key": "s3cret"})
+    assert r.status_code == 403
+    # valid csrf + wrong key -> 401; the token is NOT consumed by failure
+    csrf = authed.get("/ui/api/auth/csrf").get_json()["csrf"]
+    r = authed.post("/ui/api/auth", json={"csrf": csrf, "api_key": "wrong"})
+    assert r.status_code == 401
+    # csrf tokens are single-use: a successful login consumes it
+    r = authed.post("/ui/api/auth", json={"csrf": csrf, "api_key": "s3cret"})
+    assert r.status_code == 200
+    r = authed.post("/ui/api/auth", json={"csrf": csrf, "api_key": "s3cret"})
+    assert r.status_code == 403
+
+
+def test_lockout_after_repeated_failures(authed):
+    for _ in range(5):
+        authed.post("/ui/api/auth", json={"csrf": "bad", "api_key": "x"})
+    r = authed.post("/ui/api/auth", json={"csrf": "bad", "api_key": "x"})
+    assert r.status_code == 429
+    assert "retry" in r.get_json()["error"].lower()
+
+
+def test_mutations_need_double_submit_csrf(authed):
+    _login(authed)
+    # session alone is not enough for a mutation: header must echo cookie
+    r = authed.post("/ui/api/pause", json={"environment": "e1",
+                                           "passphrase": "s3cret"})
+    assert r.status_code == 403
+    csrf_cookie = authed.get_cookie("trignis_csrf").value
+    r = authed.post(
+        "/ui/api/pause",
+        json={"environment": "e1", "passphrase": "s3cret"},
+        headers={"X-CSRF-Token": csrf_cookie},
+    )
+    assert r.status_code == 200
+
+
+def test_logout_ends_session(authed):
+    _login(authed)
+    assert authed.get("/ui").status_code == 200
+    csrf_cookie = authed.get_cookie("trignis_csrf").value
+    r = authed.post("/ui/api/auth/logout",
+                    headers={"X-CSRF-Token": csrf_cookie})
+    assert r.status_code == 200
+    assert authed.get("/ui").status_code == 302
+
+
+def test_settings_redacts_secrets_recursively(authed):
+    _login(authed)
+    s = authed.get("/ui/api/settings").get_json()
+    assert s["global"]["polling_interval_seconds"] == 30
+    # top-level passphrase key and nested destination token both gone
+    assert "admin_passphrase" not in s["global"]
+    assert s["global"]["destinations"] == [{"name": "hook", "url": "u"}]
+    # server section advertises the auth switch, never the key
+    assert s["server"]["auth_enabled"] is True
+    flat = json.dumps(s)
+    assert "SHOULD-NEVER-SHOW" not in flat and "tok-123" not in flat
+
+
+def test_settings_view_renders(authed):
+    _login(authed)
+    r = authed.get("/ui/settings")
+    assert r.status_code == 200
+    assert b"/ui/api/settings" in r.data
+
+
+def test_login_gate_off_without_ui_login_flag(rig):
+    """The original rig configures the passphrase but not ui_login:
+    pause stays step-up-guarded while the UI itself remains open
+    (back-compat with the pre-login API surface)."""
+    assert rig.client.get("/ui").status_code == 200
+    assert rig.client.get("/ui/api/overview").status_code == 200
+    # and /ui/login politely redirects into the dashboard
+    r = rig.client.get("/ui/login")
+    assert r.status_code == 302
+
+
+def test_webauth_session_expiry_and_tamper_unit():
+    from trignis_spark.webauth import WebUiAuth
+
+    now = [1000.0]
+    auth = WebUiAuth(token_ttl_hours=1, clock=lambda: now[0])
+    tok = auth.issue_session()
+    assert auth.validate_session(tok)
+    # expired after the TTL
+    now[0] += 3601
+    assert not auth.validate_session(tok)
+    # tampered expiry fails the signature before the time check
+    now[0] = 1000.0
+    exp, sig = tok.split(".", 1)
+    assert not auth.validate_session(f"{int(exp) + 9999}.{sig}")
+    assert not auth.validate_session("garbage")
+    assert not auth.validate_session(None)
+    # csrf single-use + expiry
+    c = auth.generate_csrf()
+    assert auth.validate_csrf(c)
+    now[0] += 601
+    assert not auth.validate_csrf(c)

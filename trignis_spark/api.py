@@ -22,10 +22,20 @@ routes (``Source/Program.cs``):
   — pause is passphrase-guarded (its failure mode is silent); resume
   never is ("making operators re-authenticate to restore service is
   how an incident gets longer", :501-553)
+- ``GET /ui/login`` + ``GET /ui/api/auth/csrf`` + ``POST /ui/api/auth``
+  / ``logout`` — cookie-session login over the UI when a passphrase is
+  configured (:254-374): one-time CSRF token echoed by the form,
+  httpOnly session cookie + readable csrf cookie, per-address lockout,
+  double-submit check on mutating UI calls
+- ``GET /ui/api/settings``          — global/server/logging settings
+  with secrets recursively redacted (:659-678 omits Token/Password/
+  ApiKey; same redaction list as the destinations payload)
 
 Auth parity: the admin passphrase is compared as SHA-256 digests in
-constant time (``Program.cs:369-374``). CSRF/session machinery is a
-browser-UI concern and is out of scope for the engine API.
+constant time (``Program.cs:369-374``); session/CSRF machinery lives in
+``webauth.WebUiAuth``. With no passphrase configured the UI is open and
+every auth check is skipped, exactly like the reference's
+``authEnabled`` switch.
 
 Flask ships in this environment but is import-guarded anyway — the
 module stays importable (and the engine fully functional) without it.
@@ -90,6 +100,22 @@ _REDACTED_OPTION_KEYS = frozenset(
     }
 )
 
+def redact_settings(value):
+    """Recursively drop secret-bearing keys from a settings payload
+    (the reference's settings endpoint omits Token/Password/ApiKey/
+    ClientSecret/keys, ``Program.cs:628-678``)."""
+    if isinstance(value, dict):
+        return {
+            k: redact_settings(v)
+            for k, v in value.items()
+            if k.lower() not in _REDACTED_OPTION_KEYS
+            and "passphrase" not in k.lower()
+        }
+    if isinstance(value, (list, tuple)):
+        return [redact_settings(v) for v in value]
+    return value
+
+
 _LOG_LINE_RE = None  # compiled lazily in create_app
 
 
@@ -134,11 +160,109 @@ def create_app(
     admin_passphrase_sha256: str | None = None,
     log_dir: str | None = None,
     version: str = "0.2.0",
+    settings: dict | None = None,  # /ui/api/settings payload (pre-redaction)
+    web_auth=None,  # webauth.WebUiAuth | None (default-built when auth is on)
+    ui_login: bool = False,  # ≙ WebHost:Enabled — gate /ui behind login
 ):
     """Build the Flask app over the control-plane services."""
     if Flask is None:  # pragma: no cover
         raise RuntimeError("flask is not installed; the HTTP API is unavailable")
     app = Flask("trignis_spark")
+
+    # the reference's switch (Program.cs:204): the login gate needs BOTH
+    # the web host opt-in and a configured key; the pause step-up below
+    # only needs the key
+    auth_enabled = ui_login and admin_passphrase_sha256 is not None
+    if auth_enabled and web_auth is None:
+        from trignis_spark.webauth import WebUiAuth
+
+        web_auth = WebUiAuth()
+
+    AUTH_COOKIE = "trignis_session"
+    CSRF_COOKIE = "trignis_csrf"
+    #: paths reachable without a session (the login flow itself)
+    _AUTH_EXEMPT = ("/ui/login", "/ui/api/auth")
+
+    @app.before_request
+    def _ui_auth_gate():
+        """Session gate over /ui/* (``Program.cs:254-267``): views
+        redirect to the login page, API paths get 401 JSON. /health/*
+        stays open — it is the machine surface."""
+        if not auth_enabled:
+            return None
+        p = request.path
+        if not p.startswith("/ui") or any(
+            p == e or p.startswith(e + "/") for e in _AUTH_EXEMPT
+        ):
+            return None
+        if web_auth.validate_session(request.cookies.get(AUTH_COOKIE)):
+            # double-submit gate for every mutating UI endpoint
+            # (``RejectIfCsrfInvalid``, Program.cs:356-368)
+            if request.method in ("POST", "PUT", "DELETE"):
+                if not web_auth.double_submit_ok(
+                    request.headers.get("X-CSRF-Token"),
+                    request.cookies.get(CSRF_COOKIE),
+                ):
+                    return (
+                        jsonify({"error": "Missing or invalid CSRF token"}),
+                        403,
+                    )
+            return None
+        if p.startswith("/ui/api/"):
+            return jsonify({"error": "Authentication required"}), 401
+        from flask import redirect
+
+        return redirect("/ui/login")
+
+    # -- login flow (Program.cs:301-353) -----------------------------------
+
+    @app.get("/ui/login")
+    def ui_login():
+        from flask import redirect
+
+        from trignis_spark import ui as _ui_mod
+
+        if not auth_enabled:
+            return redirect("/ui")
+        return _ui_mod.login_page()
+
+    @app.get("/ui/api/auth/csrf")
+    def auth_csrf():
+        if not auth_enabled:
+            return jsonify({"csrf": ""})
+        return jsonify({"csrf": web_auth.generate_csrf()})
+
+    @app.post("/ui/api/auth")
+    def auth_login():
+        if not auth_enabled:
+            return jsonify({"ok": True})
+        ip = request.remote_addr or "unknown"
+        if (reason := web_auth.check_access(ip)) is not None:
+            return jsonify({"error": reason}), 429
+        body = request.get_json(silent=True) or {}
+        csrf = body.get("csrf")
+        if not web_auth.validate_csrf(csrf):
+            web_auth.record_failed_attempt(ip)
+            return jsonify({"error": "Invalid or expired CSRF token"}), 403
+        if not passphrase_ok(body.get("api_key"), admin_passphrase_sha256):
+            web_auth.record_failed_attempt(ip)
+            return jsonify({"error": "Invalid API key"}), 401
+        web_auth.clear_failed_attempts(ip)
+        web_auth.consume_csrf(csrf)
+        resp = jsonify({"ok": True})
+        # httpOnly session + page-JS-readable csrf for the double submit
+        resp.set_cookie(AUTH_COOKIE, web_auth.issue_session(),
+                        httponly=True, samesite="Strict")
+        resp.set_cookie(CSRF_COOKIE, web_auth.new_session_csrf(),
+                        httponly=False, samesite="Strict")
+        return resp
+
+    @app.post("/ui/api/auth/logout")
+    def auth_logout():
+        resp = jsonify({"ok": True})
+        resp.delete_cookie(AUTH_COOKIE)
+        resp.delete_cookie(CSRF_COOKIE)
+        return resp
 
     def envs() -> dict:
         if environments is None:
@@ -480,6 +604,20 @@ def create_app(
                 "lines": page,
             }
         )
+
+    @app.get("/ui/api/settings")
+    def ui_settings():
+        """Read-only global settings (``Program.cs:659-678``): whatever
+        the host passed as ``settings`` plus the server/auth section,
+        every secret-bearing key recursively redacted."""
+        payload = dict(settings or {})
+        payload.setdefault("server", {})
+        payload["server"] = {
+            **payload["server"],
+            "auth_enabled": auth_enabled,
+            "version": version,
+        }
+        return jsonify(redact_settings(payload))
 
     @app.get("/ui/api/pauses")
     def list_pauses():

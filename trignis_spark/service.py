@@ -50,6 +50,7 @@ class TrignisSparkService:
         retry: RetryPolicy | None = None,
         crypto=None,  # EncryptionService | None — PWENC secrets at rest
         admin_passphrase_sha256: str | None = None,
+        ui_login: bool = False,  # gate /ui behind the cookie-session login
     ):
         self.spark = spark
         self.config_dir = config_dir
@@ -57,6 +58,7 @@ class TrignisSparkService:
         self.retry = retry
         self.crypto = crypto
         self.admin_passphrase_sha256 = admin_passphrase_sha256
+        self.ui_login = ui_login
         self.state = StateStore(work_dir + "/state")
         self.dlq = DeadLetterStore(work_dir + "/dlq")
         self.pauses = PauseStore(work_dir + "/pauses")
@@ -192,6 +194,14 @@ class TrignisSparkService:
             connections=self._connections,
             environments=self._envs_snapshot,
             admin_passphrase_sha256=self.admin_passphrase_sha256,
+            ui_login=self.ui_login,
+            settings={
+                "global": {
+                    "config_dir": self.config_dir,
+                    "replay_interval_seconds": self.replay_interval,
+                    "environments": sorted(self._envs_snapshot()),
+                },
+            },
         )
 
     def start(self) -> list[str]:

@@ -1,7 +1,8 @@
 """Dashboard UI: static HTML views over the control-plane JSON API.
 
-The reference ships a server-rendered shell with four operational views
-(``Source/ui/views/{dashboard,environments,deadletters,logs}.html``)
+The reference ships a server-rendered shell with operational views
+(``Source/ui/views/{dashboard,environments,deadletters,logs,
+settings}.html``) plus a login form (``Source/ui/login.html``)
 over the same endpoints this repo's ``api.py`` exposes. This module
 re-expresses that surface as self-contained pages — one shared shell,
 vanilla-JS fetch against the existing ``/ui/api/*`` and ``/health/*``
@@ -10,7 +11,8 @@ has no CDN). Original markup/styling; parity is with what the views
 *show*, not how the reference renders it.
 
 Mounted by ``api.create_app`` at ``/ui`` (dashboard), ``/ui/
-environments``, ``/ui/deadletters``, ``/ui/logs``.
+environments``, ``/ui/deadletters``, ``/ui/logs``, ``/ui/settings``,
+and ``/ui/login`` (served by the auth routes, no nav shell).
 """
 
 from __future__ import annotations
@@ -63,6 +65,7 @@ _NAV = """
   <a href="/ui/environments" id="nav-environments">Environments</a>
   <a href="/ui/deadletters" id="nav-deadletters">Dead Letters</a>
   <a href="/ui/logs" id="nav-logs">Logs</a>
+  <a href="/ui/settings" id="nav-settings">Settings</a>
 </nav>
 """
 
@@ -78,8 +81,12 @@ def _shell(title: str, active: str, body: str, script: str) -> str:
 <body>{nav}<main><h1>{title}</h1>{body}</main>
 <script>
 const J = (u) => fetch(u).then(r => r.json());
+// double-submit: echo the readable csrf cookie on every mutation
+const csrf = () => (document.cookie.match(/(?:^|; )trignis_csrf=([^;]*)/)
+  || [])[1] || "";
 const P = (u, b) => fetch(u, {{method: "POST",
-  headers: {{"Content-Type": "application/json"}},
+  headers: {{"Content-Type": "application/json",
+             "X-CSRF-Token": decodeURIComponent(csrf())}},
   body: JSON.stringify(b || {{}})}}).then(r => r.json());
 const esc = (s) => String(s ?? "").replace(/[&<>"'`]/g,
   c => ({{"&":"&amp;","<":"&lt;",">":"&gt;",'"':"&quot;",
@@ -240,9 +247,81 @@ async function load() {
     return _shell("Logs", "logs", body, script)
 
 
+def settings_page() -> str:
+    body = """
+<div class="toolbar"><button onclick="load()">Refresh</button>
+  <button onclick="logout()">Log out</button></div>
+<div id="sections" class="muted">Loading…</div>
+"""
+    script = """
+async function logout() {
+  await P("/ui/api/auth/logout");
+  location.href = "/ui/login";
+}
+function section(title, obj) {
+  const rows = Object.entries(obj || {}).map(([k, v]) =>
+    "<tr><td>" + esc(k) + "</td><td>" + (typeof v === "object"
+      ? "<pre>" + esc(JSON.stringify(v, null, 1)) + "</pre>"
+      : esc(v)) + "</td></tr>").join("");
+  return `<div class="card" style="margin-bottom:1rem">
+    <strong>${esc(title)}</strong>
+    <table style="margin-top:.5rem"><tbody>
+      ${rows || "<tr><td class=muted>empty</td></tr>"}
+    </tbody></table></div>`;
+}
+async function load() {
+  const s = await J("/ui/api/settings");
+  sections.innerHTML = Object.entries(s).map(
+    ([name, body]) => section(name, body)).join("")
+    || "<div class=muted>no settings exposed</div>";
+}
+"""
+    return _shell("Settings", "settings", body, script)
+
+
+def login_page() -> str:
+    """Login form (reference ``Source/ui/login.html`` flow): fetch the
+    one-time CSRF token, echo it with the API key, land on the
+    dashboard. Served without the nav shell — there is nothing to
+    navigate to before a session exists."""
+    return f"""<!DOCTYPE html>
+<html lang="en"><head><meta charset="utf-8">
+<title>Sign in — trignis-spark</title>
+<style>{_STYLE}
+body {{ align-items:center; justify-content:center; }}
+.login {{ width:320px; }}
+input {{ width:100%; background:var(--bg); color:var(--fg);
+        border:1px solid var(--line); border-radius:6px;
+        padding:.5rem .7rem; margin:.6rem 0; font-size:.9rem; }}
+.err {{ color:var(--bad); font-size:.8rem; min-height:1.2em; }}
+</style></head>
+<body><main class="login"><div class="card">
+<h1>trignis-spark</h1>
+<p class="muted" style="font-size:.8rem">Enter the admin API key to
+open the operator dashboard.</p>
+<input id="key" type="password" placeholder="API key"
+  onkeydown="if (event.key === 'Enter') go()">
+<div class="err" id="err"></div>
+<button onclick="go()" style="width:100%">Sign in</button>
+</div></main>
+<script>
+async function go() {{
+  err.textContent = "";
+  const c = await fetch("/ui/api/auth/csrf").then(r => r.json());
+  const r = await fetch("/ui/api/auth", {{method: "POST",
+    headers: {{"Content-Type": "application/json"}},
+    body: JSON.stringify({{csrf: c.csrf, api_key: key.value}})}});
+  if (r.ok) {{ location.href = "/ui"; return; }}
+  err.textContent = (await r.json()).error || "Sign-in failed";
+}}
+document.getElementById("key").focus();
+</script></body></html>"""
+
+
 PAGES = {
     "dashboard": dashboard_page,
     "environments": environments_page,
     "deadletters": deadletters_page,
     "logs": logs_page,
+    "settings": settings_page,
 }
