@@ -95,3 +95,30 @@ def test_trained_extend_assigns_through_stored_centroids(spark, trained_index):
         for r in sim.cosine_topk(emb, QUERY_PRED, k=5).collect()
     }
     assert got == want
+
+
+def test_init_centroids_deterministic_under_duplicate_vec_ids(spark):
+    """vec_id is documented as the embeddings key, but duplicates must
+    not make initialization flaky: the seed sort compares the whole
+    (vec_id, v) struct, so equal ids fall through to the embedding
+    arrays — an arbitrary-looking but fully deterministic order
+    (ADVICE r4 carry-over). Same duplicates, different partitionings,
+    identical centroids."""
+    rows = [
+        (2, [float(i), 1.0]) for i in range(5)  # five vec_id=2 duplicates
+    ] + [(1, [9.0, 9.0]), (3, [4.0, 4.0])]
+    a = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(1)
+    b = spark.createDataFrame(
+        list(reversed(rows)), "vec_id long, embedding array<double>"
+    ).repartition(7)
+
+    got_a = [tuple(r) for r in km.init_centroids(a, k=4).orderBy("cid").collect()]
+    got_b = [tuple(r) for r in km.init_centroids(b, k=4).orderBy("cid").collect()]
+    assert got_a == got_b
+    # the documented contract still holds on the unique ids: cid 0 is the
+    # lowest vec_id's vector
+    assert got_a[0][1] == [9.0, 9.0]
+    # duplicates of vec_id=2 order by their arrays: [0,1] before [1,1]...
+    assert [c[1] for c in got_a[1:]] == [[0.0, 1.0], [1.0, 1.0], [2.0, 1.0]]

@@ -50,15 +50,17 @@ def init_centroids(embeddings: DataFrame, k: int,
     partition. The cid assignment is a single aggregate over the k
     surviving rows — no window function anywhere in the plan.
 
-    Assumes ``vec_id`` is unique (the embeddings table's key). The
-    ``array_sort`` orders the k structs by their leading ``vec_id``
-    field; with duplicate vec_ids the comparison would fall through to
-    the embedding arrays, which still yields a deterministic (if
-    arbitrary-looking) cid order but no longer the documented
-    "k lowest vec_ids in order" contract.
+    ``vec_id`` is documented as the embeddings table's key, but the
+    seed must not become flaky if that contract is violated: the
+    take-k orders on the full (vec_id, v) pair, so duplicate ids tie-
+    break on the embedding arrays (Spark orders arrays lexicographic-
+    ally) and the *selection* at the limit boundary stays deterministic
+    across partitionings — ordering on vec_id alone would let Spark
+    keep an arbitrary subset of equal-id rows. With unique ids this is
+    exactly the documented "k lowest vec_ids in order" contract.
     """
     vecs = _as_double_vec(embeddings, emb_col)
-    top = vecs.orderBy("vec_id").limit(k)
+    top = vecs.orderBy("vec_id", "v").limit(k)
     packed = top.agg(
         F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("s")
     )

@@ -56,9 +56,12 @@ def split_subvectors(embeddings: DataFrame, m: int,
 def init_codebook(embeddings: DataFrame, m: int, k: int,
                   emb_col: str = "embedding") -> DataFrame:
     """Seed: the k lowest-vec_id vectors' slices become centroids 0..k-1
-    in every subspace (distributed TakeOrdered, no global window)."""
+    in every subspace (distributed TakeOrdered, no global window).
+    Ordered on the full (vec_id, v) pair so duplicate ids cannot make
+    the limit-boundary selection partitioning-dependent (see
+    ``kmeans.init_centroids``)."""
     vecs = _as_double_vec(embeddings, emb_col)
-    top = vecs.orderBy("vec_id").limit(k)
+    top = vecs.orderBy("vec_id", "v").limit(k)
     packed = top.agg(
         F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("s")
     )
