@@ -109,3 +109,23 @@ def test_index_exists_and_meta(spark, index):
     assert ipq.index_exists(spark, index)
     meta = spark.table(ipq._meta_table(index)).first()
     assert (meta["m"], meta["k"], meta["n_buckets"]) == (M, K, 16)
+
+
+def test_compaction_shrinks_files_probe_unchanged(spark, index):
+    from trignis_spark.maintenance import table_data_files
+
+    emb = load(spark, SF, "embeddings")
+    ipq.build_ivfpq_index(spark, emb.filter("vec_id < 100"), index, m=M, k=K)
+    for lo in range(100, 500, 100):
+        ipq.extend_ivfpq_index(
+            spark, emb.filter(f"vec_id >= {lo} AND vec_id < {lo + 100}"), index
+        )
+    queries = emb.filter(F.expr(QUERY_PRED))
+    before = _pairs(ipq.ivfpq_probe(spark, index, queries, k=10))
+    files_before = sum(
+        len(table_data_files(spark, t))
+        for t in (index, ipq._codes_table(index), ipq._ids_table(index))
+    )
+    files_after = ipq.compact_ivfpq_index(spark, index)
+    assert files_after < files_before
+    assert _pairs(ipq.ivfpq_probe(spark, index, queries, k=10)) == before

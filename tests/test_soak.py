@@ -13,7 +13,11 @@ stream itself:
 * **zero duplicate deliveries** — no version appears in two envelopes;
 * **never two pollers** — the probe log shows no overlapping cycles for
   an environment, across every hot reload;
-* sustained throughput is printed (recorded in BASELINE.md).
+* sustained throughput is printed (recorded in BASELINE.md);
+* **index maintenance under load** (VERDICT r4 #8) — the persistent
+  near-dup index is extended with a fresh document slice every cycle
+  step while traffic flows, then compacted: the file count must drop
+  and probe results must be byte-identical across the swap.
 """
 
 import json
@@ -88,6 +92,16 @@ def test_soak_advancing_feed_failures_and_reloads(spark, tmp_path, monkeypatch):
         poll_interval_override=0.1,
         retry=RetryPolicy(attempts=2, delay_seconds=0, sleep=lambda _: None),
     )
+    # persistent near-dup index, extended every cycle step under load
+    from trignis_spark.operators import dedup_index as di
+
+    docs = load(spark, SF, "documents").localCheckpoint(eager=True)
+    n_docs = docs.count()
+    idx = "soak_dedup_idx"
+    for t in (idx, idx + "_docs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    di.build_index(spark, docs.filter("doc_id % 10 = 0"), idx)
+
     assert service.start() == []
     t_start = time.time()
     try:
@@ -117,6 +131,11 @@ def test_soak_advancing_feed_failures_and_reloads(spark, tmp_path, monkeypatch):
                 (cfg / "alpha.json").write_text(
                     _env_json(retry_delay=0.001 * reloads_done)
                 )
+            # per-cycle corpus ingest: extend the index with this step's
+            # document slice while the poller is mid-traffic
+            di.extend_index(
+                spark, docs.filter(f"doc_id % 10 = {step % 10}"), idx
+            )
             target = limit["v"]
             while wm() != target and time.time() < deadline:
                 time.sleep(0.05)
@@ -153,6 +172,35 @@ def test_soak_advancing_feed_failures_and_reloads(spark, tmp_path, monkeypatch):
     assert service.probe.overlaps() == []
     assert service.orchestrator.running() == set()
     assert len(all_sinks) >= 3, "reload storm never rebuilt the pipeline"
+
+    # --- index maintenance: compact after the extend churn ----------------
+    from trignis_spark.maintenance import table_data_files
+
+    # every document slice was folded in; replays added nothing
+    assert spark.table(idx + "_docs").count() == n_docs
+    assert di.extend_index(spark, docs, idx) == 0
+    probe_batch = docs.filter("doc_id % 7 = 3")
+    before = {
+        (r["batch_doc"], r["corpus_doc"], r["jaccard"])
+        for r in di.probe_index(spark, idx, probe_batch, 0.4).collect()
+    }
+    files_before = len(table_data_files(spark, idx)) + len(
+        table_data_files(spark, idx + "_docs")
+    )
+    files_after = di.compact_index(spark, idx)
+    assert files_after < files_before, (
+        f"compaction did not shrink the file count "
+        f"({files_before} -> {files_after})"
+    )
+    after = {
+        (r["batch_doc"], r["corpus_doc"], r["jaccard"])
+        for r in di.probe_index(spark, idx, probe_batch, 0.4).collect()
+    }
+    assert after == before and before, "probe results changed across compaction"
+    print(
+        f"index maintenance: {files_before} -> {files_after} files, "
+        f"{len(before)} probe pairs stable"
+    )
 
     print(
         f"\nsoak: {len(delivered)} rows in {elapsed:.1f}s "

@@ -32,11 +32,98 @@ import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from trignis_spark.sinks.base import ExportContext
 from trignis_spark.sinks.generations import GenerationStore
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024  # HDFS-block-ish
+
+
+def drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS plus removal of any *orphaned warehouse
+    location*: a fresh session starts with an empty in-memory catalog,
+    but a previous session's ``saveAsTable`` files may still sit in the
+    warehouse dir and would fail the next create with
+    LOCATION_ALREADY_EXISTS. Local/derby-catalog concern only — with a
+    shared metastore the catalog owns the locations."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = os.path.join(wh, table.lower())
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+
+def table_location(spark: SparkSession, table: str) -> str:
+    """Filesystem location of a catalog table (no Delta DESCRIBE DETAIL
+    in plain parquet land; the catalog row carries it)."""
+    from urllib.parse import urlparse
+
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if (row["col_name"] or "").strip() == "Location":
+            return urlparse(row["data_type"].strip()).path
+    raise ValueError(f"no location found for table {table}")
+
+
+def table_data_files(spark: SparkSession, table: str) -> list[str]:
+    return _data_files(table_location(spark, table))
+
+
+def compact_bucketed_table(
+    spark: SparkSession,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+) -> int:
+    """Rewrite a bucketed managed table into ~one file per bucket.
+
+    The persistent dedup/ANN index tables append one file set per poll
+    cycle (``extend_index`` / ``extend_ann_index`` / ``extend_ivfpq_
+    index``); under sustained polling that is the same small-files
+    cliff ``ParquetCompactor`` handles for flat directories, but a
+    bucketed table cannot be generation-swapped file-wise — the bucket
+    spec lives in the catalog. Instead: rewrite into a same-spec
+    sidecar table (repartitioned by the bucket column so each bucket
+    lands in one task → one file), then swap via two catalog renames
+    and drop the old data.
+
+    Contract (same as ``ParquetCompactor``): one maintenance writer at
+    a time, and *appends must be quiesced during the swap* — run it
+    from the housekeeping loop between poll cycles, where the
+    orchestrator already serializes cycle work. Readers in the same
+    session see the swap atomically at the catalog level; cached plans
+    are invalidated via ``refreshTable``.
+
+    Returns the number of data files after compaction."""
+    tmp, old = f"{table}__compacting", f"{table}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    # Read the raw files, NOT spark.table(table): the bucketed scan
+    # advertises HashPartitioning(bucket_col, n) so Catalyst eliminates
+    # the repartition below — while auto-disabling the bucketed scan
+    # itself (no operator benefits from it), leaving tasks holding
+    # arbitrary file groups that span every bucket. One file per
+    # (task, bucket) then yields ~tasks×buckets tiny files instead of
+    # one per bucket. A plain parquet read has no partitioning claim,
+    # so the repartition really executes and aligns task ↔ bucket.
+    raw = spark.read.parquet(*table_data_files(spark, table))
+    writer = (
+        raw.repartition(n_buckets, F.col(bucket_col))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(tmp)
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {old}")
+    spark.catalog.refreshTable(table)
+    return len(table_data_files(spark, table))
 
 
 def _data_files(path: str) -> list[str]:

@@ -101,6 +101,13 @@ def build_ann_index(
     in a ``<table>_centroids`` sidecar, so probes and extends assign
     consistently; without it the deterministic sign-pattern quantizer
     applies."""
+    from trignis_spark.maintenance import drop_table_and_location
+
+    drop_table_and_location(spark, table)
+    drop_table_and_location(spark, _ids_table(table))
+    # always cleared: a rebuild without a quantizer must not leave a
+    # stale one behind, and an orphaned location must not fail a rebuild
+    drop_table_and_location(spark, _centroids_table(table))
     if centroids is not None:
         centroids = centroids.localCheckpoint(eager=True)
         n_buckets = max(1, centroids.count())
@@ -110,9 +117,6 @@ def build_ann_index(
             .saveAsTable(_centroids_table(table))
         )
         spark.catalog.refreshTable(_centroids_table(table))
-    else:
-        # a rebuild without a quantizer must not leave a stale one behind
-        spark.sql(f"DROP TABLE IF EXISTS {_centroids_table(table)}")
     rows = _rows(embeddings, n_buckets, centroids)
     (
         rows.write.mode("overwrite")

@@ -63,7 +63,12 @@ def build_index(
     n: int = 3,
     n_buckets: int = DEFAULT_BUCKETS,
 ) -> None:
-    """Materialize the corpus inverted index (overwrites both tables)."""
+    """Materialize the corpus inverted index (overwrites both tables,
+    including orphaned locations left by other sessions)."""
+    from trignis_spark.maintenance import drop_table_and_location
+
+    drop_table_and_location(spark, table)
+    drop_table_and_location(spark, _docs_table(table))
     rows = _sized_shingles(docs, n)
     (
         rows.write.mode("overwrite")
@@ -163,3 +168,24 @@ def extend_index(
     )
     _refresh(spark, table)
     return added
+
+
+def compact_index(
+    spark: SparkSession, table: str, n_buckets: int = DEFAULT_BUCKETS
+) -> int:
+    """Housekeeping for sustained polling: every ``extend_index`` call
+    appends a file set per bucket, so a 30 s poll cadence accretes
+    thousands of small files per day (the flat-directory twin is
+    ``maintenance.ParquetCompactor``). Rewrites both tables to ~one
+    file per bucket via catalog-swap; probe results are unchanged by
+    construction (same rows, same bucket spec — asserted under load in
+    tests/test_soak.py). Run between poll cycles; appends must be
+    quiesced during the swap. Returns the post-compaction file count."""
+    from trignis_spark.maintenance import compact_bucketed_table
+
+    n = compact_bucketed_table(
+        spark, table, "shingle", n_buckets, sort_col="shingle"
+    )
+    n += compact_bucketed_table(spark, _docs_table(table), "doc_id", n_buckets)
+    _refresh(spark, table)
+    return n

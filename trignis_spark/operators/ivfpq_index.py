@@ -88,22 +88,13 @@ def index_exists(spark: SparkSession, table: str) -> bool:
 
 
 def _drop_stale(spark: SparkSession, table: str) -> None:
-    """Drop any prior incarnation of the index, including *orphaned
-    warehouse locations*: a fresh session starts with an empty in-memory
-    catalog, but a previous session's ``saveAsTable`` files may still
-    sit in the warehouse dir and would fail the overwrite with
-    LOCATION_ALREADY_EXISTS. Local/derby-catalog concern only — with a
-    shared metastore the catalog owns the locations."""
-    import os
-    import shutil
-    from urllib.parse import urlparse
+    """Drop any prior incarnation of the index, including orphaned
+    warehouse locations from other sessions (see
+    ``maintenance.drop_table_and_location``)."""
+    from trignis_spark.maintenance import drop_table_and_location
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for t in _all_tables(table):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        path = os.path.join(wh, t.lower())
-        if os.path.isdir(path):
-            shutil.rmtree(path)
+        drop_table_and_location(spark, t)
 
 
 def _bucketed(embeddings: DataFrame, n_buckets: int) -> DataFrame:
@@ -301,3 +292,21 @@ def ivfpq_probe(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def compact_ivfpq_index(spark: SparkSession, table: str) -> int:
+    """Same housekeeping as ``dedup_index.compact_index`` for the
+    IVF-PQ tables: per-cycle extends accrete one file set per bucket
+    per call; rewrite the three bucketed tables (float index, codes,
+    ids) to ~one file per bucket. The codebook and meta tables are one
+    small file each and never grow — left untouched. Returns the
+    post-compaction file count across the rewritten tables."""
+    from trignis_spark.maintenance import compact_bucketed_table
+
+    meta = spark.table(_meta_table(table)).first()
+    nb = meta["n_buckets"]
+    n = compact_bucketed_table(spark, table, "bucket", nb)
+    n += compact_bucketed_table(spark, _codes_table(table), "bucket", nb)
+    n += compact_bucketed_table(spark, _ids_table(table), "vec_id", nb)
+    _refresh(spark, table)
+    return n
