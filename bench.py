@@ -73,6 +73,13 @@ def main() -> int:
         help="scale-factor dir (overrides $SPARK_GRAFT_SF_DIR); e.g. "
         ".localdata/sf1 from tools/gen_sf.py",
     )
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated registry names to run instead of the "
+        "headline set (for scale-point runs over a subset, e.g. the "
+        "scaled/production shapes at sf10)",
+    )
     args = ap.parse_args()
     sf_dir = (
         args.sf
@@ -82,7 +89,13 @@ def main() -> int:
     spark = get_spark("trignis-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = HEADLINE + [n for n in OPTIONAL if n in q.QUERIES]
+    if args.queries:
+        names = [n.strip() for n in args.queries.split(",") if n.strip()]
+        unknown = [n for n in names if n not in q.QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+    else:
+        names = HEADLINE + [n for n in OPTIONAL if n in q.QUERIES]
     registry = q.queries()
 
     # Warm the JVM + file listing once so per-query numbers measure the

@@ -81,10 +81,32 @@ def _stride(con, src: str, table: str, cols: list[str]) -> int:
 
 
 def _rot_word(w: str, c: int) -> str:
-    if len(w) < 2 or c % len(w) == 0:
-        return w
-    k = c % len(w)
-    return w[k:] + w[:k]
+    """Copy-``c`` bijective token remap: rotate the characters by
+    ``c % len`` and Caesar-shift alphabetic characters by ``c % 26``.
+
+    Rotation alone collides between copies whose difference is a
+    multiple of the word length (at 100 copies that re-correlates short
+    words across e.g. copies 3 and 7); the added Caesar shift makes a
+    cross-copy word collision require the copy difference to satisfy
+    both congruences (mod 26 *and* mod len), and a whole *shingle*
+    collision to satisfy them for every word — vanishingly rare even at
+    100+ copies. Both ops preserve word length, so ``n_chars`` and all
+    length-based text stats are unchanged."""
+    k = c % len(w) if w else 0
+    rotated = w[k:] + w[:k] if k else w
+    shift = c % 26
+    if not shift:
+        return rotated
+    out = []
+    for ch in rotated:
+        o = ord(ch)
+        if 97 <= o <= 122:
+            out.append(chr(97 + (o - 97 + shift) % 26))
+        elif 65 <= o <= 90:
+            out.append(chr(65 + (o - 65 + shift) % 26))
+        else:
+            out.append(ch)
+    return "".join(out)
 
 
 def _tile_documents(src: str, out: str, copies: int, stride: int) -> int:

@@ -75,14 +75,38 @@ def exact_duplicates(docs: DataFrame, portable: bool = True) -> DataFrame:
 
 
 def jaccard_pairs(
-    shingles: DataFrame, threshold: float, max_df: int | None = None
+    shingles: DataFrame,
+    threshold: float,
+    max_df: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index blocking.
 
-    ``max_df`` drops shingles appearing in more than that many docs
-    (stop-shingles) from *candidate generation only* — the verification
-    still uses full shingle sets, so reported Jaccard values are exact.
+    Candidate generation uses **prefix filtering** (Chaudhuri et al.
+    SSJoin / Bayardo et al. All-Pairs): shingles get a global canonical
+    order (document frequency ascending, rarest first), and only each
+    document's first ``floor((1-t)·|d|) + 1`` shingles are indexed. By
+    the prefix-filter lemma any pair with Jaccard ≥ t must share an
+    indexed shingle, so this is **lossless** — identical output to the
+    naive full inverted index — while the index shrinks ~5× at t=0.8
+    and, decisively, high-df stop-shingles fall out of candidate
+    generation on their own (a shingle is only indexed where it is
+    among a doc's rarest). The naive full-index form
+    (``prefix_filter=False``) is quadratic in the hottest shingle's df:
+    at 500 k docs it spilled >70 GB and died; the prefix form runs the
+    same corpus in ~2 min (sf10 scale point, BASELINE.md).
+
+    A symmetric length filter (``t·|d2| ≤ |d1| ≤ |d2|/t``, implied by
+    J ≥ t) prunes candidates before the distinct.
+
+    ``max_df`` additionally drops shingles appearing in more than that
+    many docs (stop-shingles) from candidate generation only — with
+    prefix filtering it is a belt-and-braces skew bound, not a recall
+    knob. Verification always uses full shingle sets, so reported
+    Jaccard values are exact.
     """
+    from pyspark.sql import Window
+
     block = shingles
     if max_df is not None:
         df_ok = (
@@ -92,12 +116,43 @@ def jaccard_pairs(
             .select("shingle")
         )
         block = shingles.join(df_ok, "shingle")
+    if prefix_filter:
+        # global canonical order: df ascending, shingle value tie-break
+        dfreq = block.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        ranked = (
+            block.join(dfreq, "shingle")
+            .withColumn(
+                "_rnk",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("_df", "shingle")
+                ),
+            )
+            .withColumn(
+                "_sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+            )
+        )
+        # indexing prefix for J ≥ t: |d| - ceil(t·|d|) + 1 rarest shingles
+        block = ranked.filter(
+            F.col("_rnk")
+            <= F.floor(F.lit(1.0 - threshold) * F.col("_sz")) + 1
+        ).select("doc_id", "shingle", "_sz")
+    else:
+        block = block.withColumn("_sz", F.lit(None).cast("long"))
     a, b = block.alias("a"), block.alias("b")
+    length_ok = (
+        (F.col("b._sz") * threshold <= F.col("a._sz"))
+        & (F.col("a._sz") * threshold <= F.col("b._sz"))
+        if prefix_filter
+        else F.lit(True)
+    )
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & length_ok,
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
