@@ -206,3 +206,75 @@ def test_incremental_pairs_matches_batch_against_corpus_only(spark):
         for r in dd.incremental_pairs(corpus, batch, threshold=0.5).collect()
     }
     assert got == {(10, 1), (10, 2)}
+
+
+def test_banded_near_dup_finds_planted_pairs(spark):
+    # planted clusters: base vector + tiny noise => cos > 0.99; fillers
+    # are random => cos ~ 0. The banded+Hamming form must find every
+    # planted pair (tight pairs collide in essentially all bands) and
+    # report only exact-verified pairs.
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for c in range(5):
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        for k in range(3):
+            rows.append(
+                (c * 10 + k,
+                 [x + rng.uniform(-0.01, 0.01) for x in base])
+            )
+    for i in range(200):
+        rows.append((1000 + i, [rng.uniform(-1, 1) for _ in range(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["d1"], r["d2"]) for r in
+           sim.cosine_near_dup_pairs_banded(emb, threshold=0.9).collect()}
+    want = {(c * 10 + a, c * 10 + b)
+            for c in range(5) for a in range(3) for b in range(3) if a < b}
+    assert got == want
+
+
+def test_banded_near_dup_matches_unbanded_on_tight_pairs(spark):
+    # same planted corpus: the banded form's exact verification must
+    # agree with the saturating 4x4 layout on every pair both block
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for c in range(4):
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        for k in range(2):
+            rows.append(
+                (c * 10 + k,
+                 [x + rng.uniform(-0.005, 0.005) for x in base])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    banded = {(r["d1"], r["d2"], round(r["cos"], 9)) for r in
+              sim.cosine_near_dup_pairs_banded(emb, threshold=0.9).collect()}
+    loose = {(r["d1"], r["d2"], round(r["cos"], 9)) for r in
+             sim.cosine_near_dup_pairs(emb, threshold=0.9).collect()}
+    assert banded == loose and len(banded) == 4
+
+
+def test_incremental_pairs_prefix_filter_lossless(spark):
+    # the prefix-filtered batch-vs-corpus probe must return exactly the
+    # direct probe's pairs (prefix filtering is lossless for J >= t)
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc{i % 4}")
+         for i in range(12)]
+        + [(100 + i, f"totally different words here number {i}")
+           for i in range(6)],
+        "doc_id long, text string",
+    )
+    sh = dd.shingle_table(docs)
+    from pyspark.sql import functions as SF
+    batch = sh.filter(SF.expr("doc_id % 3 = 0"))
+    corpus = sh.filter(SF.expr("doc_id % 3 <> 0"))
+    for t in (0.5, 0.8):
+        direct = {(r.batch_doc, r.corpus_doc, round(r.jaccard, 9))
+                  for r in dd.incremental_pairs(corpus, batch, t).collect()}
+        pref = {(r.batch_doc, r.corpus_doc, round(r.jaccard, 9))
+                for r in dd.incremental_pairs(
+                    corpus, batch, t, prefix_filter=True).collect()}
+        assert direct == pref
+    assert len(direct) > 0

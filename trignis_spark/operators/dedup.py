@@ -395,6 +395,7 @@ def incremental_pairs(
     batch_shingles: DataFrame,
     threshold: float,
     broadcast_batch: bool = True,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Incremental dedup: near-duplicate matches of an *arriving batch*
     against an *existing corpus* — the shape a change-feed-fed training
@@ -416,22 +417,106 @@ def incremental_pairs(
     b = batch_shingles.select(
         F.col("doc_id").alias("batch_doc"), "shingle"
     )
-    if broadcast_batch:
-        b = F.broadcast(b)
     c = corpus_shingles.select(
         F.col("doc_id").alias("corpus_doc"), "shingle"
     )
-    inter = (
-        c.join(b, "shingle")
-        .groupBy("batch_doc", "corpus_doc")
-        .agg(F.count(F.lit(1)).alias("isz"))
-    )
+    if prefix_filter:
+        # Same lossless prefix filter as ``jaccard_pairs`` (candidates
+        # must share one of each side's floor((1-t)|d|)+1 rarest
+        # shingles under a shared total order), batch-vs-corpus form.
+        # The canonical order is corpus document frequency (batch-only
+        # shingles rank rarest at df 0 — any consistent total order
+        # satisfies the lemma). Only worth it at *tight* thresholds
+        # (t ≥ ~0.8), where the prefix is a small fraction of each
+        # shingle set; at t = 0.5 the prefix keeps ~half of every doc,
+        # so the two corpus-wide shuffles it costs outweigh the
+        # candidate reduction (measured at the sf10 corpus with a
+        # corpus-sized batch: 105 s direct vs 313 s prefix). For a true
+        # poll-cycle batch the default direct probe never shuffles the
+        # corpus at all.
+        from pyspark.sql import Window
+
+        dfreq = c.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+
+        def _prefix(side: DataFrame, idc: str) -> DataFrame:
+            ranked = (
+                side.join(dfreq, "shingle", "left")
+                .withColumn("_df", F.coalesce(F.col("_df"), F.lit(0)))
+                .withColumn(
+                    "_rnk",
+                    F.row_number().over(
+                        Window.partitionBy(idc).orderBy("_df", "shingle")
+                    ),
+                )
+                .withColumn(
+                    "_sz", F.count(F.lit(1)).over(Window.partitionBy(idc))
+                )
+            )
+            return ranked.filter(
+                F.col("_rnk")
+                <= F.floor(F.lit(1.0 - threshold) * F.col("_sz")) + 1
+            ).select(idc, "shingle", "_sz")
+
+        bp = _prefix(b, "batch_doc").withColumnRenamed("_sz", "_bsz")
+        cp = _prefix(c, "corpus_doc").withColumnRenamed("_sz", "_csz")
+        if broadcast_batch:
+            bp = F.broadcast(bp)
+        cand = (
+            cp.join(bp, "shingle")
+            .filter(
+                (F.col("_bsz") * threshold <= F.col("_csz"))
+                & (F.col("_csz") * threshold <= F.col("_bsz"))
+            )
+            .select("batch_doc", "corpus_doc")
+            .distinct()
+            # the candidate set is referenced by four downstream joins
+            # (two semi-joins, the fan-out, and the size lookup); it is
+            # small but costs two corpus-wide shuffles to produce, so
+            # materialize it once instead of re-running the prefix
+            # pipeline per reference
+            .localCheckpoint(eager=True)
+        )
+        # verification sees only hit docs: semi-join both shingle
+        # tables down to candidates before the intersection count
+        bsub = b.join(
+            F.broadcast(cand.select("batch_doc").distinct()), "batch_doc"
+        )
+        csub = c.join(
+            F.broadcast(cand.select("corpus_doc").distinct()), "corpus_doc"
+        )
+        inter = (
+            bsub.join(F.broadcast(cand), "batch_doc")
+            .join(csub, ["corpus_doc", "shingle"])
+            .groupBy("batch_doc", "corpus_doc")
+            .agg(F.count(F.lit(1)).alias("isz"))
+        )
+    else:
+        if broadcast_batch:
+            b = F.broadcast(b)
+        inter = (
+            c.join(b, "shingle")
+            .groupBy("batch_doc", "corpus_doc")
+            .agg(F.count(F.lit(1)).alias("isz"))
+        )
     szb = batch_shingles.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("szb")
     ).withColumnRenamed("doc_id", "batch_doc")
-    szc = corpus_shingles.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("szc")
-    ).withColumnRenamed("doc_id", "corpus_doc")
+    # corpus sizes are needed only for docs that produced a candidate —
+    # semi-join the corpus down to those before aggregating, so the size
+    # computation is a map-side filter + small agg instead of a
+    # corpus-wide shuffle (measured 137 s → 105 s at the sf10 corpus;
+    # the hit set is bounded by the batch's candidate fan-out, so the
+    # broadcast is safe at any corpus size)
+    hit_docs = inter.select("corpus_doc").distinct()
+    szc = (
+        corpus_shingles.join(
+            F.broadcast(hit_docs),
+            corpus_shingles.doc_id == hit_docs.corpus_doc,
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("szc"))
+        .withColumnRenamed("doc_id", "corpus_doc")
+    )
     return (
         inter.join(F.broadcast(szb), "batch_doc")
         .join(szc, "corpus_doc")

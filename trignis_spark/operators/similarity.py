@@ -123,6 +123,125 @@ def ivf_topk(
     )
 
 
+def signature_hamming_max(threshold: float, sig_bits: int = 62) -> int:
+    """Hamming cutoff for the sign-signature prefilter at a cosine
+    threshold: mean + 3σ of the binomial bit-disagreement count for a
+    pair exactly at the threshold (random-hyperplane identity:
+    P[bit differs] = acos(cos) / π). Pairs above the threshold have
+    strictly smaller expected Hamming, so the cutoff keeps ≳99.7% of
+    qualifying pairs while discarding the random-collision mass
+    (unrelated pairs center at sig_bits/2)."""
+    import math
+
+    p = math.acos(threshold) / math.pi
+    return math.ceil(sig_bits * p + 3.0 * math.sqrt(sig_bits * p * (1.0 - p)))
+
+
+def cosine_near_dup_pairs_banded(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 16,
+    band_bits: int = 12,
+    hamming_max: int | None = None,
+    sig_bits: int = 62,
+) -> DataFrame:
+    """Production-scale embedding near-dup: overlapping sign-bit bands +
+    a signature-Hamming prefilter before any full-vector join.
+
+    The fixed-partition sign layouts (``cosine_near_dup_pairs``) cliff
+    when buckets saturate: 8-bit bands hold 256 patterns, so by ~200 k
+    vectors every bucket carries ~800 members and the candidate join
+    emits ~6·10⁸ pairs straight into a distinct (measured: >70 GB of
+    spill at the tiled sf10 corpus — it never finished). Three changes
+    make the shape corpus-size-robust:
+
+    1. **One 62-bit sign signature** per vector (bit i = sign of
+       component i+1), an 8-byte BIGINT.
+    2. **Overlapping bands re-use the 62 sign bits**: band ``b`` reads
+       ``band_bits`` bits at indices ``(4b + 5j) mod sig_bits`` — 16
+       bands × 12 bits = 4096 patterns each, so occupancy (and the
+       equijoin's output) falls ~16× vs an 8-bit layout *without*
+       needing more dimensions. Candidate rows carry only
+       (vec_id, sig) — 16 bytes, not the 512-byte vector.
+    3. **Hamming prefilter inside the join condition**:
+       ``bit_count(sig_a ^ sig_b) ≤ hamming_max`` (auto: mean+3σ at the
+       threshold, e.g. 18 bits for cos ≥ 0.9). Random collisions center
+       at ~31 differing bits, so virtually none survive to the distinct
+       or the exact-cosine verify — the expensive stages see only
+       near-qualifying pairs.
+
+    Blocking recall at cos = 0.9 is ≈ 1 − (1 − p^12)^16 with
+    p = 1 − acos(0.9)/π ≈ 0.856 → ≈ 93%, × ≈ 99.7% for the prefilter;
+    rises steeply above the threshold. Verification is exact, so every
+    reported pair is a true pair. Deterministic throughout — an
+    external SQL oracle replays it bit-for-bit."""
+    if hamming_max is None:
+        hamming_max = signature_hamming_max(threshold, sig_bits)
+    sig_expr = " + ".join(
+        f"(CASE WHEN element_at(v, {i + 1}) >= 0.0D "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(sig_bits)
+    )
+    base = _prep(embeddings).withColumn("sig", F.expr(sig_expr))
+    bands = base.select(
+        "vec_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            " + ".join(
+                                f"(((sig >> {(4 * b + 5 * j) % sig_bits})"
+                                f" & 1) << {j})"
+                                for j in range(band_bits)
+                            )
+                        ).alias("bv"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "sig", "bk.band", "bk.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (
+                F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+                <= F.lit(hamming_max)
+            ),
+        )
+        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+        .distinct()
+    )
+    x = base.select(
+        F.col("vec_id").alias("d1"), F.col("v").alias("xv"),
+        F.col("n2").alias("xn2"),
+    )
+    y = base.select(
+        F.col("vec_id").alias("d2"), F.col("v").alias("yv"),
+        F.col("n2").alias("yn2"),
+    )
+    return (
+        cand.join(x, "d1")
+        .join(y, "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.expr(DOT.format(a="xv", b="yv"))
+                / F.sqrt(F.col("xn2") * F.col("yn2"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
