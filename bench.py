@@ -46,6 +46,7 @@ OPTIONAL = [
     "dedup_simhash_scaled",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_scaled",
+    "dedup_embedding_cosine_prod",
     "ann_cosine_topk",
     "text_quality_score",
     "corpus_build",
