@@ -47,6 +47,7 @@ OPTIONAL = [
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_scaled",
     "dedup_embedding_cosine_prod",
+    "dedup_embedding_cosine_clustered",
     "ann_cosine_topk",
     "text_quality_score",
     "corpus_build",

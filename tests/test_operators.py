@@ -278,3 +278,45 @@ def test_incremental_pairs_prefix_filter_lossless(spark):
                     corpus, batch, t, prefix_filter=True).collect()}
         assert direct == pref
     assert len(direct) > 0
+
+
+def test_clustered_near_dup_finds_planted_clusters(spark):
+    # trained-cell blocking must find loose-threshold (cos ~ 0.5+)
+    # planted cluster pairs that sign-band LSH misses at this regime
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    for c in range(4):
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        for k in range(4):
+            rows.append(
+                (c * 10 + k,
+                 [x + rng.uniform(-0.4, 0.4) for x in base])
+            )
+    for i in range(100):
+        rows.append((1000 + i, [rng.uniform(-1, 1) for _ in range(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.d1, r.d2) for r in
+           sim.cosine_near_dup_pairs_clustered(
+               emb, threshold=0.5, k=8, assign_n=2).collect()}
+    # ground truth: brute-force pairs at the same threshold
+    from pyspark.sql import functions as SF
+    base = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    ).withColumn("n2", SF.expr(sim.NORM2.format(a="v")))
+    a, b = base.alias("a"), base.alias("b")
+    truth = {
+        (r.d1, r.d2)
+        for r in a.join(b, SF.col("a.vec_id") < SF.col("b.vec_id"))
+        .select(
+            SF.col("a.vec_id").alias("d1"), SF.col("b.vec_id").alias("d2"),
+            (SF.expr(sim.DOT.format(a="a.v", b="b.v"))
+             / SF.sqrt(SF.col("a.n2") * SF.col("b.n2"))).alias("cos"))
+        .filter(SF.col("cos") >= 0.5).collect()
+    }
+    assert truth, "fixture must plant loose-threshold pairs"
+    # every reported pair is true (exact verification) ...
+    assert got <= truth
+    # ... and cluster blocking recovers a solid majority of them
+    assert len(got) / len(truth) >= 0.6

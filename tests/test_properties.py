@@ -183,3 +183,35 @@ class TestRollupMergeAlgebra:
             for r in f.collect()
         )
         assert canon(merged) == canon(direct)
+
+
+@given(
+    st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=40),
+                      min_size=1, max_size=20),
+        min_size=2, max_size=12,
+    ),
+    st.sampled_from([0.5, 0.6, 0.8, 0.9]),
+)
+def test_prefix_filter_lemma_never_loses_a_qualifying_pair(sets, t):
+    # the math operators/dedup.py::jaccard_pairs rests on: under the
+    # global (df, shingle) order, any pair with J >= t must (a) share a
+    # shingle inside both docs' floor((1-t)|d|)+1 prefixes and (b) pass
+    # the symmetric length filter — so prefix blocking is lossless
+    import math
+
+    df: dict[int, int] = {}
+    for s in sets:
+        for x in s:
+            df[x] = df.get(x, 0) + 1
+
+    def prefix(s):
+        ordered = sorted(s, key=lambda x: (df[x], x))
+        return set(ordered[: math.floor((1 - t) * len(s)) + 1])
+
+    for i, a in enumerate(sets):
+        for b in sets[i + 1:]:
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                assert prefix(a) & prefix(b), (a, b, t)
+                assert len(a) * t <= len(b) and len(b) * t <= len(a)

@@ -76,6 +76,17 @@ def assign_clusters(embeddings: DataFrame, centroids: DataFrame,
     """(vec_id, cid): each vector's nearest centroid (squared L2, ties
     to the lowest cid). Broadcast centroids → map-side argmin; the
     corpus is never shuffled."""
+    return assign_clusters_topn(embeddings, centroids, 1, emb_col)
+
+
+def assign_clusters_topn(embeddings: DataFrame, centroids: DataFrame,
+                         n: int, emb_col: str = "embedding") -> DataFrame:
+    """(vec_id, cid) for each vector's ``n`` nearest centroids (squared
+    L2, ties to the lowest cid) — multi-assignment is the standard
+    recall device for cluster-blocked candidate generation: a pair
+    split across a cell boundary still meets in a shared second-nearest
+    cell. Broadcast centroids → map-side scoring; one shuffle on
+    vec_id for the per-vector rank."""
     vecs = _as_double_vec(embeddings, emb_col)
     scored = vecs.join(F.broadcast(centroids)).withColumn(
         "d2", F.expr(_SQDIST.format(a="v", b="cvec"))
@@ -83,7 +94,7 @@ def assign_clusters(embeddings: DataFrame, centroids: DataFrame,
     w = Window.partitionBy("vec_id").orderBy("d2", "cid")
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= n)
         .select("vec_id", "cid")
     )
 

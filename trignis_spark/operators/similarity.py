@@ -242,6 +242,67 @@ def cosine_near_dup_pairs_banded(
     )
 
 
+def cosine_near_dup_pairs_clustered(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    k: int = 16,
+    iters: int = 2,
+    assign_n: int = 2,
+) -> DataFrame:
+    """Loose-threshold embedding near-dup via trained-quantizer
+    blocking: candidates share one of each vector's ``assign_n``
+    nearest k-means cells; exact cosine verifies.
+
+    Random-hyperplane LSH cannot block usefully at loose thresholds
+    (cos ≈ 0.4 pairs agree on only ~63% of sign bits, so any band
+    layout either saturates its buckets or collapses recall —
+    BASELINE.md sf10). Trained cells align with the corpus's actual
+    density instead: members of a real cluster land in the same cell at
+    any corpus size, and multi-assignment (``assign_n`` > 1) recovers
+    boundary pairs. Candidate volume is Σ_cells occupancy² — controlled
+    by ``k``, which should scale ~√N (same rule as the IVF index;
+    training cost per Lloyd round is broadcast-k×dim map-side argmin,
+    corpus never shuffled). Deterministic end to end (first-k init,
+    decimal means, dist-then-cid tie-breaks), so a SQL oracle replays
+    training, assignment, blocking and verification bit-for-bit."""
+    from trignis_spark.operators import kmeans as km
+
+    cents = km.train_kmeans(embeddings, k, iters=iters)
+    asg = km.assign_clusters_topn(embeddings, cents, assign_n)
+    base = _prep(embeddings)
+    a, b = asg.alias("a"), asg.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+        .distinct()
+    )
+    x = base.select(
+        F.col("vec_id").alias("d1"), F.col("v").alias("xv"),
+        F.col("n2").alias("xn2"),
+    )
+    y = base.select(
+        F.col("vec_id").alias("d2"), F.col("v").alias("yv"),
+        F.col("n2").alias("yn2"),
+    )
+    return (
+        cand.join(x, "d1")
+        .join(y, "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.expr(DOT.format(a="xv", b="yv"))
+                / F.sqrt(F.col("xn2") * F.col("yn2"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,

@@ -1868,3 +1868,70 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Loose-threshold embedding near-dup via trained-quantizer blocking
+# --------------------------------------------------------------------------
+
+_KMC_K = 16  # blocking cells (scale ~sqrt(N) in production)
+_KMC_ASSIGN = 2  # multi-assignment: nearest + second-nearest cell
+
+
+def _km_assign_topn_sql(vecs: str, cents: str, n: int) -> str:
+    """Top-n cell assignment as SQL (dist-then-cid tie-break)."""
+    return f"""
+      SELECT vec_id, cid FROM (
+        SELECT {vecs}.vec_id, {cents}.cid,
+               row_number() OVER (
+                 PARTITION BY {vecs}.vec_id
+                 ORDER BY {_DSQ.format(a=f'{vecs}.v', b=f'{cents}.cvec')},
+                          {cents}.cid) AS rn
+        FROM {vecs}, {cents}) WHERE rn <= {n}
+    """
+
+
+@register(
+    "dedup_embedding_cosine_clustered",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+      FROM e ORDER BY vec_id LIMIT {_KMC_K}),
+    c1 AS ({_km_update_sql(_km_assign_sql('e', 'c0'), 'c0')}),
+    c2 AS ({_km_update_sql(_km_assign_sql('e', 'c1'), 'c1')}),
+    asg AS ({_km_assign_topn_sql('e', 'c2', _KMC_ASSIGN)}),
+    n AS (SELECT vec_id, v, {_DNORM2.format(a='v')} AS n2 FROM e),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+      FROM asg a JOIN asg b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id),
+    s AS (
+      SELECT c.d1, c.d2,
+             {_DDOT.format(a='x.v', b='y.v')} / sqrt(x.n2 * y.n2) AS cos
+      FROM cand c JOIN n x ON x.vec_id = c.d1 JOIN n y ON y.vec_id = c.d2)
+    SELECT d1, d2, cos FROM s WHERE cos >= 0.4
+    """,
+)
+def dedup_embedding_cosine_clustered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Loose-threshold (cos ≥ 0.4) embedding near-dup with
+    trained-quantizer blocking — the regime where sign-LSH banding
+    cannot work (at 0.4 pairs agree on only ~63% of sign bits; any band
+    layout either saturates or loses the pairs, see the sf10 findings
+    in BASELINE.md). Candidates share one of each vector's 2 nearest
+    deterministic k-means cells (same training contract as
+    `emb_kmeans_quantizer`: first-k init, decimal means, dist-then-cid
+    ties); exact cosine verifies every emitted pair. The oracle replays
+    training, top-2 assignment, blocking and verification as chained
+    CTEs (`operators/similarity.py::cosine_near_dup_pairs_clustered`)."""
+    from trignis_spark.operators import similarity as sim
+
+    return sim.cosine_near_dup_pairs_clustered(
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        k=_KMC_K,
+        iters=2,
+        assign_n=_KMC_ASSIGN,
+    )
