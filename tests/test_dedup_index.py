@@ -65,3 +65,92 @@ def test_index_layout_is_bucketed_on_shingle(spark, index):
     info = {r["col_name"]: r["data_type"] for r in ddl}
     assert "shingle" in info.get("Bucket Columns", "")
     assert "shingle" in info.get("Sort Columns", "")
+
+
+@pytest.fixture
+def pindex(spark):
+    yield "dedup_pidx_t"
+    for suffix in ("", "_full", "_docs", "_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS dedup_pidx_t{suffix}")
+
+
+def _rand_docs(seed, n_docs, start=0):
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(n_docs):
+        k = rng.randint(6, 14)
+        rows.append((start + i, " ".join(rng.choice(vocab)
+                                         for _ in range(k))))
+    # plant hot shingles: a boilerplate prefix shared by many docs
+    rows += [(start + n_docs + j,
+              "standard header line here " + rows[j % n_docs][1])
+             for j in range(n_docs // 2)]
+    return rows
+
+
+def test_prefix_probe_matches_full_probe(spark, index, pindex):
+    corpus = _frame(spark, _rand_docs(3, 16))
+    batch = _frame(spark, _rand_docs(4, 6, start=1000))
+    di.build_index(spark, corpus, index)
+    di.build_prefix_index(spark, corpus, pindex, threshold=0.5)
+    for t in (0.5, 0.7, 0.9):
+        full = {(r["batch_doc"], r["corpus_doc"], round(r["jaccard"], 9))
+                for r in di.probe_index(spark, index, batch,
+                                        threshold=t).collect()}
+        pref = {(r["batch_doc"], r["corpus_doc"], round(r["jaccard"], 9))
+                for r in di.probe_prefix_index(spark, pindex, batch,
+                                               threshold=t).collect()}
+        assert pref == full
+
+
+def test_prefix_probe_rejects_looser_threshold(spark, pindex):
+    di.build_prefix_index(
+        spark, _frame(spark, [(1, BASE)]), pindex, threshold=0.8
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        di.probe_prefix_index(
+            spark, pindex, _frame(spark, [(10, NEAR)]), threshold=0.5
+        )
+
+
+def test_prefix_extend_idempotent_and_lossless(spark, index, pindex):
+    start = _frame(spark, _rand_docs(5, 10))
+    di.build_index(spark, start, index)
+    di.build_prefix_index(spark, start, pindex, threshold=0.5)
+    newcomers = _frame(spark, _rand_docs(6, 8, start=500))
+    assert di.extend_index(spark, newcomers, index) == 12
+    assert di.extend_prefix_index(spark, newcomers, pindex) == 12
+    assert di.extend_prefix_index(spark, newcomers, pindex) == 0  # replay
+    batch = _frame(spark, _rand_docs(7, 5, start=2000))
+    full = {(r["batch_doc"], r["corpus_doc"], round(r["jaccard"], 9))
+            for r in di.probe_index(spark, index, batch,
+                                    threshold=0.5).collect()}
+    pref = {(r["batch_doc"], r["corpus_doc"], round(r["jaccard"], 9))
+            for r in di.probe_prefix_index(spark, pindex, batch,
+                                           threshold=0.5).collect()}
+    assert pref == full
+
+
+def test_prefix_index_excludes_hot_shingles(spark, pindex):
+    # every doc shares the same boilerplate opening; with a tight
+    # threshold the stored prefix is small and the boilerplate shingles
+    # (df = corpus size, ranked last) must not be indexed for the
+    # longer docs
+    boiler = "standard header line for every single document in the set"
+    rows = [(i, boiler + f" unique tail {i} alpha beta gamma delta",)
+            for i in range(20)]
+    di.build_prefix_index(
+        spark, _frame(spark, rows), pindex, threshold=0.8
+    )
+    probe_tbl = spark.table(pindex)
+    full_tbl = spark.table(pindex + "_full")
+    # pruned probe table is much smaller than the verify table
+    assert probe_tbl.count() * 2 < full_tbl.count()
+    # the hottest shingle (df == n_docs) is absent from the probe table
+    hot = (full_tbl.groupBy("shingle").count()
+           .orderBy(F.desc("count")).first())
+    assert hot["count"] == 20
+    assert probe_tbl.filter(F.col("shingle") == hot["shingle"]).count() == 0

@@ -189,3 +189,238 @@ def compact_index(
     n += compact_bucketed_table(spark, _docs_table(table), "doc_id", n_buckets)
     _refresh(spark, table)
     return n
+
+
+# --------------------------------------------------------------------------
+# Prefix-pruned index (v2): hot-shingle-proof probes
+# --------------------------------------------------------------------------
+#
+# ``probe_index`` joins the batch against the *full* inverted index, so
+# a stop-shingle ("the quick brown" appearing in 10% of the corpus)
+# makes every probe pay that shingle's full posting list. The v2 layout
+# splits the two jobs the full index was doing:
+#
+# - ``<name>`` (probe table): only each corpus doc's
+#   floor((1-t)·|d|)+1 *rarest* shingles (rarest-first under the
+#   build-time df order), bucketed+sorted by shingle. Corpus-side-only
+#   prefix pruning is lossless for J ≥ t by a per-document pigeonhole:
+#   a qualifying pair shares ≥ ceil(t·|C|) shingles, and the stored
+#   prefix's complement holds only ceil(t·|C|)-1 of C's shingles, so at
+#   least one shared shingle is always stored. Crucially the argument
+#   never compares orders across documents — any per-doc choice of that
+#   many shingles works — so extends may rank against their *own* df
+#   snapshot; df ordering is a performance heuristic (short posting
+#   lists), not a correctness requirement, and staleness cannot lose
+#   pairs.
+# - ``<name>_full`` (verify table): every (doc_id, shingle, sz) row,
+#   *partitioned* by ``pb = pmod(hash(doc_id), P)`` so the verification
+#   join's broadcast candidate set triggers dynamic partition pruning —
+#   verify I/O is proportional to the candidate docs' partitions, not
+#   the corpus.
+# - ``<name>_docs`` membership sidecar as in v1.
+# - ``<name>_meta``: (threshold, n, n_parts) — probes below the build
+#   threshold are rejected (the stored prefix would be too short).
+
+VERIFY_PARTS = 64
+
+
+def _full_table(table: str) -> str:
+    return f"{table}_full"
+
+
+def _meta_table(table: str) -> str:
+    return f"{table}_meta"
+
+
+def _pb(col: str = "doc_id", parts: int = VERIFY_PARTS) -> F.Column:
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(parts)).cast("int")
+
+
+def _prefix_rows(docs: DataFrame, n: int, threshold: float) -> DataFrame:
+    """(shingle, doc_id, sz) for each doc's rarest floor((1-t)sz)+1
+    shingles under this batch's df order."""
+    from pyspark.sql import Window
+
+    sh = shingle_table(docs, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "_rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("_df", "shingle")
+            ),
+        )
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    return ranked.filter(
+        F.col("_rnk") <= F.floor(F.lit(1.0 - threshold) * F.col("sz")) + 1
+    ).select("shingle", "doc_id", "sz")
+
+
+def build_prefix_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    table: str,
+    threshold: float,
+    n: int = 3,
+    n_buckets: int = DEFAULT_BUCKETS,
+    n_parts: int = VERIFY_PARTS,
+) -> None:
+    """Materialize the prefix-pruned probe table, the partitioned
+    verify table, the membership sidecar and the meta row."""
+    from trignis_spark.maintenance import drop_table_and_location
+
+    for t in (table, _full_table(table), _docs_table(table),
+              _meta_table(table)):
+        drop_table_and_location(spark, t)
+    (
+        _prefix_rows(docs, n, threshold)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "shingle")
+        .sortBy("shingle")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    full = _sized_shingles(docs, n).withColumn("pb", _pb(parts=n_parts))
+    (
+        full.repartition("pb")
+        .write.mode("overwrite")
+        .partitionBy("pb")
+        .format("parquet")
+        .saveAsTable(_full_table(table))
+    )
+    (
+        full.select("doc_id", "sz")
+        .distinct()
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "doc_id")
+        .format("parquet")
+        .saveAsTable(_docs_table(table))
+    )
+    spark.createDataFrame(
+        [(float(threshold), n, n_parts)],
+        "threshold double, n int, n_parts int",
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        _meta_table(table)
+    )
+    for t in (table, _full_table(table), _docs_table(table),
+              _meta_table(table)):
+        spark.catalog.refreshTable(t)
+
+
+def probe_prefix_index(
+    spark: SparkSession,
+    table: str,
+    batch_docs: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Near-dup matches of a batch against the prefix index:
+    (batch_doc, corpus_doc, jaccard ≥ threshold) — identical results to
+    ``probe_index`` at any threshold ≥ the build threshold (asserted).
+
+    Phase 1 (candidates): broadcast batch shingles ⋈ the pruned probe
+    table — hot shingles are absent from the index by construction, so
+    candidate volume tracks rare-shingle collisions only. Phase 2
+    (verify): broadcast candidates ⋈ the verify table with the
+    partition key derived from the candidate doc ids, so dynamic
+    partition pruning reads only the candidate docs' partitions; the
+    intersection count and denormalized sizes complete the exact
+    Jaccard. Both phases are map-side on the corpus."""
+    meta = spark.table(_meta_table(table)).collect()[0]
+    if threshold < meta.threshold - 1e-12:
+        raise ValueError(
+            f"index {table!r} was built for threshold >= {meta.threshold}; "
+            f"probing at {threshold} would lose pairs (rebuild the index)"
+        )
+    n = meta.n
+    bsh = shingle_table(batch_docs, n).select(
+        F.col("doc_id").alias("batch_doc"), "shingle"
+    )
+    bsz = bsh.groupBy("batch_doc").agg(F.count(F.lit(1)).alias("szb"))
+    cand = (
+        spark.table(table)
+        .join(F.broadcast(bsh), "shingle")
+        .select("batch_doc", F.col("doc_id").alias("corpus_doc"))
+        .distinct()
+        # NOTE: deliberately not checkpointed — the candidate plan
+        # feeds exactly one broadcast, and leaving it as a plan (with
+        # its selective joins visible) lets dynamic partition pruning
+        # consider the verify-table scan
+    )
+    full = spark.table(_full_table(table))
+    cand_pb = cand.withColumn(
+        "pb", _pb("corpus_doc", meta.n_parts)
+    )
+    inter = (
+        full.join(
+            F.broadcast(cand_pb),
+            (full.doc_id == cand_pb.corpus_doc)
+            & (full.pb == cand_pb.pb),
+        )
+        .join(F.broadcast(bsh), ["batch_doc", "shingle"])
+        .groupBy("batch_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("isz"), F.max("sz").alias("szc"))
+    )
+    return (
+        inter.join(F.broadcast(bsz), "batch_doc")
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            (
+                F.col("isz").cast("double")
+                / (F.col("szb") + F.col("szc") - F.col("isz"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def extend_prefix_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    table: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> int:
+    """Append new documents (idempotent under replay). Prefix rows for
+    the new docs rank against the *new batch's own* df snapshot — safe
+    because corpus-side prefix pruning is lossless under any per-doc
+    shingle choice of the required length (see module notes); the df
+    order only tunes posting-list length."""
+    meta = spark.table(_meta_table(table)).collect()[0]
+    known = spark.table(_docs_table(table)).select("doc_id")
+    fresh = docs.join(known, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    added = fresh.count()
+    if added == 0:
+        return 0
+    (
+        _prefix_rows(fresh, meta.n, meta.threshold)
+        .write.mode("append")
+        .bucketBy(n_buckets, "shingle")
+        .sortBy("shingle")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    full = _sized_shingles(fresh, meta.n).withColumn(
+        "pb", _pb(parts=meta.n_parts)
+    )
+    (
+        full.repartition("pb")
+        .write.mode("append")
+        .partitionBy("pb")
+        .format("parquet")
+        .saveAsTable(_full_table(table))
+    )
+    (
+        full.select("doc_id", "sz")
+        .distinct()
+        .write.mode("append")
+        .bucketBy(n_buckets, "doc_id")
+        .format("parquet")
+        .saveAsTable(_docs_table(table))
+    )
+    for t in (table, _full_table(table), _docs_table(table)):
+        spark.catalog.refreshTable(t)
+    return added
