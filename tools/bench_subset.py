@@ -40,13 +40,14 @@ def main() -> int:
 
     # Warm file listing + JVM once, same as bench.py.
     registry["cf_batch_watermark"](spark, args.sf).collect()
-    if "ann_ivfpq_probe" in names:
-        t0 = time.time()
-        registry["ann_ivfpq_probe"](spark, args.sf).write.mode(
-            "overwrite"
-        ).format("noop").save()
-        print(f"# ivfpq index build+probe (cold): {time.time() - t0:.2f}s",
-              flush=True)
+    for probe_q in ("ann_ivfpq_probe", "dedup_index_probe"):
+        if probe_q in names:
+            t0 = time.time()
+            registry[probe_q](spark, args.sf).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            print(f"# {probe_q} index build+probe (cold): "
+                  f"{time.time() - t0:.2f}s", flush=True)
 
     timings: dict[str, float] = {}
     for name in names:

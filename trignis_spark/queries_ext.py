@@ -1935,3 +1935,53 @@ def dedup_embedding_cosine_clustered(
         iters=2,
         assign_n=_KMC_ASSIGN,
     )
+
+
+@register(
+    "dedup_index_probe",
+    f"""
+    WITH {_DSH_TABLE},
+    bex AS (SELECT doc_id, shingle FROM ex WHERE doc_id % 7 = 3),
+    cex AS (SELECT doc_id, shingle FROM ex WHERE doc_id % 7 <> 3),
+    inter AS (SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc,
+                     count(*) AS isz
+              FROM bex b JOIN cex c ON c.shingle = b.shingle GROUP BY 1, 2),
+    jac AS (SELECT batch_doc, corpus_doc,
+                   CAST(isz AS DOUBLE) / (s1.sz + s2.sz - isz) AS jaccard
+            FROM inter JOIN sizes s1 ON s1.doc_id = batch_doc
+                       JOIN sizes s2 ON s2.doc_id = corpus_doc)
+    SELECT batch_doc, corpus_doc, jaccard
+    FROM jac WHERE jaccard >= 0.8
+    ORDER BY batch_doc, corpus_doc
+    """,
+)
+def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only near-dup search over the *persisted prefix-pruned
+    index* (`operators/dedup_index.py` v2) — the serving shape of the
+    every-poll-cycle dedup: the corpus (doc_id % 7 <> 3) is indexed at
+    most once per (session, sf_dir); each call then runs only the
+    two-phase probe (pruned-probe-table candidates → DPP-pruned verify)
+    for the batch (doc_id % 7 = 3). The oracle recomputes the exact
+    same pairs from the raw documents table — persistence and prefix
+    pruning must change cost, never results (the per-document
+    pigeonhole guarantees losslessness; tests/test_dedup_index.py
+    proves probe ≡ full-index probe at three thresholds)."""
+    import hashlib
+
+    from trignis_spark.operators import dedup_index as di
+
+    docs = load(spark, sf_dir, "documents")
+    name = "dedup_pidx_q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if not (
+        spark.catalog.tableExists(name)
+        and spark.catalog.tableExists(name + "_meta")
+    ):
+        di.build_prefix_index(
+            spark, docs.filter("doc_id % 7 <> 3"), name, threshold=0.8
+        )
+    return (
+        di.probe_prefix_index(
+            spark, name, docs.filter("doc_id % 7 = 3"), threshold=0.8
+        )
+        .orderBy("batch_doc", "corpus_doc")
+    )
