@@ -233,3 +233,45 @@ def test_retrieval_and_tokenizer_queries_plan_shapes(spark):
     bm25 = q.QUERIES["text_bm25_topk"](spark, SF)
     plan = bm25._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan  # global top-20 without a global window
+
+
+def test_round5_near_dup_forms_never_cartesian(spark):
+    from trignis_spark.operators import similarity as sim
+
+    emb = load(spark, SF, "embeddings")
+    assert_no_cartesian_product(
+        sim.cosine_near_dup_pairs_banded(emb, threshold=0.9)
+    )
+    docs = load(spark, SF, "documents")
+    assert_no_cartesian_product(
+        dd.jaccard_pairs(dd.shingle_table(docs), threshold=0.8)
+    )
+
+
+def test_prefix_index_probe_uses_dynamic_partition_pruning(spark):
+    # the v2 verify table is partitioned on pmod(hash(doc_id)) exactly
+    # so the broadcast candidate set prunes its scan; lock that the
+    # optimizer actually injects the pruning subquery (losing it
+    # silently turns every probe into a full corpus verify scan)
+    import contextlib
+    import io
+
+    from trignis_spark.operators import dedup_index as di
+
+    docs = load(spark, SF, "documents")
+    try:
+        di.build_prefix_index(
+            spark, docs.filter("doc_id % 7 <> 3"), "plans_pidx",
+            threshold=0.8,
+        )
+        probe = di.probe_prefix_index(
+            spark, "plans_pidx", docs.filter("doc_id % 7 = 3"), 0.8
+        )
+        assert_no_cartesian_product(probe)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            probe.explain("formatted")
+        assert "dynamicpruning" in buf.getvalue().lower()
+    finally:
+        for s in ("", "_full", "_docs", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS plans_pidx{s}")
