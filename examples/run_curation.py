@@ -3,7 +3,9 @@
 The production composition this repo exists for, in one runnable demo:
 
 1. seed a persistent near-dup corpus index from existing documents
-   (``operators/dedup_index.py``);
+   (``operators/dedup_index.py`` — the v2 prefix-pruned layout: hot
+   boilerplate shingles stay out of the probe table, and the verify
+   scan is dynamic-partition-pruned);
 2. deliver new documents as change events through the DataSource-V2
    outbox source and curate each micro-batch with the ingestion gate
    (quality → exact dedup → corpus-probe → in-batch near-dup), growing
@@ -52,7 +54,7 @@ def main() -> int:
 
     # 1. seed the persistent index with the first half of the corpus
     seed = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
-    di.build_index(spark, seed, index)
+    di.build_prefix_index(spark, seed, index, threshold=0.5)
     print(f"index seeded: {spark.table(di._docs_table(index)).count()} docs")
 
     # 2. the other half arrives as outbox change events, in two waves

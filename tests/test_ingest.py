@@ -273,3 +273,40 @@ def test_curate_sink_through_poll_pipeline(spark, index, tmp_path):
     )
     errs, _ = validate_environment(env_bad)
     assert any("curate sink requires accepted_path" in e for e in errs)
+
+
+@pytest.fixture
+def pindex(spark):
+    yield "ingest_pidx_t"
+    for s in ("", "_full", "_docs", "_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS ingest_pidx_t{s}")
+
+
+def test_gate_works_over_prefix_index(spark, pindex, tmp_path):
+    # same gate, v2 prefix-pruned index underneath (auto-detected via
+    # the meta table): stage counts and accepted set must be identical
+    # to the v1 run above
+    di.build_prefix_index(
+        spark, _frame(spark, [(1, BASE), (2, OTHER)]), pindex,
+        threshold=0.5,
+    )
+    accepted_path = str(tmp_path / "accepted_p")
+    stats: list[ingest.IngestStats] = []
+    fn = ingest.make_ingest_batch_fn(
+        spark, pindex, accepted_path,
+        min_quality=0.05, threshold=0.5, stats=stats,
+    )
+    batch = _frame(spark, [
+        (10, NEAR_BASE), (11, CLEAN_A), (12, CLEAN_A),
+        (13, JUNK), (14, NEAR_A), (15, CLEAN_B),
+    ])
+    fn(batch, epoch_id=0)
+    assert stats[-1].corpus_near_dup == 1 and stats[-1].accepted == 2
+    assert {r["doc_id"] for r in
+            spark.read.parquet(accepted_path).collect()} == {11, 15}
+    # extends went through the prefix layout (idempotent on replay)
+    fn(batch, epoch_id=0)
+    assert stats[-1].already_known == 2 and stats[-1].accepted == 0
+    members = {r["doc_id"]
+               for r in spark.table(di._docs_table(pindex)).collect()}
+    assert members == {1, 2, 11, 15}

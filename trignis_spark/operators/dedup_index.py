@@ -424,3 +424,41 @@ def extend_prefix_index(
     for t in (table, _full_table(table), _docs_table(table)):
         spark.catalog.refreshTable(t)
     return added
+
+
+# --------------------------------------------------------------------------
+# Layout-agnostic dispatch (v1 full index or v2 prefix index)
+# --------------------------------------------------------------------------
+
+
+def is_prefix_index(spark: SparkSession, table: str) -> bool:
+    """v2 indexes are recognized by their meta table."""
+    return spark.catalog.tableExists(_meta_table(table))
+
+
+def probe(
+    spark: SparkSession,
+    table: str,
+    batch_docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+) -> DataFrame:
+    """Probe whichever index layout ``table`` holds — identical results
+    either way (v2's shingle width comes from its meta row; ``n`` is
+    only used for v1)."""
+    if is_prefix_index(spark, table):
+        return probe_prefix_index(spark, table, batch_docs, threshold)
+    return probe_index(spark, table, batch_docs, threshold, n)
+
+
+def extend(
+    spark: SparkSession,
+    docs: DataFrame,
+    table: str,
+    n: int = 3,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> int:
+    """Extend whichever index layout ``table`` holds (idempotent)."""
+    if is_prefix_index(spark, table):
+        return extend_prefix_index(spark, docs, table, n_buckets)
+    return extend_index(spark, docs, table, n, n_buckets)

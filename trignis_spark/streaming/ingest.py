@@ -14,7 +14,8 @@ and each epoch passes through
 2. **exact in-batch dedup** — lowest ``doc_id`` per content hash wins;
 3. **quality gate** — ``operators.text.quality_scores`` at or above
    ``min_quality``;
-4. **corpus near-dup probe** — ``dedup_index.probe_index`` at or above
+4. **corpus near-dup probe** — ``dedup_index.probe`` (v1 full or v2
+   prefix-pruned layout, auto-detected) at or above
    ``threshold`` rejects (exact corpus duplicates are the Jaccard-1.0
    special case, so the probe subsumes an exact check);
 5. **in-batch near-dup** — among survivors, a document is rejected when
@@ -23,7 +24,7 @@ and each epoch passes through
    may over-reject on chains a~b~c, which fuzzy clustering
    (``dedup.cluster_near_duplicates``) resolves offline if needed);
 6. **accept** — append ``(doc_id, text, epoch_id)`` to the accepted
-   store and ``dedup_index.extend_index`` the same rows.
+   store and ``dedup_index.extend`` the same rows.
 
 Delivery semantics match the rest of the engine (at-least-once,
 idempotent where it matters): the index extend is exactly-once by
@@ -122,7 +123,7 @@ def make_ingest_batch_fn(
         )
 
         corpus_hits = (
-            di.probe_index(spark, index_table, good, threshold, n)
+            di.probe(spark, index_table, good, threshold, n)
             .select(F.col("batch_doc").alias("doc_id"))
             .distinct()
         )
@@ -162,7 +163,7 @@ def make_ingest_batch_fn(
             .write.mode("append")
             .parquet(accepted_path)
         )
-        di.extend_index(spark, accepted, index_table, n)
+        di.extend(spark, accepted, index_table, n)
 
     return ingest_batch
 
