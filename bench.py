@@ -41,6 +41,7 @@ OPTIONAL = [
     "j6_asof_join",
     "j7_range_join",
     "rollup_daily_cascade",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_scaled",
