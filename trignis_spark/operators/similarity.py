@@ -316,8 +316,12 @@ def cosine_near_dup_pairs(
     planes — deterministic, so an external oracle can replay it), then
     are verified with the exact cosine. Candidate volume is
     O(collisions) per band — an equijoin on (band, pattern), never an
-    all-pairs cross join; at 100 TB add more/wider bands to trade
-    recall for candidate volume.
+    all-pairs cross join. Fixed band layouts saturate as the corpus
+    grows (patterns-per-band is constant, so occupancy — and the
+    candidate join's output — rises linearly; the 8×8 layout died at
+    200 k vectors, BASELINE.md sf10): for production corpora use
+    ``cosine_near_dup_pairs_banded`` (tight thresholds) or
+    ``cosine_near_dup_pairs_clustered`` (loose thresholds).
     """
     base = _prep(embeddings)
     bands = base.select(
