@@ -320,3 +320,18 @@ def test_clustered_near_dup_finds_planted_clusters(spark):
     assert got <= truth
     # ... and cluster blocking recovers a solid majority of them
     assert len(got) / len(truth) >= 0.6
+
+
+def test_jaccard_prefix_float_boundary_pair_not_lost(spark):
+    # regression (caught by the sf0.1 oracle gate): |A|=5, |B|=4 with
+    # J = 4/5 = exactly the 0.8 threshold. In floats (1-0.8)*5 is
+    # 0.9999999999999998, so an un-epsiloned floor stores a 1-shingle
+    # prefix for A instead of 2 — and when A's rarest shingle is its
+    # unique one, the prefixes are disjoint and the pair silently
+    # vanishes. The epsiloned prefix must keep it.
+    rows = [(1, 100)] + [(1, s) for s in (1, 2, 3, 4)] \
+        + [(2, s) for s in (1, 2, 3, 4)]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle long")
+    got = {(r.d1, r.d2, round(r.jaccard, 9))
+           for r in dd.jaccard_pairs(sh, threshold=0.8).collect()}
+    assert got == {(1, 2, 0.8)}

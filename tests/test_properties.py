@@ -199,6 +199,7 @@ def test_prefix_filter_lemma_never_loses_a_qualifying_pair(sets, t):
     # shingle inside both docs' floor((1-t)|d|)+1 prefixes and (b) pass
     # the symmetric length filter — so prefix blocking is lossless
     import math
+    from fractions import Fraction
 
     df: dict[int, int] = {}
     for s in sets:
@@ -206,12 +207,19 @@ def test_prefix_filter_lemma_never_loses_a_qualifying_pair(sets, t):
             df[x] = df.get(x, 0) + 1
 
     def prefix(s):
+        # the SHIPPED formula, epsilon included: the +1e-6 guards the
+        # float boundary where (1-t)·|s| is an exact integer but the
+        # product lands one ulp under it (e.g. (1-0.8)*55 = 10.999…);
+        # without the epsilon this test fails for such sizes
         ordered = sorted(s, key=lambda x: (df[x], x))
-        return set(ordered[: math.floor((1 - t) * len(s)) + 1])
+        return set(ordered[: math.floor((1 - t) * len(s) + 1e-6) + 1])
 
+    tf = Fraction(t).limit_denominator(10)  # 0.5/0.6/0.8/0.9 exactly
     for i, a in enumerate(sets):
         for b in sets[i + 1:]:
-            jac = len(a & b) / len(a | b)
-            if jac >= t:
+            jac = Fraction(len(a & b), len(a | b))  # exact, no floats
+            if jac >= tf:
                 assert prefix(a) & prefix(b), (a, b, t)
-                assert len(a) * t <= len(b) and len(b) * t <= len(a)
+                # shipped length filter, epsilon included
+                assert len(a) * t <= len(b) + 1e-6
+                assert len(b) * t <= len(a) + 1e-6

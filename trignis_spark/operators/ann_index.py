@@ -90,7 +90,7 @@ def build_ann_index(
     spark: SparkSession,
     embeddings: DataFrame,
     table: str,
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = DEFAULT_BUCKETS,
     centroids: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF index (overwrites both tables).
@@ -100,9 +100,15 @@ def build_ann_index(
     partitioned by nearest-centroid cell and the centroids are stored
     in a ``<table>_centroids`` sidecar, so probes and extends assign
     consistently; without it the deterministic sign-pattern quantizer
-    applies."""
+    applies. ``n_buckets=None`` sizes the cell count from the corpus
+    (√N rule — see ``ivfpq_index.auto_n_buckets``); a fixed cell count
+    makes probe cost linear in corpus size."""
     from trignis_spark.maintenance import drop_table_and_location
 
+    if n_buckets is None:
+        from trignis_spark.operators.ivfpq_index import auto_n_buckets
+
+        n_buckets = auto_n_buckets(embeddings.count())
     drop_table_and_location(spark, table)
     drop_table_and_location(spark, _ids_table(table))
     # always cleared: a rebuild without a quantizer must not leave a
@@ -118,8 +124,11 @@ def build_ann_index(
         )
         spark.catalog.refreshTable(_centroids_table(table))
     rows = _rows(embeddings, n_buckets, centroids)
+    # co-partition on the bucket column first so file count tracks the
+    # bucket count, not buckets × writer tasks (see ivfpq_index)
     (
-        rows.write.mode("overwrite")
+        rows.repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
         .bucketBy(n_buckets, "bucket")
         .format("parquet")
         .saveAsTable(table)

@@ -136,14 +136,24 @@ def jaccard_pairs(
         # indexing prefix for J ≥ t: |d| - ceil(t·|d|) + 1 rarest shingles
         block = ranked.filter(
             F.col("_rnk")
-            <= F.floor(F.lit(1.0 - threshold) * F.col("_sz")) + 1
+            # +1e-6 before floor: in floats (1-0.8)*55 is
+            # 10.999..., one under the exact 11 — flooring that
+            # would store one-too-few prefix shingles exactly when
+            # (1-t)·sz is an integer and silently lose boundary
+            # pairs (caught by the sf0.1 oracle gate). Rounding up
+            # can only lengthen the prefix, which is always safe.
+            <= F.floor(F.lit(1.0 - threshold) * F.col("_sz")
+                       + F.lit(1e-6)) + 1
         ).select("doc_id", "shingle", "_sz")
     else:
         block = block.withColumn("_sz", F.lit(None).cast("long"))
     a, b = block.alias("a"), block.alias("b")
     length_ok = (
-        (F.col("b._sz") * threshold <= F.col("a._sz"))
-        & (F.col("a._sz") * threshold <= F.col("b._sz"))
+        # epsilon slack: 0.8*55 in floats is 44.000000000000007,
+        # which would reject a true min-size of exactly t·max;
+        # looser-by-epsilon is safe (verification is exact)
+        (F.col("b._sz") * threshold <= F.col("a._sz") + 1e-6)
+        & (F.col("a._sz") * threshold <= F.col("b._sz") + 1e-6)
         if prefix_filter
         else F.lit(True)
     )
@@ -454,7 +464,8 @@ def incremental_pairs(
             )
             return ranked.filter(
                 F.col("_rnk")
-                <= F.floor(F.lit(1.0 - threshold) * F.col("_sz")) + 1
+                <= F.floor(F.lit(1.0 - threshold) * F.col("_sz")
+                           + F.lit(1e-6)) + 1  # see jaccard_pairs
             ).select(idc, "shingle", "_sz")
 
         bp = _prefix(b, "batch_doc").withColumnRenamed("_sz", "_bsz")
@@ -464,8 +475,8 @@ def incremental_pairs(
         cand = (
             cp.join(bp, "shingle")
             .filter(
-                (F.col("_bsz") * threshold <= F.col("_csz"))
-                & (F.col("_csz") * threshold <= F.col("_bsz"))
+                (F.col("_bsz") * threshold <= F.col("_csz") + 1e-6)
+                & (F.col("_csz") * threshold <= F.col("_bsz") + 1e-6)
             )
             .select("batch_doc", "corpus_doc")
             .distinct()

@@ -254,7 +254,11 @@ def _prefix_rows(docs: DataFrame, n: int, threshold: float) -> DataFrame:
         .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
     return ranked.filter(
-        F.col("_rnk") <= F.floor(F.lit(1.0 - threshold) * F.col("sz")) + 1
+        # +1e-6 before floor: float (1-t)·sz can land one ulp under an
+        # exact integer and silently shorten the prefix by one (loses
+        # boundary pairs — see dedup.jaccard_pairs); longer is safe
+        F.col("_rnk")
+        <= F.floor(F.lit(1.0 - threshold) * F.col("sz") + F.lit(1e-6)) + 1
     ).select("shingle", "doc_id", "sz")
 
 

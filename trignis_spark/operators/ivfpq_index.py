@@ -119,7 +119,10 @@ def auto_n_buckets(n_vectors: int, dims: int = 64) -> int:
     import math
 
     n = max(16, 1 << math.ceil(math.log2(max(1.0, math.sqrt(n_vectors)))))
-    return min(n, 1 << (dims - 1), 4096)
+    # the sign-pattern quantizer draws log2(n) bits from the leading
+    # components, so n may never exceed 2^dims; the 4096 cap keeps the
+    # bucketed-table file count sane long before that bound matters
+    return min(n, 4096)
 
 
 def build_ivfpq_index(
