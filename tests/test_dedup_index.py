@@ -154,3 +154,33 @@ def test_prefix_index_excludes_hot_shingles(spark, pindex):
            .orderBy(F.desc("count")).first())
     assert hot["count"] == 20
     assert probe_tbl.filter(F.col("shingle") == hot["shingle"]).count() == 0
+
+
+def test_prefix_index_compaction_preserves_probe_results(spark, pindex):
+    from trignis_spark.maintenance import table_data_files
+
+    di.build_prefix_index(
+        spark, _frame(spark, _rand_docs(8, 10)), pindex, threshold=0.5
+    )
+    for seed, start in ((9, 500), (10, 600), (11, 700)):
+        di.extend_prefix_index(
+            spark, _frame(spark, _rand_docs(seed, 4, start=start)), pindex
+        )
+    # same generator seed as the corpus build => identical texts under
+    # fresh doc ids, so the probe is guaranteed non-empty
+    batch = _frame(spark, _rand_docs(8, 5, start=3000))
+    before = {(r.batch_doc, r.corpus_doc, round(r.jaccard, 9))
+              for r in di.probe_prefix_index(spark, pindex, batch,
+                                             0.5).collect()}
+    files_before = sum(
+        len(table_data_files(spark, t))
+        for t in (pindex, pindex + "_full", pindex + "_docs")
+    )
+    n_after = di.compact_prefix_index(spark, pindex)
+    assert n_after < files_before
+    after = {(r.batch_doc, r.corpus_doc, round(r.jaccard, 9))
+             for r in di.probe_prefix_index(spark, pindex, batch,
+                                            0.5).collect()}
+    assert after == before and len(before) > 0
+    # compaction is idempotent: a re-run with no new appends converges
+    assert di.compact_prefix_index(spark, pindex) == n_after

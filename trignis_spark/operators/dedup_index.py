@@ -466,3 +466,28 @@ def extend(
     if is_prefix_index(spark, table):
         return extend_prefix_index(spark, docs, table, n_buckets)
     return extend_index(spark, docs, table, n, n_buckets)
+
+
+def compact_prefix_index(
+    spark: SparkSession, table: str, n_buckets: int = DEFAULT_BUCKETS
+) -> int:
+    """Housekeeping for the v2 layout under sustained polling: every
+    ``extend_prefix_index`` appends a file set to the bucketed probe
+    table, the partitioned verify table, and the docs sidecar. Rewrites
+    all three to ~one file per bucket/partition via the maintenance
+    catalog-swap helpers; probe results are unchanged by construction
+    (same rows, same specs — asserted in tests). Appends must be
+    quiesced during the swap. Returns the post-compaction file count."""
+    from trignis_spark.maintenance import (
+        compact_bucketed_table,
+        compact_partitioned_table,
+    )
+
+    n = compact_bucketed_table(
+        spark, table, "shingle", n_buckets, sort_col="shingle"
+    )
+    n += compact_partitioned_table(spark, _full_table(table), "pb")
+    n += compact_bucketed_table(spark, _docs_table(table), "doc_id", n_buckets)
+    for t in (table, _full_table(table), _docs_table(table)):
+        spark.catalog.refreshTable(t)
+    return n
