@@ -66,6 +66,7 @@ OPTIONAL = [
     "text_bm25_topk",
     "agg_exact_percentiles",
     "dedup_index_probe",
+    "dedup_embedding_cosine_clustered_scaled",
 ]
 
 

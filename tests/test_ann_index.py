@@ -15,8 +15,9 @@ QUERY_PRED = "vec_id % 100 = 0"
 @pytest.fixture
 def index(spark):
     yield "ann_idx_t"
-    spark.sql("DROP TABLE IF EXISTS ann_idx_t")
-    spark.sql("DROP TABLE IF EXISTS ann_idx_t_ids")
+    for t in ("ann_idx_t", "ann_idx_t_ids", "ann_idx_t_meta",
+              "ann_idx_t_centroids"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def _pairs(df):
@@ -25,7 +26,8 @@ def _pairs(df):
 
 def test_probe_matches_one_shot_ivf(spark, index):
     emb = load(spark, SF, "embeddings")
-    ai.build_ann_index(spark, emb, index)
+    # pin 16 cells: the one-shot ivf_topk bucket expr is fixed at 16
+    ai.build_ann_index(spark, emb, index, n_buckets=16)
     queries = emb.filter(F.expr(QUERY_PRED))
     got = _pairs(ai.probe_ann_index(spark, index, queries, k=10, nprobe=1))
     want = _pairs(sim.ivf_topk(emb, QUERY_PRED, k=10))
@@ -34,7 +36,7 @@ def test_probe_matches_one_shot_ivf(spark, index):
 
 def test_nprobe_improves_recall_vs_brute_force(spark, index):
     emb = load(spark, SF, "embeddings")
-    ai.build_ann_index(spark, emb, index)
+    ai.build_ann_index(spark, emb, index, n_buckets=16)
     queries = emb.filter(F.expr(QUERY_PRED))
     truth = _pairs(sim.cosine_topk(emb, QUERY_PRED, k=10))
     truth_pairs = {(q, n) for q, n, _ in truth}
@@ -77,7 +79,7 @@ def test_trained_quantizer_recall_dial(spark, index):
 def test_extend_is_idempotent_and_new_vectors_searchable(spark, index):
     emb = load(spark, SF, "embeddings")
     first, rest = emb.filter("vec_id < 400"), emb.filter("vec_id >= 400")
-    ai.build_ann_index(spark, first, index)
+    ai.build_ann_index(spark, first, index, n_buckets=16)
     n_rest = rest.count()
 
     assert ai.extend_ann_index(spark, rest, index) == n_rest

@@ -29,7 +29,8 @@ def test_probe_matches_one_shot_cascade(spark, index):
     cascade answers: same codebook training, same cells, same ADC sums,
     same re-rank — persistence changes cost, never results."""
     emb = load(spark, SF, "embeddings")
-    ipq.build_ivfpq_index(spark, emb, index, m=M, k=K)
+    # pin 16 cells: the one-shot cascade's bucket expr is fixed at 16
+    ipq.build_ivfpq_index(spark, emb, index, m=M, k=K, n_buckets=16)
     queries = emb.filter(F.expr(QUERY_PRED))
     got = _pairs(
         ipq.ivfpq_probe(spark, index, queries, k=10, nprobe=1, shortlist=30)
@@ -37,6 +38,21 @@ def test_probe_matches_one_shot_cascade(spark, index):
     cb = pq.train_pq(emb, m=M, k=K, iters=2)
     want = _pairs(pq.ivfpq_topk(emb, cb, m=M, nprobe=1, shortlist=30, k=10))
     assert got == want and got
+
+
+def test_default_cell_count_scales_with_corpus(spark, index):
+    """The build default is auto (√N) cell sizing — a fixed default
+    measured 3.5× slower probes at sf10 (VERDICT r5 #4). The registry
+    query still pins 16 for its oracle; production callers get √N."""
+    emb = load(spark, SF, "embeddings")  # 500 vectors
+    ipq.build_ivfpq_index(spark, emb, index, m=M, k=K)
+    assert spark.table(ipq._meta_table(index)).first()["n_buckets"] == 32
+    ipq.build_ivfpq_index(spark, emb.filter("vec_id < 100"), index, m=M, k=K)
+    assert spark.table(ipq._meta_table(index)).first()["n_buckets"] == 16
+    # dims clamp (ADVICE r5): a sign quantizer can't address more than
+    # 2^dims cells
+    assert ipq.auto_n_buckets(10**6, dims=8) == 256
+    assert ipq.auto_n_buckets(10**9) == 4096
 
 
 def test_extend_is_idempotent_and_uses_frozen_codebook(spark, index):

@@ -62,3 +62,74 @@ def test_read_before_any_compaction_serves_raw(spark, tmp_path):
     path = str(tmp_path / "store")
     _append(spark, path, 0, 10)
     assert ParquetCompactor(path).read(spark).count() == 10
+
+
+def test_partitioned_compaction_recovers_from_crashed_prior_run(spark):
+    """ADVICE r5: a crash mid-INSERT-OVERWRITE leaves the live
+    partitioned table partial while the ``__compacting`` sidecar holds
+    every row. Re-running the compaction must restore from the sidecar
+    (never re-snapshot the partial target), and the sidecar must
+    survive until the rewritten target's row count is verified."""
+    from trignis_spark.maintenance import compact_partitioned_table
+
+    table, tmp = "maint_part_t", "maint_part_t__compacting"
+    try:
+        df = spark.range(0, 200).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("int").alias("pb"),
+        )
+        (
+            df.repartition("pb").write.mode("overwrite")
+            .partitionBy("pb").format("parquet").saveAsTable(table)
+        )
+        # simulate the crash: sidecar committed, target rewrite partial
+        (
+            spark.table(table).repartition("pb").write.mode("overwrite")
+            .partitionBy("pb").format("parquet").saveAsTable(tmp)
+        )
+        (
+            spark.table(tmp).filter("doc_id < 50").repartition("pb")
+            .write.mode("overwrite").insertInto(table, overwrite=True)
+        )
+        spark.catalog.refreshTable(table)
+        assert spark.table(table).count() == 50  # target is partial
+        compact_partitioned_table(spark, table, "pb")
+        got = {r.doc_id for r in spark.table(table).collect()}
+        assert got == set(range(200))
+        assert not spark.catalog.tableExists(tmp)  # verified, then dropped
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+
+
+def test_partitioned_compaction_normal_path_roundtrip(spark):
+    from trignis_spark.maintenance import (
+        compact_partitioned_table,
+        table_data_files,
+    )
+
+    table = "maint_part_n"
+    try:
+        df = spark.range(0, 120).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).cast("int").alias("pb"),
+        )
+        (
+            df.repartition("pb").write.mode("overwrite")
+            .partitionBy("pb").format("parquet").saveAsTable(table)
+        )
+        for lo in (120, 240):  # appends accrete files per partition
+            extra = spark.range(lo, lo + 120).select(
+                F.col("id").alias("doc_id"),
+                (F.col("id") % 3).cast("int").alias("pb"),
+            )
+            extra.write.mode("append").partitionBy("pb") \
+                .format("parquet").saveAsTable(table)
+        before_files = len(table_data_files(spark, table))
+        n = compact_partitioned_table(spark, table, "pb")
+        assert n < before_files
+        assert spark.table(table).count() == 360
+        assert not spark.catalog.tableExists(table + "__compacting")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")

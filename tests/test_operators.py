@@ -335,3 +335,75 @@ def test_jaccard_prefix_float_boundary_pair_not_lost(spark):
     got = {(r.d1, r.d2, round(r.jaccard, 9))
            for r in dd.jaccard_pairs(sh, threshold=0.8).collect()}
     assert got == {(1, 2, 0.8)}
+
+
+def test_jaccard_max_df_with_prefix_filter_as_lossless_as_max_df_alone(spark):
+    # regression (ADVICE r5): with max_df set, the prefix length and the
+    # symmetric length filter must come from the UNFILTERED per-doc
+    # shingle counts. Construct the adversarial shape: docs 1 and 2
+    # share one rare shingle plus 20 stop-shingles; after the stop set
+    # is dropped their filtered sizes are 1 vs 10, which fails the
+    # (wrongly) filtered-size length filter even though full-set
+    # J = 21/30 = 0.7 >= t.
+    stops = list(range(1, 21))  # df = 10 > max_df
+    rows = (
+        [(1, 1000)] + [(1, s) for s in stops]
+        + [(2, 1000)] + [(2, 1000 + i) for i in range(1, 10)]
+        + [(2, s) for s in stops]
+        + [(d, s) for d in range(3, 11) for s in stops]
+    )
+    sh = spark.createDataFrame(rows, "doc_id long, shingle long")
+    for t in (0.5, 0.7):
+        plain = {(r.d1, r.d2, round(r.jaccard, 9)) for r in
+                 dd.jaccard_pairs(sh, t, max_df=5,
+                                  prefix_filter=False).collect()}
+        pref = {(r.d1, r.d2, round(r.jaccard, 9)) for r in
+                dd.jaccard_pairs(sh, t, max_df=5,
+                                 prefix_filter=True).collect()}
+        assert pref == plain
+    assert (1, 2, round(21 / 30, 9)) in pref
+
+
+def test_2level_clustered_near_dup_recall_at_least_flat(spark):
+    # the hierarchical twin must not trade recall for its cheaper
+    # assignment: on the planted-cluster corpus its pair set is (a)
+    # exact-verified (subset of brute-force truth) and (b) at least as
+    # complete as the flat form at the same total cell count — top-2
+    # multi-assign at both levels gives 4 blocking slots vs flat's 2
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    for c in range(4):
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        for k in range(4):
+            rows.append(
+                (c * 10 + k,
+                 [x + rng.uniform(-0.4, 0.4) for x in base])
+            )
+    for i in range(100):
+        rows.append((1000 + i, [rng.uniform(-1, 1) for _ in range(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    flat = {(r.d1, r.d2) for r in
+            sim.cosine_near_dup_pairs_clustered(
+                emb, threshold=0.5, k=8, assign_n=2).collect()}
+    two = {(r.d1, r.d2) for r in
+           sim.cosine_near_dup_pairs_clustered_2level(
+               emb, threshold=0.5, k_coarse=2, k_fine=4,
+               assign_n=2).collect()}
+    base = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    ).withColumn("n2", F.expr(sim.NORM2.format(a="v")))
+    a, b = base.alias("a"), base.alias("b")
+    truth = {
+        (r.d1, r.d2)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"),
+            (F.expr(sim.DOT.format(a="a.v", b="b.v"))
+             / F.sqrt(F.col("a.n2") * F.col("b.n2"))).alias("cos"))
+        .filter(F.col("cos") >= 0.5).collect()
+    }
+    assert two <= truth
+    assert len(two) >= len(flat)
+    assert len(two) / len(truth) >= 0.6

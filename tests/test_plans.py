@@ -275,3 +275,53 @@ def test_prefix_index_probe_uses_dynamic_partition_pruning(spark):
     finally:
         for s in ("", "_full", "_docs", "_meta"):
             spark.sql(f"DROP TABLE IF EXISTS plans_pidx{s}")
+
+
+def test_2level_clustered_near_dup_never_cartesian(spark):
+    """The hierarchical blocking pipeline must stay equijoin-shaped at
+    every stage: coarse/fine training, two-level assignment, candidate
+    blocking and verification — a cartesian anywhere would void the
+    N·2√k scaling story."""
+    from trignis_spark.operators import similarity as sim
+
+    emb = load(spark, SF, "embeddings")
+    assert_no_cartesian_product(
+        sim.cosine_near_dup_pairs_clustered_2level(
+            emb, threshold=0.4, k_coarse=4, k_fine=4
+        )
+    )
+
+
+def test_ivfpq_probe_uses_dynamic_partition_pruning(spark):
+    """VERDICT r5 #7: the IVF-PQ probe's 9× win depends on reading only
+    the probed cells. The codes and float tables are *partitioned* on
+    the cell id precisely so the broadcast cell join injects a dynamic
+    pruning subquery into both scans — losing it silently turns every
+    probe into a full-corpus scan. Two pruning sites: the ADC scan of
+    <name>_codes (query cells) and the exact re-rank scan of <name>
+    (shortlist cells)."""
+    import contextlib
+    import io
+
+    from trignis_spark.operators import ivfpq_index as ipq
+
+    emb = load(spark, SF, "embeddings")
+    try:
+        ipq.build_ivfpq_index(
+            spark, emb, "plans_ivfpq", m=2, k=4, n_buckets=16
+        )
+        probe = ipq.ivfpq_probe(
+            spark, "plans_ivfpq", emb.filter("vec_id % 100 = 0"), k=10
+        )
+        assert_no_cartesian_product(probe)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            probe.explain("formatted")
+        plan = buf.getvalue().lower()
+        assert plan.count("dynamicpruning") >= 2, (
+            "expected dynamic pruning on BOTH the codes scan and the "
+            "float re-rank scan"
+        )
+    finally:
+        for t in ipq._all_tables("plans_ivfpq"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -224,6 +224,19 @@ def compact_partitioned_table(
     OVERWRITE`` rewrites the target in place (static overwrite mode
     replaces every partition) — two data writes, zero catalog surgery.
 
+    **Crash exposure & recovery** (ADVICE r5): the INSERT OVERWRITE's
+    failure window spans the whole second data write — a crash
+    mid-insert leaves the live table partial while the sidecar still
+    holds every row. Two guards make that window recoverable instead of
+    data-losing: (1) a sidecar left behind by a crashed prior run is
+    detected on entry and *restored from* (re-running this function is
+    the recovery path — it must not re-snapshot the possibly-partial
+    target; run it before appends resume, the same quiesce contract the
+    swap itself carries); (2) the sidecar is dropped only after the
+    rewritten target
+    row count is verified against it, so a silently short insert can
+    never destroy the last full copy.
+
     A partitioned scan makes no hash-partitioning claim, so the
     ``repartition`` on the partition column is not optimized away (the
     bucketed variant needs a raw-file read for that; see above) — each
@@ -232,16 +245,24 @@ def compact_partitioned_table(
     from pyspark.sql import functions as F
 
     tmp = f"{table}__compacting"
-    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    cols = spark.table(table).columns  # partition col listed last
-    (
-        spark.table(table)
-        .repartition(F.col(part_col))
-        .write.mode("overwrite")
-        .partitionBy(part_col)
-        .format("parquet")
-        .saveAsTable(tmp)
-    )
+    if not spark.catalog.tableExists(tmp):
+        cols = spark.table(table).columns  # partition col listed last
+        (
+            spark.table(table)
+            .repartition(F.col(part_col))
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .format("parquet")
+            .saveAsTable(tmp)
+        )
+    else:
+        # prior run crashed after committing the sidecar (possibly mid-
+        # INSERT OVERWRITE, leaving the target partial): the sidecar is
+        # the complete pre-crash snapshot — restore from it, never from
+        # the target. (A crash mid-sidecar-write never commits the tmp
+        # table to the catalog, so tableExists ⇒ the snapshot is whole.)
+        spark.catalog.refreshTable(tmp)
+        cols = spark.table(tmp).columns
     with _static_partition_overwrite(spark):
         (
             spark.table(tmp)
@@ -250,8 +271,15 @@ def compact_partitioned_table(
             .write.mode("overwrite")
             .insertInto(table)
         )
-    spark.sql(f"DROP TABLE {tmp}")
     spark.catalog.refreshTable(table)
+    got, want = spark.table(table).count(), spark.table(tmp).count()
+    if got != want:
+        raise RuntimeError(
+            f"compaction of {table} wrote {got} rows where the sidecar "
+            f"{tmp} holds {want}; sidecar retained — re-run "
+            "compact_partitioned_table to restore from it"
+        )
+    spark.sql(f"DROP TABLE {tmp}")
     return len(table_data_files(spark, table))
 
 

@@ -44,6 +44,24 @@ def _centroids_table(table: str) -> str:
     return f"{table}_centroids"
 
 
+def _meta_table(table: str) -> str:
+    return f"{table}_meta"
+
+
+def _stored_n_buckets(
+    spark: SparkSession, table: str, fallback: int
+) -> int:
+    """Bucket count the index was built with. The meta sidecar is
+    authoritative — a probe or extend that guessed a different count
+    would compute wrong sign-pattern cell ids and silently miss
+    neighbors; the ``fallback`` only serves indexes built before the
+    sidecar existed."""
+    name = _meta_table(table)
+    if spark.catalog.tableExists(name):
+        return spark.table(name).first()["n_buckets"]
+    return fallback
+
+
 def _refresh(spark: SparkSession, table: str) -> None:
     # writes may come from a cloned (foreachBatch) session — invalidate
     # the probing session's cached file listing (see dedup_index)
@@ -90,7 +108,7 @@ def build_ann_index(
     spark: SparkSession,
     embeddings: DataFrame,
     table: str,
-    n_buckets: int | None = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
     centroids: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF index (overwrites both tables).
@@ -100,9 +118,11 @@ def build_ann_index(
     partitioned by nearest-centroid cell and the centroids are stored
     in a ``<table>_centroids`` sidecar, so probes and extends assign
     consistently; without it the deterministic sign-pattern quantizer
-    applies. ``n_buckets=None`` sizes the cell count from the corpus
-    (√N rule — see ``ivfpq_index.auto_n_buckets``); a fixed cell count
-    makes probe cost linear in corpus size."""
+    applies. The default ``n_buckets=None`` sizes the cell count from
+    the corpus (√N rule — see ``ivfpq_index.auto_n_buckets``); a fixed
+    cell count makes probe cost linear in corpus size (measured
+    16.6 s → 4.7 s at sf10, BASELINE.md), so pass one only to pin the
+    layout for an external replayer."""
     from trignis_spark.maintenance import drop_table_and_location
 
     if n_buckets is None:
@@ -111,6 +131,7 @@ def build_ann_index(
         n_buckets = auto_n_buckets(embeddings.count())
     drop_table_and_location(spark, table)
     drop_table_and_location(spark, _ids_table(table))
+    drop_table_and_location(spark, _meta_table(table))
     # always cleared: a rebuild without a quantizer must not leave a
     # stale one behind, and an orphaned location must not fail a rebuild
     drop_table_and_location(spark, _centroids_table(table))
@@ -140,6 +161,15 @@ def build_ann_index(
         .format("parquet")
         .saveAsTable(_ids_table(table))
     )
+    # persist the cell count: probes/extends must use the build-time
+    # layout, not guess their own (auto-sizing made the old implicit
+    # "everyone defaults to 16" contract a correctness trap)
+    spark.createDataFrame(
+        [(int(n_buckets),)], "n_buckets int"
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        _meta_table(table)
+    )
+    spark.catalog.refreshTable(_meta_table(table))
     _refresh(spark, table)
 
 
@@ -150,9 +180,12 @@ def extend_ann_index(
     n_buckets: int = DEFAULT_BUCKETS,
 ) -> int:
     """Append vectors not already present (idempotent under replay);
-    returns the number actually added."""
+    returns the number actually added. The bucket count comes from the
+    index's own meta sidecar — ``n_buckets`` is a fallback for
+    pre-sidecar indexes only."""
     known = spark.table(_ids_table(table))
     cents = _trained_centroids(spark, table)
+    n_buckets = _stored_n_buckets(spark, table, n_buckets)
     if cents is not None:
         n_buckets = max(1, cents.count())  # layout follows the quantizer
     fresh = _rows(
@@ -197,7 +230,10 @@ def probe_ann_index(
     ``queries`` needs (vec_id, embedding). The query set is small by
     construction, so its cell fan-out (1 + (nprobe-1) Hamming-1
     neighbors) broadcasts and the bucketed index is scanned in place —
-    per-search cost is O(probed cells), independent of corpus size."""
+    per-search cost is O(probed cells), independent of corpus size.
+    The cell count comes from the index's meta sidecar; ``n_buckets``
+    is a fallback for pre-sidecar indexes only."""
+    n_buckets = _stored_n_buckets(spark, table, n_buckets)
     base = _prep(queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -100,9 +100,18 @@ def jaccard_pairs(
     J ≥ t) prunes candidates before the distinct.
 
     ``max_df`` additionally drops shingles appearing in more than that
-    many docs (stop-shingles) from candidate generation only — with
-    prefix filtering it is a belt-and-braces skew bound, not a recall
-    knob. Verification always uses full shingle sets, so reported
+    many docs (stop-shingles) from candidate generation only. Combined
+    with prefix filtering it stays exactly as lossy as ``max_df`` alone
+    (pairs sharing only stop-shingles are lost, nothing else): the
+    prefix length and the symmetric length filter are computed from the
+    *unfiltered* per-doc shingle counts, so for any pair with full-set
+    J ≥ t that shares ≥ 1 non-stop shingle, at most
+    ``|d| - ceil(t·|d|)`` shingles of either filtered set lie outside
+    the shared (non-stop) intersection — the canonical-order-smallest
+    shared non-stop shingle therefore sits inside both stored prefixes
+    of length ``floor((1-t)·|d|) + 1``. (Sizing the prefix from the
+    max_df-filtered sets instead silently dropped such pairs — ADVICE
+    r5.) Verification always uses full shingle sets, so reported
     Jaccard values are exact.
     """
     from pyspark.sql import Window
@@ -121,18 +130,26 @@ def jaccard_pairs(
         dfreq = block.groupBy("shingle").agg(
             F.count(F.lit(1)).alias("_df")
         )
-        ranked = (
-            block.join(dfreq, "shingle")
-            .withColumn(
-                "_rnk",
-                F.row_number().over(
-                    Window.partitionBy("doc_id").orderBy("_df", "shingle")
-                ),
-            )
-            .withColumn(
+        ranked = block.join(dfreq, "shingle").withColumn(
+            "_rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("_df", "shingle")
+            ),
+        )
+        if max_df is None:
+            # block == shingles, so the window count IS the full size —
+            # no extra shuffle
+            ranked = ranked.withColumn(
                 "_sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
             )
-        )
+        else:
+            # sizes MUST come from the unfiltered sets (see docstring):
+            # the prefix ranks within the filtered set but its length —
+            # and the length filter — are governed by full-set Jaccard
+            full_sz = shingles.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("_sz")
+            )
+            ranked = ranked.join(full_sz, "doc_id")
         # indexing prefix for J ≥ t: |d| - ceil(t·|d|) + 1 rarest shingles
         block = ranked.filter(
             F.col("_rnk")

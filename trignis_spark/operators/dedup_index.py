@@ -16,10 +16,11 @@ cycle a cheap probe:
 
 Probe shape at scale: the batch side is one poll cycle (small), so it
 broadcasts and the bucketed index is scanned in place — no shuffle of
-the corpus, candidate aggregation shuffles only the collision set. If a
-batch ever outgrows broadcast, the bucketed-by-shingle layout lets the
-same join run as a co-located sort-merge after repartitioning only the
-batch to the bucket count.
+the corpus, candidate aggregation shuffles only the collision set. A
+batch that outgrows broadcast (``MAX_BROADCAST_DOCS``, e.g. a Full
+initial resync) automatically takes the co-located sort-merge path in
+``probe_prefix_index``: only the batch repartitions to the bucket
+count; the corpus is still never shuffled.
 
 Extends append with the same bucket spec, so the layout survives
 incremental growth; at-least-once upstream delivery is safe because
@@ -111,8 +112,15 @@ def probe_index(
     )
     inter = (
         idx.join(b, "shingle")
+        # count DISTINCT shingles, not rows: a crash between the index
+        # append and the _docs-sidecar append makes the next at-least-
+        # once replay re-append the same rows, and duplicate
+        # (doc_id, shingle) rows would double-count the intersection
+        # (inflating jaccard past 1.0) — distinct makes replayed
+        # appends harmless (ADVICE r5)
         .groupBy("batch_doc", "corpus_doc")
-        .agg(F.count(F.lit(1)).alias("isz"), F.max("szc").alias("szc"))
+        .agg(F.countDistinct("shingle").alias("isz"),
+             F.max("szc").alias("szc"))
     )
     return (
         inter.join(
@@ -313,11 +321,28 @@ def build_prefix_index(
         spark.catalog.refreshTable(t)
 
 
+#: probes with more batch documents than this take the co-located
+#: sort-merge path instead of broadcasting the batch (a poll-cycle
+#: batch is a few hundred docs; only a Full initial resync routed
+#: through ``probe`` approaches this)
+MAX_BROADCAST_DOCS = 100_000
+
+
+def _bucket_count(spark: SparkSession, table: str) -> int:
+    """Bucket count from the catalog (the v2 meta row predates the
+    sort-merge path and does not carry it)."""
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if (row["col_name"] or "").strip() == "Num Buckets":
+            return int(row["data_type"].strip())
+    return DEFAULT_BUCKETS
+
+
 def probe_prefix_index(
     spark: SparkSession,
     table: str,
     batch_docs: DataFrame,
     threshold: float,
+    broadcast_batch: bool | None = None,
 ) -> DataFrame:
     """Near-dup matches of a batch against the prefix index:
     (batch_doc, corpus_doc, jaccard ≥ threshold) — identical results to
@@ -330,21 +355,42 @@ def probe_prefix_index(
     partition key derived from the candidate doc ids, so dynamic
     partition pruning reads only the candidate docs' partitions; the
     intersection count and denormalized sizes complete the exact
-    Jaccard. Both phases are map-side on the corpus."""
+    Jaccard. Both phases are map-side on the corpus.
+
+    **Broadcast-overflow fallback** (VERDICT r5 #3): a batch that
+    outgrows broadcast (a Full initial resync routed through ``probe``
+    would hit the executor broadcast ceiling) takes the co-located
+    sort-merge path instead — the batch shingles repartition to the
+    probe table's bucket count so the bucketed corpus side is *still*
+    never shuffled, and the verify/size joins run as plain shuffle
+    joins (corpus-sized work is inherent when the batch is
+    corpus-sized). ``broadcast_batch=None`` decides from the batch's
+    document count (> ``MAX_BROADCAST_DOCS`` ⇒ sort-merge); results
+    are identical on either path (asserted in tests)."""
     meta = spark.table(_meta_table(table)).collect()[0]
     if threshold < meta.threshold - 1e-12:
         raise ValueError(
             f"index {table!r} was built for threshold >= {meta.threshold}; "
             f"probing at {threshold} would lose pairs (rebuild the index)"
         )
+    if broadcast_batch is None:
+        broadcast_batch = batch_docs.count() <= MAX_BROADCAST_DOCS
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_batch else df
+
     n = meta.n
     bsh = shingle_table(batch_docs, n).select(
         F.col("doc_id").alias("batch_doc"), "shingle"
     )
+    if not broadcast_batch:
+        # align the batch with the bucketed probe table's layout so the
+        # candidate join sort-merges without shuffling the corpus side
+        bsh = bsh.repartition(_bucket_count(spark, table), "shingle")
     bsz = bsh.groupBy("batch_doc").agg(F.count(F.lit(1)).alias("szb"))
     cand = (
         spark.table(table)
-        .join(F.broadcast(bsh), "shingle")
+        .join(_b(bsh), "shingle")
         .select("batch_doc", F.col("doc_id").alias("corpus_doc"))
         .distinct()
         # NOTE: deliberately not checkpointed — the candidate plan
@@ -358,16 +404,20 @@ def probe_prefix_index(
     )
     inter = (
         full.join(
-            F.broadcast(cand_pb),
+            _b(cand_pb),
             (full.doc_id == cand_pb.corpus_doc)
             & (full.pb == cand_pb.pb),
         )
-        .join(F.broadcast(bsh), ["batch_doc", "shingle"])
+        .join(_b(bsh), ["batch_doc", "shingle"])
+        # countDistinct: verify-table rows duplicated by a replayed
+        # crash-window extend must not double-count isz (ADVICE r5; see
+        # probe_index)
         .groupBy("batch_doc", "corpus_doc")
-        .agg(F.count(F.lit(1)).alias("isz"), F.max("sz").alias("szc"))
+        .agg(F.countDistinct("shingle").alias("isz"),
+             F.max("sz").alias("szc"))
     )
     return (
-        inter.join(F.broadcast(bsz), "batch_doc")
+        inter.join(_b(bsz), "batch_doc")
         .select(
             "batch_doc",
             "corpus_doc",
@@ -446,12 +496,16 @@ def probe(
     batch_docs: DataFrame,
     threshold: float,
     n: int = 3,
+    broadcast_batch: bool | None = None,
 ) -> DataFrame:
     """Probe whichever index layout ``table`` holds — identical results
     either way (v2's shingle width comes from its meta row; ``n`` is
-    only used for v1)."""
+    only used for v1; ``broadcast_batch`` — v2's oversize-batch
+    fallback dial — only for v2)."""
     if is_prefix_index(spark, table):
-        return probe_prefix_index(spark, table, batch_docs, threshold)
+        return probe_prefix_index(
+            spark, table, batch_docs, threshold, broadcast_batch
+        )
     return probe_index(spark, table, batch_docs, threshold, n)
 
 

@@ -7,15 +7,23 @@ cascade cost). This module materializes every training artifact so a
 search touches only persisted, bucket-pruned tables, mirroring
 ``ann_index`` / ``dedup_index`` for the compressed-code axis:
 
-- ``<name>``           — (bucket INT, vec_id BIGINT, v ARRAY<DOUBLE>,
-  n2 DOUBLE), bucketed by the IVF cell id; only the re-rank shortlist
-  ever reads the float vectors.
+- ``<name>``           — (vec_id BIGINT, v ARRAY<DOUBLE>, n2 DOUBLE,
+  bucket INT), *partitioned* by the IVF cell id; only the re-rank
+  shortlist ever reads the float vectors, and it reads only the
+  shortlist cells' partitions (the shortlist carries each neighbor's
+  cell, so the exact-re-rank join prunes partitions dynamically).
 - ``<name>_codebook``  — (sub INT, cid INT, cvec ARRAY<DOUBLE>): the m
   per-subspace PQ codebooks (m·k rows — broadcast side of every probe).
-- ``<name>_codes``     — (bucket INT, vec_id BIGINT, sub INT,
-  code INT), bucketed by cell id: one bucket-pruned scan yields both
-  the candidate set and its codes (the memory-bandwidth cut — m bytes
-  per vector at scale, the float corpus untouched).
+- ``<name>_codes``     — (vec_id BIGINT, sub INT, code INT,
+  bucket INT), *partitioned* by cell id: one partition-pruned scan
+  yields both the candidate set and its codes (the memory-bandwidth
+  cut — m bytes per vector at scale, the float corpus untouched).
+  Partitioning (not bucketing) is load-bearing: Spark prunes a
+  *bucketed* scan only under literal bucket predicates, while a
+  *partitioned* scan gets dynamic partition pruning from the probe's
+  broadcast cell join — so probe I/O is O(probed cells) at the scan,
+  not just after the join (same DPP pattern as ``dedup_index`` v2's
+  verify table, asserted in tests/test_plans.py).
 - ``<name>_ids``       — (vec_id BIGINT) membership sidecar, bucketed
   by vec_id, for O(lookup) idempotent extends.
 - ``<name>_meta``      — one row (m, k, n_buckets): probe calls need no
@@ -120,9 +128,9 @@ def auto_n_buckets(n_vectors: int, dims: int = 64) -> int:
 
     n = max(16, 1 << math.ceil(math.log2(max(1.0, math.sqrt(n_vectors)))))
     # the sign-pattern quantizer draws log2(n) bits from the leading
-    # components, so n may never exceed 2^dims; the 4096 cap keeps the
-    # bucketed-table file count sane long before that bound matters
-    return min(n, 4096)
+    # components, so n may never exceed 2^dims (for the default 64-dim
+    # embeddings the 4096 cap binds long before that bound matters)
+    return min(n, 4096, 1 << dims)
 
 
 def build_ivfpq_index(
@@ -131,12 +139,16 @@ def build_ivfpq_index(
     table: str,
     m: int = 8,
     k: int = 16,
-    n_buckets: int | None = 16,
+    n_buckets: int | None = None,
     iters: int = 2,
 ) -> None:
     """Train the PQ codebook and materialize all five tables
-    (overwrites any prior index of the same name). ``n_buckets=None``
-    sizes the IVF cell count from the corpus (``auto_n_buckets``)."""
+    (overwrites any prior index of the same name). The default
+    ``n_buckets=None`` sizes the IVF cell count from the corpus
+    (``auto_n_buckets`` — √N, measured 3.5× faster probes than a fixed
+    16 cells at the sf10 corpus, BASELINE.md); pass an explicit count
+    only when the caller must pin the layout (the registry query pins
+    16 so its DuckDB oracle can replay the bucket expression)."""
     if n_buckets is None:
         n_buckets = auto_n_buckets(embeddings.count())
     _drop_stale(spark, table)
@@ -149,25 +161,25 @@ def build_ivfpq_index(
         .saveAsTable(_codebook_table(table))
     )
     rows = _bucketed(embeddings, n_buckets)
-    # co-partition on the bucket column before the bucketed write:
-    # otherwise every writer task emits one file per bucket it happens
-    # to hold (measured 5 137 files for the 512-cell codes table — the
-    # classic bucketed small-files blow-up); after repartition each
-    # bucket lands in exactly one task, so file count == bucket count
+    # repartition on the cell column before the partitioned write:
+    # otherwise every writer task emits one file per cell it happens to
+    # hold (measured 5 137 files for the 512-cell codes table — the
+    # classic small-files blow-up); after repartition each cell lands
+    # in exactly one task, so file count == cell count
     (
-        rows.repartition(n_buckets, "bucket")
+        rows.repartition("bucket")
         .write.mode("overwrite")
-        .bucketBy(n_buckets, "bucket")
+        .partitionBy("bucket")
         .format("parquet")
         .saveAsTable(table)
     )
     codes = encode_pq(embeddings, codebook, m).join(
         rows.select("vec_id", "bucket"), "vec_id"
-    ).select("bucket", "vec_id", "sub", "code")
+    ).select("vec_id", "sub", "code", "bucket")
     (
-        codes.repartition(n_buckets, "bucket")
+        codes.repartition("bucket")
         .write.mode("overwrite")
-        .bucketBy(n_buckets, "bucket")
+        .partitionBy("bucket")
         .format("parquet")
         .saveAsTable(_codes_table(table))
     )
@@ -203,16 +215,18 @@ def extend_ivfpq_index(
     codebook = spark.table(_codebook_table(table))
     codes = encode_pq(fresh_src, codebook, meta["m"]).join(
         rows.select("vec_id", "bucket"), "vec_id"
-    ).select("bucket", "vec_id", "sub", "code")
+    ).select("vec_id", "sub", "code", "bucket")
     (
-        rows.write.mode("append")
-        .bucketBy(meta["n_buckets"], "bucket")
+        rows.repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
         .format("parquet")
         .saveAsTable(table)
     )
     (
-        codes.write.mode("append")
-        .bucketBy(meta["n_buckets"], "bucket")
+        codes.repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
         .format("parquet")
         .saveAsTable(_codes_table(table))
     )
@@ -237,16 +251,19 @@ def ivfpq_probe(
 ) -> DataFrame:
     """Probe-only IVF-PQ search: (query_id, neighbor_id, rank) — no
     training, no corpus encode; every corpus-side input is a persisted
-    bucket-pruned table.
+    cell-partitioned table whose scan is dynamically pruned to the
+    probed cells.
 
     1. Coarse: each query probes its sign-pattern cell plus
        ``nprobe - 1`` Hamming-1 neighbor cells (broadcast fan-out).
-    2. ADC: one bucket-pruned scan of ``<name>_codes`` yields candidates
-       *and* their codes; the per-query LUT (m·k partial dots against
-       the persisted codebook) is broadcast, and the m partials sum in
-       fixed-point decimal — order-independent, oracle-replayable.
-    3. Re-rank: the ``shortlist`` survivors join the float index for
-       exact cosine and the final top ``k``.
+    2. ADC: one partition-pruned scan of ``<name>_codes`` yields
+       candidates *and* their codes; the per-query LUT (m·k partial
+       dots against the persisted codebook) is broadcast, and the m
+       partials sum in fixed-point decimal — order-independent,
+       oracle-replayable.
+    3. Re-rank: the ``shortlist`` survivors (each carrying its cell)
+       join the float index for exact cosine and the final top ``k`` —
+       again partition-pruned to the shortlist cells.
 
     ``queries`` needs (vec_id, embedding); query vectors need not be in
     the index (self-matches are excluded when they are)."""
@@ -279,11 +296,20 @@ def ivfpq_probe(
     )
     codes = spark.table(_codes_table(table))
     adc = (
+        # broadcast cell join on the *partition* column → dynamic
+        # partition pruning: only the probed cells' code partitions are
+        # read (asserted in tests/test_plans.py)
         codes.join(F.broadcast(qb), codes["bucket"] == qb["qbucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(lut), ["query_id", "sub", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum(F.col("pdot").cast(_ACC)).cast("double").alias("adot"))
+        .agg(
+            F.sum(F.col("pdot").cast(_ACC)).cast("double").alias("adot"),
+            # a vector lives in exactly one cell; carrying it into the
+            # shortlist lets the exact re-rank prune the float table's
+            # partitions the same way
+            F.max("bucket").alias("nbucket"),
+        )
     )
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("adot"), F.asc("neighbor_id")
@@ -291,15 +317,21 @@ def ivfpq_probe(
     short = (
         adc.withColumn("_srn", F.row_number().over(ws))
         .filter(F.col("_srn") <= shortlist)
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id", "nbucket")
     )
-    idx = spark.table(table).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("xv"),
-        F.col("n2").alias("xn2"),
-    )
+    fidx = spark.table(table)
     exact = (
-        idx.join(F.broadcast(short), "neighbor_id")
+        fidx.join(
+            F.broadcast(short),
+            (fidx["vec_id"] == short["neighbor_id"])
+            & (fidx["bucket"] == short["nbucket"]),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("v").alias("xv"),
+            F.col("n2").alias("xn2"),
+        )
         .join(
             F.broadcast(base.select("query_id", "qv", "qn2")), "query_id"
         )
@@ -323,18 +355,22 @@ def ivfpq_probe(
 
 
 def compact_ivfpq_index(spark: SparkSession, table: str) -> int:
-    """Same housekeeping as ``dedup_index.compact_index`` for the
-    IVF-PQ tables: per-cycle extends accrete one file set per bucket
-    per call; rewrite the three bucketed tables (float index, codes,
-    ids) to ~one file per bucket. The codebook and meta tables are one
-    small file each and never grow — left untouched. Returns the
-    post-compaction file count across the rewritten tables."""
-    from trignis_spark.maintenance import compact_bucketed_table
+    """Same housekeeping as ``dedup_index.compact_prefix_index`` for
+    the IVF-PQ tables: per-cycle extends accrete one file set per cell
+    per call; rewrite the two cell-partitioned tables (float index,
+    codes) and the bucketed ids sidecar to ~one file per
+    cell/bucket. The codebook and meta tables are one small file each
+    and never grow — left untouched. Returns the post-compaction file
+    count across the rewritten tables."""
+    from trignis_spark.maintenance import (
+        compact_bucketed_table,
+        compact_partitioned_table,
+    )
 
     meta = spark.table(_meta_table(table)).first()
     nb = meta["n_buckets"]
-    n = compact_bucketed_table(spark, table, "bucket", nb)
-    n += compact_bucketed_table(spark, _codes_table(table), "bucket", nb)
+    n = compact_partitioned_table(spark, table, "bucket")
+    n += compact_partitioned_table(spark, _codes_table(table), "bucket")
     n += compact_bucketed_table(spark, _ids_table(table), "vec_id", nb)
     _refresh(spark, table)
     return n

@@ -148,3 +148,135 @@ def train_kmeans(embeddings: DataFrame, k: int, iters: int = 5,
             eager=True
         )
     return centroids
+
+
+# --------------------------------------------------------------------------
+# Two-level (hierarchical) quantizer — the >10⁶-vector path
+# --------------------------------------------------------------------------
+#
+# Flat k-means blocking needs k ≈ √N cells to keep per-cell occupancy
+# (and hence candidate-pair volume, Σ occupancy²) bounded, but flat
+# assignment costs N·k distance evaluations — at 10⁶ vectors that is
+# 10⁹ and growing as N^1.5. The standard fix (IVF-HNSW/IMI lineage) is
+# a two-level quantizer: √k coarse cells, then k-fine sub-cells trained
+# *within* each coarse cell. Assignment drops to N·(k_coarse + k_fine)
+# ≈ N·2√k because a vector only scores the fine centroids of its own
+# coarse cell(s); cell count — and therefore occupancy — is unchanged
+# at k_coarse·k_fine. Everything below keeps the module's determinism
+# contract (first-k seeds, decimal means, dist-then-id tie-breaks) so a
+# SQL oracle replays both levels bit-for-bit.
+
+
+def _assign_fine(vecs: DataFrame, fine: DataFrame, n: int = 1) -> DataFrame:
+    """(vec_id, ccid, fid): each vector's ``n`` nearest fine centroids
+    *within each of its coarse cells*. ``vecs`` is (vec_id, ccid, v);
+    ``fine`` is (ccid, fid, cvec) and broadcasts (≤ k total rows), so
+    scoring is map-side — a vector never sees another cell's centroids."""
+    scored = vecs.join(F.broadcast(fine), "ccid").withColumn(
+        "d2", F.expr(_SQDIST.format(a="v", b="cvec"))
+    )
+    w = Window.partitionBy("vec_id", "ccid").orderBy("d2", "fid")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .select("vec_id", "ccid", "fid")
+    )
+
+
+def _update_fine(vecs: DataFrame, fine: DataFrame) -> DataFrame:
+    """One grouped Lloyd round over every coarse cell at once: assign
+    within-cell, recompute (ccid, fid) component means in fixed-point;
+    fine cells that lost every member keep their centroid. One
+    partial-aggregated shuffle of cardinality k·dim — never a per-cell
+    driver loop, so the round count is independent of k_coarse."""
+    assigned = _assign_fine(vecs, fine, 1).join(
+        vecs.select("vec_id", "v"), "vec_id"
+    )
+    comp = assigned.select("ccid", "fid", F.posexplode("v").alias("pos", "x"))
+    means = (
+        comp.groupBy("ccid", "fid", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast(_ACC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("ccid", "fid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), "
+                "s -> s.m)"
+            ).alias("cvec")
+        )
+    )
+    return (
+        fine.select("ccid", "fid", F.col("cvec").alias("_old"))
+        .join(means, ["ccid", "fid"], "left")
+        .select("ccid", "fid", F.coalesce("cvec", "_old").alias("cvec"))
+    )
+
+
+def train_kmeans_2level(
+    embeddings: DataFrame,
+    k_coarse: int,
+    k_fine: int,
+    iters: int = 2,
+    emb_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Train the hierarchical quantizer: ``k_coarse`` top-level cells
+    (flat ``train_kmeans``), then ``k_fine`` sub-cells per coarse cell,
+    trained with ``iters`` grouped Lloyd rounds constrained to each
+    vector's (single-assignment) coarse cell. Returns
+    ``(coarse (cid, cvec), fine (ccid, fid, cvec))``.
+
+    Fine seeding is the per-cell analog of ``init_centroids``: the
+    ``k_fine`` lowest-(vec_id, v) members of each coarse cell become
+    fids 0..k_fine-1 (deterministic under duplicate ids for the same
+    reason). A coarse cell with fewer members seeds fewer fine cells; a
+    coarse cell that ended training empty has none (its vectors — by
+    definition none at train time — would lose nothing)."""
+    coarse = train_kmeans(embeddings, k_coarse, iters, emb_col)
+    casg = assign_clusters(embeddings, coarse, emb_col)
+    vecs = (
+        _as_double_vec(embeddings, emb_col)
+        .join(casg.withColumnRenamed("cid", "ccid"), "vec_id")
+        .select("vec_id", "ccid", "v")
+        .localCheckpoint(eager=True)  # reused by every fine round
+    )
+    w = Window.partitionBy("ccid").orderBy("vec_id", "v")
+    fine = (
+        vecs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k_fine)
+        .select(
+            "ccid",
+            (F.col("_rn") - 1).cast("int").alias("fid"),
+            F.col("v").alias("cvec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        fine = _update_fine(vecs, fine).localCheckpoint(eager=True)
+    return coarse, fine
+
+
+def assign_cells_2level_topn(
+    embeddings: DataFrame,
+    coarse: DataFrame,
+    fine: DataFrame,
+    n_coarse: int = 2,
+    n_fine: int = 2,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, ccid, fid) for each vector's ``n_coarse`` nearest
+    coarse cells × ``n_fine`` nearest fine cells within each — up to
+    ``n_coarse·n_fine`` blocking slots per vector. Multi-assignment at
+    *both* levels is what recovers pairs split across coarse
+    boundaries (the recall risk hierarchical blocking adds over flat).
+    Cost per vector: k_coarse + n_coarse·k_fine distance evaluations."""
+    casg = assign_clusters_topn(embeddings, coarse, n_coarse, emb_col)
+    vecs = (
+        _as_double_vec(embeddings, emb_col)
+        .join(casg.withColumnRenamed("cid", "ccid"), "vec_id")
+        .select("vec_id", "ccid", "v")
+    )
+    return _assign_fine(vecs, fine, n_fine)

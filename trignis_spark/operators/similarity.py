@@ -170,11 +170,17 @@ def cosine_near_dup_pairs_banded(
        or the exact-cosine verify — the expensive stages see only
        near-qualifying pairs.
 
-    Blocking recall at cos = 0.9 is ≈ 1 − (1 − p^12)^16 with
-    p = 1 − acos(0.9)/π ≈ 0.856 → ≈ 93%, × ≈ 99.7% for the prefilter;
-    rises steeply above the threshold. Verification is exact, so every
-    reported pair is a true pair. Deterministic throughout — an
-    external SQL oracle replays it bit-for-bit."""
+    Blocking recall at cos = 0.9: the independent-band estimate
+    1 − (1 − p^12)^16 with p = 1 − acos(0.9)/π ≈ 0.856 gives ≈ 93%
+    (× ≈ 99.7% for the prefilter), but it is an **upper bound, not a
+    floor** — the 16 bands are overlapping reads of the same 62 sign
+    bits, so band collisions are positively correlated, and
+    axis-aligned sign bits on non-isotropic embeddings deviate from
+    the random-hyperplane p. True recall sits below the estimate and
+    rises steeply above the threshold (planted-pair tests measure it
+    directly; treat the figure as a sizing guide only). Verification
+    is exact, so every reported pair is a true pair. Deterministic
+    throughout — an external SQL oracle replays it bit-for-bit."""
     if hamming_max is None:
         hamming_max = signature_hamming_max(threshold, sig_bits)
     sig_expr = " + ".join(
@@ -262,7 +268,10 @@ def cosine_near_dup_pairs_clustered(
     boundary pairs. Candidate volume is Σ_cells occupancy² — controlled
     by ``k``, which should scale ~√N (same rule as the IVF index;
     training cost per Lloyd round is broadcast-k×dim map-side argmin,
-    corpus never shuffled). Deterministic end to end (first-k init,
+    corpus never shuffled). The √N dial itself caps out: assignment is
+    brute N·k, so past ~10⁶ vectors use
+    ``cosine_near_dup_pairs_clustered_2level`` (same cell count at
+    N·2√k assignment cost). Deterministic end to end (first-k init,
     decimal means, dist-then-cid tie-breaks), so a SQL oracle replays
     training, assignment, blocking and verification bit-for-bit."""
     from trignis_spark.operators import kmeans as km
@@ -275,6 +284,99 @@ def cosine_near_dup_pairs_clustered(
         a.join(
             b,
             (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
+        .distinct()
+    )
+    x = base.select(
+        F.col("vec_id").alias("d1"), F.col("v").alias("xv"),
+        F.col("n2").alias("xn2"),
+    )
+    y = base.select(
+        F.col("vec_id").alias("d2"), F.col("v").alias("yv"),
+        F.col("n2").alias("yn2"),
+    )
+    return (
+        cand.join(x, "d1")
+        .join(y, "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.expr(DOT.format(a="xv", b="yv"))
+                / F.sqrt(F.col("xn2") * F.col("yn2"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def auto_two_level_k(n_vectors: int) -> int:
+    """Per-level cell count for ``cosine_near_dup_pairs_clustered_2level``:
+    ceil(2·N^(1/4)), i.e. ~4√N total cells. The doubling (vs the flat
+    form's √N cells) compensates for the 2×2 multi-assignment carrying
+    ~2× the blocking rows: per-cell occupancy — and hence candidate
+    volume Σ occupancy² — lands at the flat dial's level while
+    assignment stays O(N^(5/4)) instead of O(N^(3/2))."""
+    import math
+
+    return max(4, math.ceil(2.0 * n_vectors ** 0.25))
+
+
+def cosine_near_dup_pairs_clustered_2level(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    k_coarse: int | None = 4,
+    k_fine: int | None = 4,
+    iters: int = 2,
+    assign_n: int = 2,
+) -> DataFrame:
+    """Loose-threshold embedding near-dup with a **two-level trained
+    quantizer** — the >10⁶-vector path the flat clustered form lacks.
+
+    ``cosine_near_dup_pairs_clustered`` holds occupancy down by scaling
+    k ~ √N, but its assignment is brute N·k, so past ~10⁶ vectors the
+    dial stops turning (and its fixed-k registry form OOM'd at the sf10
+    corpus — BASELINE.md). Here the quantizer is hierarchical:
+    ``k_coarse`` top-level cells, ``k_fine`` sub-cells trained within
+    each (``kmeans.train_kmeans_2level``), so assignment costs
+    N·(k_coarse + assign_n·k_fine) ≈ N·2√k while the blocking key —
+    the (ccid, fid) pair — still addresses k_coarse·k_fine cells and
+    keeps candidate volume Σ occupancy². Multi-assignment at both
+    levels (``assign_n`` nearest coarse × ``assign_n`` nearest fine,
+    up to assign_n² slots/vector) recovers boundary pairs, including
+    those split across *coarse* boundaries — the extra recall risk
+    hierarchy introduces. Candidates are equijoined on the cell pair
+    and every emitted pair is exact-cosine verified. Deterministic end
+    to end (both levels inherit the kmeans module's first-k seeds,
+    decimal means and dist-then-id tie-breaks), so a SQL oracle
+    replays training, two-level assignment, blocking and verification
+    bit-for-bit.
+
+    Sizing at scale: ``k_coarse=None``/``k_fine=None`` auto-sizes to
+    ``auto_two_level_k`` (~2·N^(1/4) per level, ~4√N cells) — at 10⁸
+    vectors that is ~200 × ~200 cells and ~600 distance evals/vector,
+    vs 10⁴ for the flat dial."""
+    from trignis_spark.operators import kmeans as km
+
+    if k_coarse is None or k_fine is None:
+        auto = auto_two_level_k(embeddings.count())
+        k_coarse = auto if k_coarse is None else k_coarse
+        k_fine = auto if k_fine is None else k_fine
+    coarse, fine = km.train_kmeans_2level(
+        embeddings, k_coarse, k_fine, iters=iters
+    )
+    asg = km.assign_cells_2level_topn(
+        embeddings, coarse, fine, n_coarse=assign_n, n_fine=assign_n
+    )
+    base = _prep(embeddings)
+    a, b = asg.alias("a"), asg.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ccid") == F.col("b.ccid"))
+            & (F.col("a.fid") == F.col("b.fid"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
