@@ -36,6 +36,56 @@ def _prep(embeddings: DataFrame) -> DataFrame:
     ).withColumn("n2", F.expr(NORM2.format(a="v")))
 
 
+#: corpora at or under this vector count broadcast their (vec_id, v, n2)
+#: side into the exact-verify join (~550 B/vector ⇒ ≤ ~550 MB): the
+#: candidate stream then verifies map-side with NO sort. Above it, the
+#: verify falls back to shuffle joins — at that scale candidates must be
+#: controlled by cell sizing anyway.
+VERIFY_BROADCAST_MAX = 1_000_000
+
+
+def _verify_pairs(
+    cand: DataFrame, base: DataFrame, threshold: float,
+    broadcast_corpus: bool | None = None,
+) -> DataFrame:
+    """Exact-cosine verification of a candidate (d1, d2) set against
+    ``base`` (= ``_prep`` output). The candidate stream can be orders
+    of magnitude larger than the corpus (Σ occupancy² vs N), so the
+    plan must never sort it: with ``broadcast_corpus`` (auto: corpus
+    ≤ ``VERIFY_BROADCAST_MAX`` rows) both vector lookups are broadcast
+    hash joins and verification streams map-side — the shape that
+    moved the sf10 two-level run from a spilling 360 GB sort-merge
+    (8-byte pairs × 512-byte vectors, sorted twice) to a pass that
+    completes (BASELINE.md r6)."""
+    if broadcast_corpus is None:
+        broadcast_corpus = base.count() <= VERIFY_BROADCAST_MAX
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_corpus else df
+
+    x = base.select(
+        F.col("vec_id").alias("d1"), F.col("v").alias("xv"),
+        F.col("n2").alias("xn2"),
+    )
+    y = base.select(
+        F.col("vec_id").alias("d2"), F.col("v").alias("yv"),
+        F.col("n2").alias("yn2"),
+    )
+    return (
+        cand.join(_b(x), "d1")
+        .join(_b(y), "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.expr(DOT.format(a="xv", b="yv"))
+                / F.sqrt(F.col("xn2") * F.col("yn2"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame, query_pred: str = "vec_id % 100 = 0", k: int = 10
 ) -> DataFrame:
@@ -225,27 +275,7 @@ def cosine_near_dup_pairs_banded(
         .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
         .distinct()
     )
-    x = base.select(
-        F.col("vec_id").alias("d1"), F.col("v").alias("xv"),
-        F.col("n2").alias("xn2"),
-    )
-    y = base.select(
-        F.col("vec_id").alias("d2"), F.col("v").alias("yv"),
-        F.col("n2").alias("yn2"),
-    )
-    return (
-        cand.join(x, "d1")
-        .join(y, "d2")
-        .select(
-            "d1",
-            "d2",
-            (
-                F.expr(DOT.format(a="xv", b="yv"))
-                / F.sqrt(F.col("xn2") * F.col("yn2"))
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
-    )
+    return _verify_pairs(cand, base, threshold)
 
 
 def cosine_near_dup_pairs_clustered(
@@ -289,39 +319,24 @@ def cosine_near_dup_pairs_clustered(
         .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
         .distinct()
     )
-    x = base.select(
-        F.col("vec_id").alias("d1"), F.col("v").alias("xv"),
-        F.col("n2").alias("xn2"),
-    )
-    y = base.select(
-        F.col("vec_id").alias("d2"), F.col("v").alias("yv"),
-        F.col("n2").alias("yn2"),
-    )
-    return (
-        cand.join(x, "d1")
-        .join(y, "d2")
-        .select(
-            "d1",
-            "d2",
-            (
-                F.expr(DOT.format(a="xv", b="yv"))
-                / F.sqrt(F.col("xn2") * F.col("yn2"))
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
-    )
+    return _verify_pairs(cand, base, threshold)
 
 
 def auto_two_level_k(n_vectors: int) -> int:
     """Per-level cell count for ``cosine_near_dup_pairs_clustered_2level``:
-    ceil(2·N^(1/4)), i.e. ~4√N total cells. The doubling (vs the flat
-    form's √N cells) compensates for the 2×2 multi-assignment carrying
-    ~2× the blocking rows: per-cell occupancy — and hence candidate
-    volume Σ occupancy² — lands at the flat dial's level while
-    assignment stays O(N^(5/4)) instead of O(N^(3/2))."""
+    ceil(N^(1/4)) — i.e. ~√N total cells, the *same* total-cell rule as
+    the flat form's production dial, so the two are directly
+    comparable. At that matched cell count the hierarchy wins on both
+    axes (measured on the bench corpus at cos 0.4, BASELINE.md):
+    recall 0.69 vs 0.46 for flat-√N (the 2×2 multi-assign's four
+    blocking slots recover boundary pairs the flat form's two slots
+    miss), at N·2√k assignment cost instead of N·k. The extra slots do
+    carry ~2× the blocking rows (~4× candidate pairs) — finer sizing
+    trades that back for recall roughly linearly (14×14 on the bench
+    corpus: 0.52 recall at ~¼ the candidates)."""
     import math
 
-    return max(4, math.ceil(2.0 * n_vectors ** 0.25))
+    return max(4, math.ceil(n_vectors ** 0.25))
 
 
 def cosine_near_dup_pairs_clustered_2level(
@@ -382,27 +397,7 @@ def cosine_near_dup_pairs_clustered_2level(
         .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
         .distinct()
     )
-    x = base.select(
-        F.col("vec_id").alias("d1"), F.col("v").alias("xv"),
-        F.col("n2").alias("xn2"),
-    )
-    y = base.select(
-        F.col("vec_id").alias("d2"), F.col("v").alias("yv"),
-        F.col("n2").alias("yn2"),
-    )
-    return (
-        cand.join(x, "d1")
-        .join(y, "d2")
-        .select(
-            "d1",
-            "d2",
-            (
-                F.expr(DOT.format(a="xv", b="yv"))
-                / F.sqrt(F.col("xn2") * F.col("yn2"))
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
-    )
+    return _verify_pairs(cand, base, threshold)
 
 
 def cosine_near_dup_pairs(
