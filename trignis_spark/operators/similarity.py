@@ -454,22 +454,4 @@ def cosine_near_dup_pairs(
         .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
         .distinct()
     )
-    x = base.select(
-        F.col("vec_id").alias("d1"), F.col("v").alias("xv"), F.col("n2").alias("xn2")
-    )
-    y = base.select(
-        F.col("vec_id").alias("d2"), F.col("v").alias("yv"), F.col("n2").alias("yn2")
-    )
-    return (
-        cand.join(x, "d1")
-        .join(y, "d2")
-        .select(
-            "d1",
-            "d2",
-            (
-                F.expr(DOT.format(a="xv", b="yv"))
-                / F.sqrt(F.col("xn2") * F.col("yn2"))
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
-    )
+    return _verify_pairs(cand, base, threshold)
