@@ -223,3 +223,46 @@ def test_prefix_filter_lemma_never_loses_a_qualifying_pair(sets, t):
                 # shipped length filter, epsilon included
                 assert len(a) * t <= len(b) + 1e-6
                 assert len(b) * t <= len(a) + 1e-6
+
+
+@given(
+    st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=40),
+                      min_size=1, max_size=20),
+        min_size=2, max_size=12,
+    ),
+    st.sampled_from([0.5, 0.6, 0.8, 0.9]),
+    st.integers(min_value=1, max_value=6),
+)
+def test_prefix_filter_with_max_df_as_lossless_as_max_df_alone(
+    sets, t, max_df
+):
+    # the ADVICE-r5 fix's invariant: with stop-shingles (df > max_df)
+    # dropped from candidate generation, prefix filtering sized by the
+    # UNFILTERED doc sizes loses exactly the pairs max_df alone loses
+    # (those sharing only stop-shingles) — never a pair that still
+    # shares a non-stop shingle. Sizing by the filtered sets instead
+    # violates this (the round-5 defect).
+    import math
+    from fractions import Fraction
+
+    df: dict[int, int] = {}
+    for s in sets:
+        for x in s:
+            df[x] = df.get(x, 0) + 1
+    keep = {x for x, d in df.items() if d <= max_df}
+
+    def prefix(s):
+        # rank within the FILTERED set, prefix length from the FULL size
+        ordered = sorted(s & keep, key=lambda x: (df[x], x))
+        return set(ordered[: math.floor((1 - t) * len(s) + 1e-6) + 1])
+
+    tf = Fraction(t).limit_denominator(10)
+    for i, a in enumerate(sets):
+        for b in sets[i + 1:]:
+            jac = Fraction(len(a & b), len(a | b))
+            if jac >= tf and (a & b & keep):
+                assert prefix(a) & prefix(b), (a, b, t, max_df)
+                # full-size length filter holds by J >= t alone
+                assert len(a) * t <= len(b) + 1e-6
+                assert len(b) * t <= len(a) + 1e-6
