@@ -16,7 +16,7 @@ QUERY_PRED = "vec_id % 100 = 0"
 def index(spark):
     yield "ann_idx_t"
     for t in ("ann_idx_t", "ann_idx_t_ids", "ann_idx_t_meta",
-              "ann_idx_t_centroids"):
+              "ann_idx_t_centroids", "ann_idx_t_centroids_coarse"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -103,3 +103,43 @@ def test_probe_plan_broadcasts_queries(spark, index):
     )
     assert_broadcast_join(probe)
     assert_no_cartesian_product(probe)
+
+
+def test_2level_build_probe_exhaustive_and_extend(spark, index):
+    """Hierarchically-assigned trained index: probing every cell is
+    still brute-force-exact (all vectors live in some cell), nprobe
+    stays a monotone dial, and extends assign through the stored
+    hierarchy (identical cells to the build-time assignment)."""
+    from trignis_spark.operators import kmeans as km
+
+    emb = load(spark, SF, "embeddings")
+    first, rest = emb.filter("vec_id < 400"), emb.filter("vec_id >= 400")
+    ai.build_ann_index_2level(spark, first, index, k_coarse=2, k_fine=4)
+    assert ai.extend_ann_index(spark, rest, index) == rest.count()
+    assert ai.extend_ann_index(spark, rest, index) == 0  # replay no-op
+
+    # every stored cell assignment equals the hierarchy's own answer
+    coarse, fine, k_fine = ai._hier_quantizer(spark, index)
+    want = {
+        (r["vec_id"], r["cid"])
+        for r in km.assign_clusters_2level(
+            emb, coarse, fine, k_fine
+        ).collect()
+    }
+    got = {
+        (r["vec_id"], r["bucket"]) for r in spark.table(index).collect()
+    }
+    assert got == want
+
+    queries = emb.filter(F.expr(QUERY_PRED))
+    truth = _pairs(sim.cosine_topk(emb, QUERY_PRED, k=10))
+    n_cells = spark.table(index + "_centroids").count()
+
+    def recall(nprobe):
+        got = _pairs(ai.probe_ann_index(spark, index, queries, 10, nprobe))
+        return len(got & truth) / len(truth)
+
+    r1, r4, rall = recall(1), recall(4), recall(n_cells)
+    assert r1 <= r4 <= rall
+    assert rall == 1.0  # probing every cell degenerates to exact search
+    spark.sql(f"DROP TABLE IF EXISTS {index}_centroids_coarse")

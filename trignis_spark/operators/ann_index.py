@@ -173,6 +173,103 @@ def build_ann_index(
     _refresh(spark, table)
 
 
+def _coarse_table(table: str) -> str:
+    return f"{table}_centroids_coarse"
+
+
+def _hier_quantizer(spark: SparkSession, table: str):
+    """(coarse, fine, k_fine) for an index built by
+    ``build_ann_index_2level``, else None. The fine level is
+    reconstructed from the flat sidecar (ccid = cid ÷ k_fine,
+    fid = cid mod k_fine) so the flat table stays the single source the
+    probe path reads."""
+    name = _coarse_table(table)
+    if not spark.catalog.tableExists(name):
+        return None
+    k_fine = spark.table(_meta_table(table)).first()["k_fine"]
+    fine = spark.table(_centroids_table(table)).select(
+        (F.col("cid") / k_fine).cast("int").alias("ccid"),
+        F.pmod(F.col("cid"), F.lit(k_fine)).cast("int").alias("fid"),
+        "cvec",
+    )
+    return spark.table(name), fine, int(k_fine)
+
+
+def build_ann_index_2level(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    table: str,
+    k_coarse: int,
+    k_fine: int,
+    iters: int = 2,
+) -> None:
+    """Trained-quantizer IVF index whose build/extend assignment is
+    **hierarchical**: ``kmeans.train_kmeans_2level`` trains k_coarse
+    coarse cells with k_fine sub-cells each, and every vector is
+    assigned through the hierarchy at k_coarse + k_fine distance
+    evaluations instead of the flat path's k_coarse·k_fine — the same
+    wall-breaker the two-level near-dup blocking uses, applied to the
+    index's write path (a flat trained quantizer at the √N cell rule
+    costs N·√N per build/extend batch; this costs N·2·N^(1/4)).
+
+    The *stored* layout is exactly ``build_ann_index``'s trained form —
+    a flat ``(cid, cvec)`` sidecar (fine cells flattened to
+    cid = ccid·k_fine + fid) plus the bucketed inverted file — so
+    ``probe_ann_index`` works unchanged: queries rank the flat cells by
+    distance and probe the nearest ``nprobe``. Corpus vectors may sit
+    in a different cell than a flat global argmin would choose
+    (standard hierarchical-quantizer behavior); nprobe compensates and
+    probing every cell remains exhaustive. A ``_centroids_coarse``
+    sidecar (+ ``k_fine`` in the meta row) routes extends through the
+    same hierarchical assignment."""
+    from trignis_spark.maintenance import drop_table_and_location
+    from trignis_spark.operators import kmeans as km
+
+    coarse, fine = km.train_kmeans_2level(
+        embeddings, k_coarse, k_fine, iters=iters
+    )
+    coarse = coarse.localCheckpoint(eager=True)
+    flat = km.flatten_2level(fine, k_fine).localCheckpoint(eager=True)
+    n_buckets = k_coarse * k_fine
+    for t in (table, _ids_table(table), _meta_table(table),
+              _centroids_table(table), _coarse_table(table)):
+        drop_table_and_location(spark, t)
+    flat.write.mode("overwrite").format("parquet").saveAsTable(
+        _centroids_table(table)
+    )
+    coarse.write.mode("overwrite").format("parquet").saveAsTable(
+        _coarse_table(table)
+    )
+    assigned = km.assign_clusters_2level(embeddings, coarse, fine, k_fine)
+    rows = (
+        _prep(embeddings)
+        .join(assigned, "vec_id")
+        .select(F.col("cid").alias("bucket"), "vec_id", "v", "n2")
+    )
+    (
+        rows.repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "bucket")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    (
+        rows.select("vec_id")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "vec_id")
+        .format("parquet")
+        .saveAsTable(_ids_table(table))
+    )
+    spark.createDataFrame(
+        [(int(n_buckets), int(k_fine))], "n_buckets int, k_fine int"
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        _meta_table(table)
+    )
+    for t in (_meta_table(table), _coarse_table(table)):
+        spark.catalog.refreshTable(t)
+    _refresh(spark, table)
+
+
 def extend_ann_index(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -182,8 +279,44 @@ def extend_ann_index(
     """Append vectors not already present (idempotent under replay);
     returns the number actually added. The bucket count comes from the
     index's own meta sidecar — ``n_buckets`` is a fallback for
-    pre-sidecar indexes only."""
+    pre-sidecar indexes only. Indexes built by ``build_ann_index_2level``
+    assign their extends through the stored hierarchy (k_coarse + k_fine
+    evaluations per vector, not cells)."""
     known = spark.table(_ids_table(table))
+    hier = _hier_quantizer(spark, table)
+    if hier is not None:
+        from trignis_spark.operators import kmeans as km
+
+        coarse, fine, k_fine = hier
+        n_buckets = _stored_n_buckets(spark, table, n_buckets)
+        fresh_src = embeddings.join(known, "vec_id", "left_anti")
+        assigned = km.assign_clusters_2level(
+            fresh_src, coarse, fine, k_fine
+        )
+        fresh = (
+            _prep(fresh_src)
+            .join(assigned, "vec_id")
+            .select(F.col("cid").alias("bucket"), "vec_id", "v", "n2")
+            .localCheckpoint(eager=True)
+        )
+        added = fresh.count()
+        if added == 0:
+            return 0
+        (
+            fresh.write.mode("append")
+            .bucketBy(n_buckets, "bucket")
+            .format("parquet")
+            .saveAsTable(table)
+        )
+        (
+            fresh.select("vec_id")
+            .write.mode("append")
+            .bucketBy(n_buckets, "vec_id")
+            .format("parquet")
+            .saveAsTable(_ids_table(table))
+        )
+        _refresh(spark, table)
+        return added
     cents = _trained_centroids(spark, table)
     n_buckets = _stored_n_buckets(spark, table, n_buckets)
     if cents is not None:

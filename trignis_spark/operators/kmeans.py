@@ -259,6 +259,45 @@ def train_kmeans_2level(
     return coarse, fine
 
 
+def flatten_2level(fine: DataFrame, k_fine: int) -> DataFrame:
+    """Flatten a two-level quantizer's fine table to the flat
+    ``(cid, cvec)`` contract the IVF index stores and probes against:
+    ``cid = ccid·k_fine + fid``. Cells a coarse cell never filled are
+    simply absent — cell ids are sparse, which every consumer treats as
+    an opaque key."""
+    return fine.select(
+        (F.col("ccid") * k_fine + F.col("fid")).cast("int").alias("cid"),
+        "cvec",
+    )
+
+
+def assign_clusters_2level(
+    embeddings: DataFrame,
+    coarse: DataFrame,
+    fine: DataFrame,
+    k_fine: int,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cid): single-assignment through the hierarchy — nearest
+    coarse cell, then nearest fine cell within it, flattened to the
+    global cell id. Costs k_coarse + k_fine distance evaluations per
+    vector instead of the flat path's k_coarse·k_fine — the build/extend
+    assignment wall breaker for trained-quantizer IVF indexes. (A
+    vector may land in a different cell than a flat global argmin would
+    pick — standard for hierarchical quantizers; probes compensate with
+    nprobe, and probing all cells remains exhaustive.)"""
+    casg = assign_clusters(embeddings, coarse, emb_col)
+    vecs = (
+        _as_double_vec(embeddings, emb_col)
+        .join(casg.withColumnRenamed("cid", "ccid"), "vec_id")
+        .select("vec_id", "ccid", "v")
+    )
+    return _assign_fine(vecs, fine, 1).select(
+        "vec_id",
+        (F.col("ccid") * k_fine + F.col("fid")).cast("int").alias("cid"),
+    )
+
+
 def assign_cells_2level_topn(
     embeddings: DataFrame,
     coarse: DataFrame,
