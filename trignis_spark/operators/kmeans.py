@@ -85,12 +85,25 @@ def assign_clusters_topn(embeddings: DataFrame, centroids: DataFrame,
     L2, ties to the lowest cid) — multi-assignment is the standard
     recall device for cluster-blocked candidate generation: a pair
     split across a cell boundary still meets in a shared second-nearest
-    cell. Broadcast centroids → map-side scoring; one shuffle on
-    vec_id for the per-vector rank."""
+    cell. Broadcast centroids → map-side scoring.
+
+    ``n = 1`` (every Lloyd round's assignment — the training hot loop)
+    aggregates with ``min_by`` over the (d2, cid) struct key instead of
+    ranking a window: partial aggregation collapses the N·k scored rows
+    to N map-side *before* the shuffle, where the window form sorted
+    all N·k through one shuffle per round (at a √N-cell quantizer that
+    is N^1.5 rows — the dominant cost of flat training at sf10). The
+    (d2, cid) struct key reproduces the window's exact orderBy
+    semantics, so assignments — and therefore trained centroids and
+    every oracle replay — are bit-identical."""
     vecs = _as_double_vec(embeddings, emb_col)
     scored = vecs.join(F.broadcast(centroids)).withColumn(
         "d2", F.expr(_SQDIST.format(a="v", b="cvec"))
     )
+    if n == 1:
+        return scored.groupBy("vec_id").agg(
+            F.min_by("cid", F.struct("d2", "cid")).alias("cid")
+        )
     w = Window.partitionBy("vec_id").orderBy("d2", "cid")
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -175,6 +188,12 @@ def _assign_fine(vecs: DataFrame, fine: DataFrame, n: int = 1) -> DataFrame:
     scored = vecs.join(F.broadcast(fine), "ccid").withColumn(
         "d2", F.expr(_SQDIST.format(a="v", b="cvec"))
     )
+    if n == 1:
+        # map-side partial min_by — same rationale (and same exact
+        # tie-break semantics) as assign_clusters_topn's n=1 path
+        return scored.groupBy("vec_id", "ccid").agg(
+            F.min_by("fid", F.struct("d2", "fid")).alias("fid")
+        )
     w = Window.partitionBy("vec_id", "ccid").orderBy("d2", "fid")
     return (
         scored.withColumn("_rn", F.row_number().over(w))

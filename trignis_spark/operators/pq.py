@@ -82,15 +82,17 @@ def init_codebook(embeddings: DataFrame, m: int, k: int,
 
 def assign_codes(subvecs: DataFrame, codebook: DataFrame) -> DataFrame:
     """(vec_id, sub, cid): nearest centroid per subspace (squared L2,
-    ties to the lowest cid). Broadcast codebook → map-side argmin."""
+    ties to the lowest cid). Broadcast codebook → map-side argmin;
+    ``min_by`` over the (d2, cid) struct key partial-aggregates the
+    N·m·k scored rows to N·m map-side before the shuffle (the window
+    form sorted all of them — see ``kmeans.assign_clusters_topn``;
+    identical tie-break semantics, so codes and every oracle replay are
+    bit-identical)."""
     scored = subvecs.join(F.broadcast(codebook), "sub").withColumn(
         "d2", F.expr(_SQDIST.format(a="subv", b="cvec"))
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "sub", "cid")
+    return scored.groupBy("vec_id", "sub").agg(
+        F.min_by("cid", F.struct("d2", "cid")).alias("cid")
     )
 
 
