@@ -143,3 +143,49 @@ def test_2level_build_probe_exhaustive_and_extend(spark, index):
     assert r1 <= r4 <= rall
     assert rall == 1.0  # probing every cell degenerates to exact search
     spark.sql(f"DROP TABLE IF EXISTS {index}_centroids_coarse")
+
+
+def test_flat_rebuild_clears_stale_2level_sidecar(spark, index):
+    """Rebuilding a flat index over a name that previously held a
+    2-level index must clear the ``_centroids_coarse`` hierarchy
+    marker — otherwise every extend takes the hierarchical path
+    against a meta row with no ``k_fine`` and fails."""
+    emb = load(spark, SF, "embeddings")
+    ai.build_ann_index_2level(spark, emb.filter("vec_id < 300"), index,
+                              k_coarse=3, k_fine=3)
+    assert spark.catalog.tableExists(f"{index}_centroids_coarse")
+    ai.build_ann_index(spark, emb.filter("vec_id < 300"), index,
+                       n_buckets=16)
+    assert not spark.catalog.tableExists(f"{index}_centroids_coarse")
+    added = ai.extend_ann_index(
+        spark, emb.filter("vec_id >= 300 and vec_id < 350"), index
+    )
+    assert added == emb.filter("vec_id >= 300 and vec_id < 350").count()
+
+
+def test_probe_immune_to_replayed_extend_duplicates(spark, index):
+    """A crash between an extend's index append and its _ids append
+    makes the at-least-once replay re-append the same rows. Duplicate
+    index rows must not surface a neighbor at two ranks (displacing a
+    true top-k entry)."""
+    emb = load(spark, SF, "embeddings")
+    ai.build_ann_index(spark, emb.filter("vec_id < 400"), index,
+                       n_buckets=16)
+    ai.extend_ann_index(spark, emb.filter("vec_id >= 400"), index)
+    queries = emb.filter(F.expr(QUERY_PRED))
+    before = _pairs(ai.probe_ann_index(spark, index, queries, k=10,
+                                       nprobe=4))
+    # simulate the replay: the extended rows land in the index table a
+    # second time while the _ids sidecar (written last) already has them
+    dup = (
+        spark.table(index).filter("vec_id >= 400")
+        .localCheckpoint(eager=True)
+    )
+    (
+        dup.write.mode("append").bucketBy(16, "bucket")
+        .format("parquet").saveAsTable(index)
+    )
+    spark.catalog.refreshTable(index)
+    after = _pairs(ai.probe_ann_index(spark, index, queries, k=10,
+                                      nprobe=4))
+    assert after == before

@@ -145,3 +145,61 @@ def test_compaction_shrinks_files_probe_unchanged(spark, index):
     files_after = ipq.compact_ivfpq_index(spark, index)
     assert files_after < files_before
     assert _pairs(ipq.ivfpq_probe(spark, index, queries, k=10)) == before
+
+
+def test_probe_immune_to_replayed_extend_duplicates(spark, index):
+    """A crash between an extend's codes/float appends and its _ids
+    append makes the at-least-once replay re-append the same rows.
+    Duplicate code rows must not double-count ADC sums (corrupting the
+    shortlist) and duplicate float rows must not surface a neighbor at
+    two ranks."""
+    emb = load(spark, SF, "embeddings")
+    ipq.build_ivfpq_index(spark, emb.filter("vec_id < 400"), index,
+                          m=M, k=K, n_buckets=16)
+    ipq.extend_ivfpq_index(spark, emb.filter("vec_id >= 400"), index)
+    queries = emb.filter(F.expr(QUERY_PRED))
+    before = _pairs(ipq.ivfpq_probe(spark, index, queries, k=10, nprobe=2))
+    assert before
+    # simulate the replay: the extend's data rows land a second time
+    for name in (index, ipq._codes_table(index)):
+        dup = (
+            spark.table(name).filter("vec_id >= 400")
+            .localCheckpoint(eager=True)
+        )
+        (
+            dup.repartition("bucket").write.mode("append")
+            .partitionBy("bucket").format("parquet").saveAsTable(name)
+        )
+        spark.catalog.refreshTable(name)
+    after = _pairs(ipq.ivfpq_probe(spark, index, queries, k=10, nprobe=2))
+    assert after == before
+
+
+def test_extend_and_compact_dispatch_on_legacy_bucketed_layout(spark, index):
+    """Indexes persisted before the cell-partitioned layout bucketed
+    the float/codes tables; extends and compaction must dispatch on the
+    stored layout instead of failing the append with a mismatched
+    spec."""
+    emb = load(spark, SF, "embeddings")
+    ipq.build_ivfpq_index(spark, emb.filter("vec_id < 400"), index,
+                          m=M, k=K, n_buckets=16)
+    # rewrite the two cell tables into the legacy bucketed layout
+    for name in (index, ipq._codes_table(index)):
+        rows = spark.table(name).localCheckpoint(eager=True)
+        spark.sql(f"DROP TABLE {name}")
+        (
+            rows.repartition(16, "bucket").write
+            .bucketBy(16, "bucket").format("parquet").saveAsTable(name)
+        )
+    assert not ipq._cell_partitioned(spark, index)
+    added = ipq.extend_ivfpq_index(
+        spark, emb.filter("vec_id >= 400"), index
+    )
+    assert added == emb.filter("vec_id >= 400").count()
+    queries = emb.filter(F.expr(QUERY_PRED))
+    got = _pairs(ipq.ivfpq_probe(spark, index, queries, k=10, nprobe=2))
+    assert got
+    ipq.compact_ivfpq_index(spark, index)
+    assert _pairs(
+        ipq.ivfpq_probe(spark, index, queries, k=10, nprobe=2)
+    ) == got

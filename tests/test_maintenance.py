@@ -133,3 +133,42 @@ def test_partitioned_compaction_normal_path_roundtrip(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")
+
+
+def test_partitioned_compaction_ignores_stale_sidecar_after_appends(spark):
+    """A sidecar orphaned by a long-past crash must NOT roll back rows
+    appended since: when the target holds at least the snapshot's rows
+    the target is authoritative — the stale sidecar is dropped and the
+    compaction re-snapshots the live table."""
+    from trignis_spark.maintenance import compact_partitioned_table
+
+    table, tmp = "maint_part_stale", "maint_part_stale__compacting"
+    try:
+        df = spark.range(0, 100).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("int").alias("pb"),
+        )
+        (
+            df.repartition("pb").write.mode("overwrite")
+            .partitionBy("pb").format("parquet").saveAsTable(table)
+        )
+        # crash left a complete sidecar behind (overwrite finished but
+        # the verified drop never ran)...
+        (
+            spark.table(table).repartition("pb").write.mode("overwrite")
+            .partitionBy("pb").format("parquet").saveAsTable(tmp)
+        )
+        # ...and polling resumed, appending new rows to the target
+        extra = spark.range(100, 140).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("int").alias("pb"),
+        )
+        extra.write.mode("append").partitionBy("pb") \
+            .format("parquet").saveAsTable(table)
+        compact_partitioned_table(spark, table, "pb")
+        got = {r.doc_id for r in spark.table(table).collect()}
+        assert got == set(range(140))  # appends survived
+        assert not spark.catalog.tableExists(tmp)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")

@@ -407,3 +407,38 @@ def test_2level_clustered_near_dup_recall_at_least_flat(spark):
     assert two <= truth
     assert len(two) >= len(flat)
     assert len(two) / len(truth) >= 0.6
+
+
+def test_2level_assignment_survives_memberless_coarse_cell(spark):
+    """A coarse cell can end training with no members (so no fine
+    centroids), yet a NEW vector can still be nearest to it. The
+    2-level assignment must score only coarse cells that have fine
+    centroids — never silently drop the vector (an index build/extend
+    routed through a dead cell would lose it unsearchably)."""
+    from trignis_spark.operators import kmeans as km
+
+    coarse = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])],
+        "cid int, cvec array<double>",
+    )
+    # cell 1 is dead: no fine centroids
+    fine = spark.createDataFrame(
+        [(0, 0, [0.0, 0.0]), (0, 1, [1.0, 1.0])],
+        "ccid int, fid int, cvec array<double>",
+    )
+    emb = spark.createDataFrame(
+        [(7, [9.5, 9.5]), (8, [0.1, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    asg = km.assign_clusters_2level(emb, coarse, fine, k_fine=2)
+    got = {(r.vec_id, r.cid) for r in asg.collect()}
+    # vec 7 (nearest the dead cell) lands in live cell 0's nearest fine
+    # cell (fid 1 at [1,1]) instead of vanishing
+    assert got == {(7, 1), (8, 0)}
+
+    slots = km.assign_cells_2level_topn(
+        emb, coarse, fine, n_coarse=2, n_fine=2
+    )
+    rows = slots.collect()
+    assert {r.vec_id for r in rows} == {7, 8}
+    assert all(r.ccid == 0 for r in rows)  # only live cells block

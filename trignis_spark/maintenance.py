@@ -229,13 +229,16 @@ def compact_partitioned_table(
     mid-insert leaves the live table partial while the sidecar still
     holds every row. Two guards make that window recoverable instead of
     data-losing: (1) a sidecar left behind by a crashed prior run is
-    detected on entry and *restored from* (re-running this function is
-    the recovery path — it must not re-snapshot the possibly-partial
-    target; run it before appends resume, the same quiesce contract the
-    swap itself carries); (2) the sidecar is dropped only after the
-    rewritten target
-    row count is verified against it, so a silently short insert can
-    never destroy the last full copy.
+    detected on entry and *restored from* — but only when the target
+    holds fewer rows than the snapshot (i.e. the crash really left it
+    partial); a target with at least the snapshot's rows is
+    authoritative and the stale sidecar is dropped instead, so a
+    sidecar orphaned weeks ago can never roll back rows appended since
+    (re-running this function is the recovery path; run it before
+    appends resume, the same quiesce contract the swap itself
+    carries); (2) the sidecar is dropped only after the rewritten
+    target row count is verified against it, so a silently short
+    insert can never destroy the last full copy.
 
     A partitioned scan makes no hash-partitioning claim, so the
     ``repartition`` on the partition column is not optimized away (the
@@ -245,6 +248,23 @@ def compact_partitioned_table(
     from pyspark.sql import functions as F
 
     tmp = f"{table}__compacting"
+    if spark.catalog.tableExists(tmp):
+        # A sidecar left behind means a prior run crashed after
+        # committing its snapshot. Restore from it ONLY when the target
+        # actually lost rows (crash mid-INSERT OVERWRITE left it
+        # partial). When the target holds at least the snapshot's rows,
+        # the crash happened before the overwrite started or after it
+        # completed — or appends have resumed since — and the *target*
+        # is authoritative: overwriting it from the stale snapshot
+        # would silently roll back every row appended since the crash.
+        # (A crash mid-sidecar-write never commits the tmp table to the
+        # catalog, so tableExists ⇒ the snapshot is whole.)
+        spark.catalog.refreshTable(tmp)
+        spark.catalog.refreshTable(table)
+        if spark.table(table).count() >= spark.table(tmp).count():
+            spark.sql(f"DROP TABLE {tmp}")  # stale — fall through
+        else:
+            cols = spark.table(tmp).columns
     if not spark.catalog.tableExists(tmp):
         cols = spark.table(table).columns  # partition col listed last
         (
@@ -255,14 +275,6 @@ def compact_partitioned_table(
             .format("parquet")
             .saveAsTable(tmp)
         )
-    else:
-        # prior run crashed after committing the sidecar (possibly mid-
-        # INSERT OVERWRITE, leaving the target partial): the sidecar is
-        # the complete pre-crash snapshot — restore from it, never from
-        # the target. (A crash mid-sidecar-write never commits the tmp
-        # table to the catalog, so tableExists ⇒ the snapshot is whole.)
-        spark.catalog.refreshTable(tmp)
-        cols = spark.table(tmp).columns
     with _static_partition_overwrite(spark):
         (
             spark.table(tmp)

@@ -104,6 +104,29 @@ def _rows(embeddings: DataFrame, n_buckets: int,
     )
 
 
+def _write_rows(
+    rows: DataFrame, table: str, n_buckets: int, mode: str
+) -> None:
+    """The index-table + ids-sidecar write pair every build/extend path
+    shares. Co-partitioning on the bucket column first keeps the file
+    count at the bucket count, not buckets × writer tasks (the
+    small-files blow-up — see ivfpq_index)."""
+    (
+        rows.repartition(n_buckets, "bucket")
+        .write.mode(mode)
+        .bucketBy(n_buckets, "bucket")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    (
+        rows.select("vec_id")
+        .write.mode(mode)
+        .bucketBy(n_buckets, "vec_id")
+        .format("parquet")
+        .saveAsTable(_ids_table(table))
+    )
+
+
 def build_ann_index(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -135,6 +158,11 @@ def build_ann_index(
     # always cleared: a rebuild without a quantizer must not leave a
     # stale one behind, and an orphaned location must not fail a rebuild
     drop_table_and_location(spark, _centroids_table(table))
+    # same for the 2-level hierarchy marker: a flat rebuild over a name
+    # that previously held a 2-level index must not leave the coarse
+    # sidecar behind — extends would take the hierarchical path against
+    # a meta row that has no k_fine and fail on every batch
+    drop_table_and_location(spark, _coarse_table(table))
     if centroids is not None:
         centroids = centroids.localCheckpoint(eager=True)
         n_buckets = max(1, centroids.count())
@@ -145,22 +173,7 @@ def build_ann_index(
         )
         spark.catalog.refreshTable(_centroids_table(table))
     rows = _rows(embeddings, n_buckets, centroids)
-    # co-partition on the bucket column first so file count tracks the
-    # bucket count, not buckets × writer tasks (see ivfpq_index)
-    (
-        rows.repartition(n_buckets, "bucket")
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "bucket")
-        .format("parquet")
-        .saveAsTable(table)
-    )
-    (
-        rows.select("vec_id")
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "vec_id")
-        .format("parquet")
-        .saveAsTable(_ids_table(table))
-    )
+    _write_rows(rows, table, n_buckets, "overwrite")
     # persist the cell count: probes/extends must use the build-time
     # layout, not guess their own (auto-sizing made the old implicit
     # "everyone defaults to 16" contract a correctness trap)
@@ -246,20 +259,7 @@ def build_ann_index_2level(
         .join(assigned, "vec_id")
         .select(F.col("cid").alias("bucket"), "vec_id", "v", "n2")
     )
-    (
-        rows.repartition(n_buckets, "bucket")
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "bucket")
-        .format("parquet")
-        .saveAsTable(table)
-    )
-    (
-        rows.select("vec_id")
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "vec_id")
-        .format("parquet")
-        .saveAsTable(_ids_table(table))
-    )
+    _write_rows(rows, table, n_buckets, "overwrite")
     spark.createDataFrame(
         [(int(n_buckets), int(k_fine))], "n_buckets int, k_fine int"
     ).write.mode("overwrite").format("parquet").saveAsTable(
@@ -302,19 +302,7 @@ def extend_ann_index(
         added = fresh.count()
         if added == 0:
             return 0
-        (
-            fresh.write.mode("append")
-            .bucketBy(n_buckets, "bucket")
-            .format("parquet")
-            .saveAsTable(table)
-        )
-        (
-            fresh.select("vec_id")
-            .write.mode("append")
-            .bucketBy(n_buckets, "vec_id")
-            .format("parquet")
-            .saveAsTable(_ids_table(table))
-        )
+        _write_rows(fresh, table, n_buckets, "append")
         _refresh(spark, table)
         return added
     cents = _trained_centroids(spark, table)
@@ -329,19 +317,7 @@ def extend_ann_index(
     added = fresh.count()
     if added == 0:
         return 0
-    (
-        fresh.write.mode("append")
-        .bucketBy(n_buckets, "bucket")
-        .format("parquet")
-        .saveAsTable(table)
-    )
-    (
-        fresh.select("vec_id")
-        .write.mode("append")
-        .bucketBy(n_buckets, "vec_id")
-        .format("parquet")
-        .saveAsTable(_ids_table(table))
-    )
+    _write_rows(fresh, table, n_buckets, "append")
     _refresh(spark, table)
     return added
 
@@ -412,6 +388,14 @@ def probe_ann_index(
             ).alias("cos"),
         )
     )
+    # a crash between an extend's index append and its _ids append makes
+    # the at-least-once replay re-append the same rows; a vector lives
+    # in exactly one cell, so any duplicate (query_id, neighbor_id) here
+    # is such a replay artifact with an identical cos — dedup the
+    # (bucket-pruned, candidate-sized) set so it cannot surface at two
+    # ranks and displace a true neighbor (same guard as dedup_index's
+    # probes; the extend keeps its data-first/_ids-last crash ordering)
+    scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
     )

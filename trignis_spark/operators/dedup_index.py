@@ -374,7 +374,11 @@ def probe_prefix_index(
             f"probing at {threshold} would lose pairs (rebuild the index)"
         )
     if broadcast_batch is None:
-        broadcast_batch = batch_docs.count() <= MAX_BROADCAST_DOCS
+        from trignis_spark.operators.similarity import exceeds
+
+        # limit-bounded probe, not a full count: this gate runs on
+        # every poll-cycle probe and the batch plan can be expensive
+        broadcast_batch = not exceeds(batch_docs, MAX_BROADCAST_DOCS)
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_batch else df

@@ -95,6 +95,20 @@ def index_exists(spark: SparkSession, table: str) -> bool:
     return all(spark.catalog.tableExists(t) for t in _all_tables(table))
 
 
+def _cell_partitioned(spark: SparkSession, name: str) -> bool:
+    """True when ``name`` stores its IVF cell as a *partition* column
+    (the current layout — dynamic partition pruning at the scan).
+    Indexes persisted by earlier builds bucketed the cell instead;
+    extends and compaction dispatch on the stored layout so an
+    append/rewrite never clashes with the table's own spec (probes
+    need no dispatch — the plan shape differs, the results do not).
+    Rebuild to migrate a bucketed index to the pruned layout."""
+    return any(
+        c.name == "bucket" and c.isPartition
+        for c in spark.catalog.listColumns(name)
+    )
+
+
 def _drop_stale(spark: SparkSession, table: str) -> None:
     """Drop any prior incarnation of the index, including orphaned
     warehouse locations from other sessions (see
@@ -216,20 +230,25 @@ def extend_ivfpq_index(
     codes = encode_pq(fresh_src, codebook, meta["m"]).join(
         rows.select("vec_id", "bucket"), "vec_id"
     ).select("vec_id", "sub", "code", "bucket")
-    (
-        rows.repartition("bucket")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .format("parquet")
-        .saveAsTable(table)
-    )
-    (
-        codes.repartition("bucket")
-        .write.mode("append")
-        .partitionBy("bucket")
-        .format("parquet")
-        .saveAsTable(_codes_table(table))
-    )
+    for df, name in ((rows, table), (codes, _codes_table(table))):
+        if _cell_partitioned(spark, name):
+            (
+                df.repartition("bucket")
+                .write.mode("append")
+                .partitionBy("bucket")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+        else:
+            # pre-partitioned-layout index: append with its own spec —
+            # a partitionBy append onto a bucketed table is rejected
+            (
+                df.repartition(meta["n_buckets"], "bucket")
+                .write.mode("append")
+                .bucketBy(meta["n_buckets"], "bucket")
+                .format("parquet")
+                .saveAsTable(name)
+            )
     (
         rows.select("vec_id")
         .write.mode("append")
@@ -301,6 +320,13 @@ def ivfpq_probe(
         # read (asserted in tests/test_plans.py)
         codes.join(F.broadcast(qb), codes["bucket"] == qb["qbucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
+        # a crash between an extend's codes append and its _ids append
+        # makes the at-least-once replay re-append the same code rows,
+        # and duplicate (vec_id, sub) rows would double-count the ADC
+        # sum below, corrupting shortlist ranking — dedup the pruned
+        # candidate set (duplicates are byte-identical whole rows, so
+        # which one survives is immaterial; same guard as dedup_index)
+        .dropDuplicates(["query_id", "vec_id", "sub"])
         .join(F.broadcast(lut), ["query_id", "sub", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(
@@ -344,6 +370,9 @@ def ivfpq_probe(
             ).alias("cos"),
         )
     )
+    # same replay-duplicate guard for the float table: a duplicated
+    # vector row would put the same neighbor at two consecutive ranks
+    exact = exact.dropDuplicates(["query_id", "neighbor_id"])
     wk = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
     )
@@ -369,8 +398,12 @@ def compact_ivfpq_index(spark: SparkSession, table: str) -> int:
 
     meta = spark.table(_meta_table(table)).first()
     nb = meta["n_buckets"]
-    n = compact_partitioned_table(spark, table, "bucket")
-    n += compact_partitioned_table(spark, _codes_table(table), "bucket")
+    n = 0
+    for name in (table, _codes_table(table)):
+        if _cell_partitioned(spark, name):
+            n += compact_partitioned_table(spark, name, "bucket")
+        else:  # pre-partitioned-layout index — rewrite with its own spec
+            n += compact_bucketed_table(spark, name, "bucket", nb)
     n += compact_bucketed_table(spark, _ids_table(table), "vec_id", nb)
     _refresh(spark, table)
     return n

@@ -290,6 +290,25 @@ def flatten_2level(fine: DataFrame, k_fine: int) -> DataFrame:
     )
 
 
+def _live_coarse(coarse: DataFrame, fine: DataFrame) -> DataFrame:
+    """Coarse cells that actually have fine centroids. A coarse cell
+    can end training memberless (e.g. duplicate vectors among the
+    seeds collapse one cell empty and ``_update``'s coalesce keeps its
+    centroid), so it seeds no fine cells — yet a *new* vector (an
+    extend batch) can still be nearest to it. Assigning through such a
+    cell would fall into the fine inner join's hole and silently drop
+    the vector, so every 2-level assignment scores only live cells:
+    the vector lands in its nearest coarse cell that can actually hold
+    it. Both sides are broadcast-sized (≤ k rows)."""
+    return coarse.join(
+        F.broadcast(
+            fine.select(F.col("ccid").alias("cid")).distinct()
+        ),
+        "cid",
+        "left_semi",
+    )
+
+
 def assign_clusters_2level(
     embeddings: DataFrame,
     coarse: DataFrame,
@@ -304,8 +323,12 @@ def assign_clusters_2level(
     assignment wall breaker for trained-quantizer IVF indexes. (A
     vector may land in a different cell than a flat global argmin would
     pick — standard for hierarchical quantizers; probes compensate with
-    nprobe, and probing all cells remains exhaustive.)"""
-    casg = assign_clusters(embeddings, coarse, emb_col)
+    nprobe, and probing all cells remains exhaustive.) Only coarse
+    cells with fine centroids are scored (``_live_coarse``) — an
+    assignment must never land where no fine cell can hold it, which
+    would silently drop the vector from the index being built or
+    extended."""
+    casg = assign_clusters(embeddings, _live_coarse(coarse, fine), emb_col)
     vecs = (
         _as_double_vec(embeddings, emb_col)
         .join(casg.withColumnRenamed("cid", "ccid"), "vec_id")
@@ -330,8 +353,15 @@ def assign_cells_2level_topn(
     ``n_coarse·n_fine`` blocking slots per vector. Multi-assignment at
     *both* levels is what recovers pairs split across coarse
     boundaries (the recall risk hierarchical blocking adds over flat).
-    Cost per vector: k_coarse + n_coarse·k_fine distance evaluations."""
-    casg = assign_clusters_topn(embeddings, coarse, n_coarse, emb_col)
+    Cost per vector: k_coarse + n_coarse·k_fine distance evaluations.
+    Only coarse cells with fine centroids are scored (``_live_coarse``)
+    — a memberless cell has no fine centroids, so a slot spent on it
+    would silently vanish in the fine join instead of blocking against
+    a populated cell (the SQL oracle replays the same live-cell
+    filter)."""
+    casg = assign_clusters_topn(
+        embeddings, _live_coarse(coarse, fine), n_coarse, emb_col
+    )
     vecs = (
         _as_double_vec(embeddings, emb_col)
         .join(casg.withColumnRenamed("cid", "ccid"), "vec_id")

@@ -44,6 +44,15 @@ def _prep(embeddings: DataFrame) -> DataFrame:
 VERIFY_BROADCAST_MAX = 1_000_000
 
 
+def exceeds(df: DataFrame, limit: int) -> bool:
+    """True iff ``df`` has more than ``limit`` rows, evaluating at most
+    ``limit + 1`` rows per partition (LocalLimit) instead of a full
+    ``count()`` — the broadcast-vs-shuffle gates sit on per-call hot
+    paths where a full count would re-run the entire upstream plan just
+    to compare against a constant."""
+    return df.limit(limit + 1).count() > limit
+
+
 def _verify_pairs(
     cand: DataFrame, base: DataFrame, threshold: float,
     broadcast_corpus: bool | None = None,
@@ -58,7 +67,7 @@ def _verify_pairs(
     (8-byte pairs × 512-byte vectors, sorted twice) to a pass that
     completes (BASELINE.md r6)."""
     if broadcast_corpus is None:
-        broadcast_corpus = base.count() <= VERIFY_BROADCAST_MAX
+        broadcast_corpus = not exceeds(base, VERIFY_BROADCAST_MAX)
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_corpus else df

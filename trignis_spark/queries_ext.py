@@ -2067,7 +2067,9 @@ def _kmh_fine_update_sql(assign: str, fine: str) -> str:
         FROM vx) WHERE rn <= {_KMH_KF}),
     f1 AS ({_kmh_fine_update_sql(_kmh_fine_assign_sql('vx', 'f0', 1), 'f0')}),
     f2 AS ({_kmh_fine_update_sql(_kmh_fine_assign_sql('vx', 'f1', 1), 'f1')}),
-    ca2 AS ({_km_assign_topn_sql('e', 'c2', _KMC_ASSIGN)}),
+    c2l AS (SELECT * FROM c2
+            WHERE cid IN (SELECT DISTINCT ccid FROM f2)),
+    ca2 AS ({_km_assign_topn_sql('e', 'c2l', _KMC_ASSIGN)}),
     vx2 AS (SELECT ca2.vec_id, ca2.cid AS ccid, e.v
             FROM ca2 JOIN e USING (vec_id)),
     fa AS ({_kmh_fine_assign_sql('vx2', 'f2', _KMC_ASSIGN)}),
