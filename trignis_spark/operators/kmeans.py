@@ -39,6 +39,19 @@ def _as_double_vec(embeddings: DataFrame, emb_col: str) -> DataFrame:
     )
 
 
+def _spread(vecs: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's shuffle-partition
+    count. Assignment is a pure projection, so its parallelism is
+    whatever the *scan* provides — a corpus stored in a few files
+    would score N·k distances on a few cores (sf1 = 2 files measured
+    2-way on 32 cores). One narrow N-row shuffle is trivial next to
+    the N·k·dim compute it parallelizes; per-vector cost is uniform,
+    so round-robin is the right spread (no key, no skew). Results are
+    row-wise and unaffected by placement."""
+    n = int(vecs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return vecs.repartition(n)
+
+
 def init_centroids(embeddings: DataFrame, k: int,
                    emb_col: str = "embedding") -> DataFrame:
     """Deterministic seed: the k lowest-``vec_id`` vectors become
@@ -79,47 +92,78 @@ def assign_clusters(embeddings: DataFrame, centroids: DataFrame,
     return assign_clusters_topn(embeddings, centroids, 1, emb_col)
 
 
+def _pack(centroids: DataFrame, keys: list[str],
+          id_col: str) -> DataFrame:
+    """Collapse a centroid table into one array<struct<id, cvec>> per
+    ``keys`` group (one global row when ``keys`` is empty), sorted by
+    id for determinism. The packed side is tiny (≤ k centroids ×
+    ~0.5 KB) and broadcasts."""
+    agg = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col), F.col("cvec")))
+    ).alias("_cents")
+    if keys:
+        return centroids.groupBy(*keys).agg(agg)
+    return centroids.agg(agg)
+
+
+def _nearest_expr(id_col: str, n: int, vec_col: str = "v") -> str:
+    """SQL that scores every packed centroid against ``v`` and yields
+    the ``n`` nearest ids (squared L2, ties to the lowest id) as an
+    array — one expression per *vector* row, so assignment is a pure
+    map-side projection: no N·k row explosion, no aggregate, no sort,
+    no shuffle. (A ``min_by`` over a (d2, id) struct key computes the
+    same thing but Spark plans struct-keyed min_by as SortAggregate —
+    it *sorted* the N·k scored rows per partition, measured as the
+    single-thread straggler of flat sf10 training; ranking them
+    through a window additionally shuffled them. Both reproduce this
+    expression's exact orderBy semantics, so assignments — and every
+    trained centroid and oracle replay — are bit-identical across the
+    three forms.)"""
+    d2 = _SQDIST.format(a=vec_col, b="c.cvec")
+    scored = f"transform(_cents, c -> struct({d2} AS d2, c.{id_col} AS i))"
+    if n == 1:
+        return f"array_min({scored}).i"
+    return f"transform(slice(array_sort({scored}), 1, {n}), s -> s.i)"
+
+
 def assign_clusters_topn(embeddings: DataFrame, centroids: DataFrame,
                          n: int, emb_col: str = "embedding") -> DataFrame:
     """(vec_id, cid) for each vector's ``n`` nearest centroids (squared
     L2, ties to the lowest cid) — multi-assignment is the standard
     recall device for cluster-blocked candidate generation: a pair
     split across a cell boundary still meets in a shared second-nearest
-    cell. Broadcast centroids → map-side scoring.
-
-    ``n = 1`` (every Lloyd round's assignment — the training hot loop)
-    aggregates with ``min_by`` over the (d2, cid) struct key instead of
-    ranking a window: partial aggregation collapses the N·k scored rows
-    to N map-side *before* the shuffle, where the window form sorted
-    all N·k through one shuffle per round (at a √N-cell quantizer that
-    is N^1.5 rows — the dominant cost of flat training at sf10). The
-    (d2, cid) struct key reproduces the window's exact orderBy
-    semantics, so assignments — and therefore trained centroids and
-    every oracle replay — are bit-identical."""
-    vecs = _as_double_vec(embeddings, emb_col)
-    scored = vecs.join(F.broadcast(centroids)).withColumn(
-        "d2", F.expr(_SQDIST.format(a="v", b="cvec"))
+    cell. The centroid set packs into a single broadcast array and each
+    vector scores it inside one projection expression
+    (``_nearest_expr``) — the whole assignment, including every Lloyd
+    round of training, is map-side with zero shuffle (one ``_spread``
+    repartition excepted — see there)."""
+    return _assign_vecs_topn(
+        _spread(_as_double_vec(embeddings, emb_col)), centroids, n
     )
+
+
+def _assign_vecs_topn(vecs: DataFrame, centroids: DataFrame,
+                      n: int) -> DataFrame:
+    """``assign_clusters_topn``'s core on prepped (vec_id, v) rows —
+    the training loop preps (and spreads, and checkpoints) the corpus
+    once and calls this every round."""
+    packed = _pack(centroids, [], "cid")
+    scored = vecs.crossJoin(F.broadcast(packed))
     if n == 1:
-        return scored.groupBy("vec_id").agg(
-            F.min_by("cid", F.struct("d2", "cid")).alias("cid")
-        )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n)
-        .select("vec_id", "cid")
+        return scored.select(
+            "vec_id", F.expr(_nearest_expr("cid", 1)).alias("cid")
+        ).filter(F.col("cid").isNotNull())  # empty centroid set ⇒ no rows
+    return scored.select(
+        "vec_id",
+        F.explode(F.expr(_nearest_expr("cid", n))).alias("cid"),
     )
 
 
-def _update(embeddings: DataFrame, centroids: DataFrame,
-            emb_col: str) -> DataFrame:
-    """One Lloyd round: assign, then recompute component means in
-    fixed-point; clusters that lost every member keep their centroid."""
-    vecs = _as_double_vec(embeddings, emb_col)
-    assigned = assign_clusters(embeddings, centroids, emb_col).join(
-        vecs, "vec_id"
-    )
+def _update(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One Lloyd round over prepped (vec_id, v) rows: assign, then
+    recompute component means in fixed-point; clusters that lost every
+    member keep their centroid."""
+    assigned = _assign_vecs_topn(vecs, centroids, 1).join(vecs, "vec_id")
     comp = assigned.select(
         "cid", F.posexplode("v").alias("pos", "x")
     )
@@ -152,14 +196,19 @@ def train_kmeans(embeddings: DataFrame, k: int, iters: int = 5,
                  emb_col: str = "embedding") -> DataFrame:
     """Train k centroids with ``iters`` Lloyd rounds. Returns
     (cid INT, cvec ARRAY<DOUBLE>), localCheckpointed per round so the
-    lineage stays flat regardless of ``iters``."""
+    lineage stays flat regardless of ``iters``. The corpus is prepped,
+    spread and checkpointed ONCE — every round's assignment then reads
+    the materialized, well-partitioned vectors instead of re-running
+    the scan (the same one-prep pattern ``train_kmeans_2level`` uses
+    for its fine rounds)."""
+    vecs = _spread(_as_double_vec(embeddings, emb_col)).localCheckpoint(
+        eager=True
+    )
     centroids = init_centroids(embeddings, k, emb_col).localCheckpoint(
         eager=True
     )
     for _ in range(iters):
-        centroids = _update(embeddings, centroids, emb_col).localCheckpoint(
-            eager=True
-        )
+        centroids = _update(vecs, centroids).localCheckpoint(eager=True)
     return centroids
 
 
@@ -183,22 +232,21 @@ def train_kmeans(embeddings: DataFrame, k: int, iters: int = 5,
 def _assign_fine(vecs: DataFrame, fine: DataFrame, n: int = 1) -> DataFrame:
     """(vec_id, ccid, fid): each vector's ``n`` nearest fine centroids
     *within each of its coarse cells*. ``vecs`` is (vec_id, ccid, v);
-    ``fine`` is (ccid, fid, cvec) and broadcasts (≤ k total rows), so
-    scoring is map-side — a vector never sees another cell's centroids."""
-    scored = vecs.join(F.broadcast(fine), "ccid").withColumn(
-        "d2", F.expr(_SQDIST.format(a="v", b="cvec"))
-    )
+    ``fine`` is (ccid, fid, cvec) — packed per coarse cell and
+    broadcast (≤ k total rows), so each (vector, coarse cell) row
+    scores its own cell's centroids inside one projection expression
+    (``_nearest_expr`` — same map-side, shuffle-free, bit-identical
+    rationale as ``assign_clusters_topn``)."""
+    packed = _pack(fine, ["ccid"], "fid")
+    scored = vecs.join(F.broadcast(packed), "ccid")
     if n == 1:
-        # map-side partial min_by — same rationale (and same exact
-        # tie-break semantics) as assign_clusters_topn's n=1 path
-        return scored.groupBy("vec_id", "ccid").agg(
-            F.min_by("fid", F.struct("d2", "fid")).alias("fid")
+        return scored.select(
+            "vec_id", "ccid", F.expr(_nearest_expr("fid", 1)).alias("fid")
         )
-    w = Window.partitionBy("vec_id", "ccid").orderBy("d2", "fid")
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n)
-        .select("vec_id", "ccid", "fid")
+    return scored.select(
+        "vec_id",
+        "ccid",
+        F.explode(F.expr(_nearest_expr("fid", n))).alias("fid"),
     )
 
 

@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from trignis_spark.operators.kmeans import _ACC, _SQDIST, _as_double_vec
+from trignis_spark.operators.kmeans import (
+    _ACC,
+    _as_double_vec,
+    _spread,
+)
 
 #: partial dot product of two equal-length double arrays
 _SUBDOT = (
@@ -82,17 +86,20 @@ def init_codebook(embeddings: DataFrame, m: int, k: int,
 
 def assign_codes(subvecs: DataFrame, codebook: DataFrame) -> DataFrame:
     """(vec_id, sub, cid): nearest centroid per subspace (squared L2,
-    ties to the lowest cid). Broadcast codebook → map-side argmin;
-    ``min_by`` over the (d2, cid) struct key partial-aggregates the
-    N·m·k scored rows to N·m map-side before the shuffle (the window
-    form sorted all of them — see ``kmeans.assign_clusters_topn``;
-    identical tie-break semantics, so codes and every oracle replay are
+    ties to the lowest cid). The per-subspace codebook packs into a
+    broadcast array and each (vector, sub) row scores it inside one
+    projection expression — map-side, shuffle-free, no N·m·k row
+    explosion (see ``kmeans._nearest_expr`` for why this beats both
+    the window and the struct-keyed ``min_by`` forms; identical
+    tie-break semantics, so codes and every oracle replay are
     bit-identical)."""
-    scored = subvecs.join(F.broadcast(codebook), "sub").withColumn(
-        "d2", F.expr(_SQDIST.format(a="subv", b="cvec"))
-    )
-    return scored.groupBy("vec_id", "sub").agg(
-        F.min_by("cid", F.struct("d2", "cid")).alias("cid")
+    from trignis_spark.operators.kmeans import _nearest_expr, _pack
+
+    packed = _pack(codebook, ["sub"], "cid")
+    return subvecs.join(F.broadcast(packed), "sub").select(
+        "vec_id",
+        "sub",
+        F.expr(_nearest_expr("cid", 1, vec_col="subv")).alias("cid"),
     )
 
 
@@ -130,7 +137,10 @@ def train_pq(embeddings: DataFrame, m: int = 8, k: int = 16,
     """Train the m per-subspace codebooks jointly (one grouped plan per
     Lloyd round — the m k-means problems share every shuffle). Returns
     (sub INT, cid INT, cvec ARRAY<DOUBLE>)."""
-    subvecs = split_subvectors(embeddings, m, emb_col).localCheckpoint(
+    # spread before the one-time checkpoint: scoring is a projection,
+    # so every Lloyd round's parallelism is whatever this partitioning
+    # provides (see kmeans._spread)
+    subvecs = _spread(split_subvectors(embeddings, m, emb_col)).localCheckpoint(
         eager=True
     )
     codebook = init_codebook(embeddings, m, k, emb_col).localCheckpoint(
@@ -145,7 +155,7 @@ def encode_pq(embeddings: DataFrame, codebook: DataFrame, m: int,
               emb_col: str = "embedding") -> DataFrame:
     """(vec_id, sub, code): the PQ code per subspace — the compressed
     representation stored at scale (m bytes/vector)."""
-    subvecs = split_subvectors(embeddings, m, emb_col)
+    subvecs = _spread(split_subvectors(embeddings, m, emb_col))
     return assign_codes(subvecs, codebook).withColumnRenamed("cid", "code")
 
 

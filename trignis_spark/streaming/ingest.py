@@ -120,7 +120,10 @@ def make_ingest_batch_fn(
             .select("doc_id"),
             "doc_id",
             "left_semi",
-        )
+        ).localCheckpoint(eager=True)
+        # checkpointed: good feeds the probe's broadcast gate, the
+        # probe itself, two anti-joins and (optionally) stats counts —
+        # without it the window dedup + quality scoring re-run for each
 
         corpus_hits = (
             di.probe(spark, index_table, good, threshold, n)
