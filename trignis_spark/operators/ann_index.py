@@ -350,18 +350,22 @@ def probe_ann_index(
     )
     cents = _trained_centroids(spark, table)
     if cents is not None:
-        # trained quantizer: probe the nprobe nearest centroid cells
-        from trignis_spark.operators.kmeans import _SQDIST
+        # trained quantizer: probe the nprobe nearest centroid cells —
+        # packed-projection scoring (see kmeans._nearest_expr), so the
+        # cell fan-out is map-side with no window and no shuffle
+        from trignis_spark.operators.kmeans import _nearest_expr, _pack
 
         nprobe = max(1, nprobe)
-        scored_c = base.join(F.broadcast(cents)).withColumn(
-            "d2", F.expr(_SQDIST.format(a="qv", b="cvec"))
-        )
-        wc = Window.partitionBy("query_id").orderBy("d2", "cid")
+        e = F.expr(_nearest_expr("cid", nprobe, vec_col="qv"))
         q = (
-            scored_c.withColumn("_rn", F.row_number().over(wc))
-            .filter(F.col("_rn") <= nprobe)
-            .select("query_id", "qv", "qn2", F.col("cid").alias("qbucket"))
+            base.crossJoin(F.broadcast(_pack(cents, [], "cid")))
+            .select(
+                "query_id",
+                "qv",
+                "qn2",
+                F.explode(e if nprobe > 1 else F.array(e)).alias("qbucket"),
+            )
+            .filter(F.col("qbucket").isNotNull())
         )
     else:
         bits = int(math.log2(n_buckets))
