@@ -172,3 +172,47 @@ def test_partitioned_compaction_ignores_stale_sidecar_after_appends(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+
+
+def test_partitioned_compaction_recovers_partial_target_with_appends(spark):
+    """The worst crash shape: the overwrite died mid-write (target is
+    missing snapshot rows) AND appends resumed on the partial table.
+    Recovery must restore every snapshot row and keep every append —
+    the multiset exceptAll union does both."""
+    from trignis_spark.maintenance import compact_partitioned_table
+
+    table, tmp = "maint_part_worst", "maint_part_worst__compacting"
+    try:
+        df = spark.range(0, 200).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("int").alias("pb"),
+        )
+        (
+            df.repartition("pb").write.mode("overwrite")
+            .partitionBy("pb").format("parquet").saveAsTable(table)
+        )
+        # complete snapshot committed...
+        (
+            spark.table(table).repartition("pb").write.mode("overwrite")
+            .partitionBy("pb").format("parquet").saveAsTable(tmp)
+        )
+        # ...overwrite crashed mid-write (target keeps 50 of 200)...
+        (
+            spark.table(tmp).filter("doc_id < 50").repartition("pb")
+            .write.mode("overwrite").insertInto(table, overwrite=True)
+        )
+        spark.catalog.refreshTable(table)
+        # ...and polling resumed, appending 30 new rows
+        extra = spark.range(500, 530).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("int").alias("pb"),
+        )
+        extra.write.mode("append").partitionBy("pb") \
+            .format("parquet").saveAsTable(table)
+        compact_partitioned_table(spark, table, "pb")
+        got = {r.doc_id for r in spark.table(table).collect()}
+        assert got == set(range(200)) | set(range(500, 530))
+        assert not spark.catalog.tableExists(tmp)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")

@@ -229,16 +229,16 @@ def compact_partitioned_table(
     mid-insert leaves the live table partial while the sidecar still
     holds every row. Two guards make that window recoverable instead of
     data-losing: (1) a sidecar left behind by a crashed prior run is
-    detected on entry and *restored from* — but only when the target
-    holds fewer rows than the snapshot (i.e. the crash really left it
-    partial); a target with at least the snapshot's rows is
-    authoritative and the stale sidecar is dropped instead, so a
-    sidecar orphaned weeks ago can never roll back rows appended since
-    (re-running this function is the recovery path; run it before
-    appends resume, the same quiesce contract the swap itself
-    carries); (2) the sidecar is dropped only after the rewritten
-    target row count is verified against it, so a silently short
-    insert can never destroy the last full copy.
+    detected on entry and the target is rebuilt as
+    **snapshot ∪ (target ⊖ snapshot)** — the multiset ``exceptAll``
+    difference is exactly the rows appended since the snapshot, so
+    recovery restores every row a partial overwrite dropped *and*
+    preserves every append that landed after the crash, with no keys
+    and no guessing (a sidecar orphaned weeks ago therefore folds in
+    harmlessly instead of rolling the table back); (2) the sidecar is
+    dropped only after the rewritten target row count is verified
+    against snapshot + preserved appends, so a silently short insert
+    can never destroy the last full copy.
 
     A partitioned scan makes no hash-partitioning claim, so the
     ``repartition`` on the partition column is not optimized away (the
@@ -248,24 +248,35 @@ def compact_partitioned_table(
     from pyspark.sql import functions as F
 
     tmp = f"{table}__compacting"
+    extra = None
     if spark.catalog.tableExists(tmp):
         # A sidecar left behind means a prior run crashed after
-        # committing its snapshot. Restore from it ONLY when the target
-        # actually lost rows (crash mid-INSERT OVERWRITE left it
-        # partial). When the target holds at least the snapshot's rows,
-        # the crash happened before the overwrite started or after it
-        # completed — or appends have resumed since — and the *target*
-        # is authoritative: overwriting it from the stale snapshot
-        # would silently roll back every row appended since the crash.
-        # (A crash mid-sidecar-write never commits the tmp table to the
-        # catalog, so tableExists ⇒ the snapshot is whole.)
+        # committing its snapshot, and the target's state is unknown:
+        # a crash mid-INSERT-OVERWRITE left it missing snapshot rows,
+        # and if appends resumed since (quiesce violation) it also
+        # holds rows the snapshot has never seen — possibly both at
+        # once, which no row-count heuristic can tell apart. The
+        # multiset difference can: target ⊖ snapshot (``exceptAll``) is
+        # exactly the appended rows, whatever the overwrite dropped, so
+        # snapshot ∪ (target ⊖ snapshot) restores every snapshot row
+        # AND preserves every append — keyless and exact. (Residual:
+        # an appended row byte-identical to a snapshot row is absorbed
+        # into its multiplicity; the extends that feed these tables are
+        # replay-idempotent, so such a duplicate carries no
+        # information. A crash mid-sidecar-write never commits the tmp
+        # table to the catalog, so tableExists ⇒ the snapshot is
+        # whole.) ``extra`` is checkpointed BEFORE the overwrite below
+        # rewrites the table it was computed from.
         spark.catalog.refreshTable(tmp)
         spark.catalog.refreshTable(table)
-        if spark.table(table).count() >= spark.table(tmp).count():
-            spark.sql(f"DROP TABLE {tmp}")  # stale — fall through
-        else:
-            cols = spark.table(tmp).columns
-    if not spark.catalog.tableExists(tmp):
+        cols = spark.table(tmp).columns
+        extra = (
+            spark.table(table)
+            .select(*cols)
+            .exceptAll(spark.table(tmp).select(*cols))
+            .localCheckpoint(eager=True)
+        )
+    else:
         cols = spark.table(table).columns  # partition col listed last
         (
             spark.table(table)
@@ -275,21 +286,25 @@ def compact_partitioned_table(
             .format("parquet")
             .saveAsTable(tmp)
         )
+    src = spark.table(tmp).select(*cols)
+    if extra is not None:
+        src = src.unionByName(extra)
     with _static_partition_overwrite(spark):
         (
-            spark.table(tmp)
-            .select(*cols)
-            .repartition(F.col(part_col))
+            src.repartition(F.col(part_col))
             .write.mode("overwrite")
             .insertInto(table)
         )
     spark.catalog.refreshTable(table)
-    got, want = spark.table(table).count(), spark.table(tmp).count()
+    got = spark.table(table).count()
+    want = spark.table(tmp).count() + (
+        extra.count() if extra is not None else 0
+    )
     if got != want:
         raise RuntimeError(
             f"compaction of {table} wrote {got} rows where the sidecar "
-            f"{tmp} holds {want}; sidecar retained — re-run "
-            "compact_partitioned_table to restore from it"
+            f"{tmp} (+ preserved appends) holds {want}; sidecar "
+            "retained — re-run compact_partitioned_table to restore"
         )
     spark.sql(f"DROP TABLE {tmp}")
     return len(table_data_files(spark, table))

@@ -86,11 +86,12 @@ def _bucket_expr(vec_col: str, n_buckets: int) -> str:
 
 
 def _rows(embeddings: DataFrame, n_buckets: int,
-          centroids: DataFrame | None = None) -> DataFrame:
+          centroids: DataFrame | None = None,
+          spread: bool = True) -> DataFrame:
     if centroids is not None:
         from trignis_spark.operators.kmeans import assign_clusters
 
-        assigned = assign_clusters(embeddings, centroids)
+        assigned = assign_clusters(embeddings, centroids, spread=spread)
         return (
             _prep(embeddings)
             .join(assigned, "vec_id")
@@ -290,8 +291,10 @@ def extend_ann_index(
         coarse, fine, k_fine = hier
         n_buckets = _stored_n_buckets(spark, table, n_buckets)
         fresh_src = embeddings.join(known, "vec_id", "left_anti")
+        # spread=False: an extend batch is poll-cycle-sized — the
+        # corpus-parallelism repartition would be pure overhead here
         assigned = km.assign_clusters_2level(
-            fresh_src, coarse, fine, k_fine
+            fresh_src, coarse, fine, k_fine, spread=False
         )
         fresh = (
             _prep(fresh_src)
@@ -313,6 +316,7 @@ def extend_ann_index(
         embeddings.join(known, "vec_id", "left_anti"),
         n_buckets,
         cents,
+        spread=False,  # batch-sized input — skip the corpus repartition
     ).localCheckpoint(eager=True)
     added = fresh.count()
     if added == 0:

@@ -227,7 +227,9 @@ def extend_ivfpq_index(
     if added == 0:
         return 0
     codebook = spark.table(_codebook_table(table))
-    codes = encode_pq(fresh_src, codebook, meta["m"]).join(
+    # spread=False: an extend batch is poll-cycle-sized — the corpus-
+    # parallelism repartition would be pure overhead here
+    codes = encode_pq(fresh_src, codebook, meta["m"], spread=False).join(
         rows.select("vec_id", "bucket"), "vec_id"
     ).select("vec_id", "sub", "code", "bucket")
     for df, name in ((rows, table), (codes, _codes_table(table))):

@@ -47,8 +47,16 @@ def _spread(vecs: DataFrame) -> DataFrame:
     2-way on 32 cores). One narrow N-row shuffle is trivial next to
     the N·k·dim compute it parallelizes; per-vector cost is uniform,
     so round-robin is the right spread (no key, no skew). Results are
-    row-wise and unaffected by placement."""
-    n = int(vecs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    row-wise and unaffected by placement.
+
+    Corpus-sized callers only: a poll-cycle extend batch should skip
+    the spread (``spread=False`` on the public entry points) — the
+    shuffle plus a task per target partition is pure overhead for a
+    batch that fits in a few."""
+    try:
+        n = int(vecs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # e.g. a platform-managed "auto" setting
+        n = vecs.sparkSession.sparkContext.defaultParallelism
     return vecs.repartition(n)
 
 
@@ -85,11 +93,13 @@ def init_centroids(embeddings: DataFrame, k: int,
 
 
 def assign_clusters(embeddings: DataFrame, centroids: DataFrame,
-                    emb_col: str = "embedding") -> DataFrame:
+                    emb_col: str = "embedding",
+                    spread: bool = True) -> DataFrame:
     """(vec_id, cid): each vector's nearest centroid (squared L2, ties
     to the lowest cid). Broadcast centroids → map-side argmin; the
-    corpus is never shuffled."""
-    return assign_clusters_topn(embeddings, centroids, 1, emb_col)
+    corpus is never shuffled. ``spread=False`` for batch-sized inputs
+    (poll-cycle extends) — see ``_spread``."""
+    return assign_clusters_topn(embeddings, centroids, 1, emb_col, spread)
 
 
 def _pack(centroids: DataFrame, keys: list[str],
@@ -127,7 +137,8 @@ def _nearest_expr(id_col: str, n: int, vec_col: str = "v") -> str:
 
 
 def assign_clusters_topn(embeddings: DataFrame, centroids: DataFrame,
-                         n: int, emb_col: str = "embedding") -> DataFrame:
+                         n: int, emb_col: str = "embedding",
+                         spread: bool = True) -> DataFrame:
     """(vec_id, cid) for each vector's ``n`` nearest centroids (squared
     L2, ties to the lowest cid) — multi-assignment is the standard
     recall device for cluster-blocked candidate generation: a pair
@@ -136,34 +147,41 @@ def assign_clusters_topn(embeddings: DataFrame, centroids: DataFrame,
     vector scores it inside one projection expression
     (``_nearest_expr``) — the whole assignment, including every Lloyd
     round of training, is map-side with zero shuffle (one ``_spread``
-    repartition excepted — see there)."""
-    return _assign_vecs_topn(
-        _spread(_as_double_vec(embeddings, emb_col)), centroids, n
-    )
+    repartition excepted — see there; ``spread=False`` for batch-sized
+    inputs)."""
+    vecs = _as_double_vec(embeddings, emb_col)
+    return _assign_vecs_topn(_spread(vecs) if spread else vecs,
+                             centroids, n)
 
 
-def _assign_vecs_topn(vecs: DataFrame, centroids: DataFrame,
-                      n: int) -> DataFrame:
+def _assign_vecs_topn(vecs: DataFrame, centroids: DataFrame, n: int,
+                      carry: tuple = ()) -> DataFrame:
     """``assign_clusters_topn``'s core on prepped (vec_id, v) rows —
     the training loop preps (and spreads, and checkpoints) the corpus
-    once and calls this every round."""
+    once and calls this every round. ``carry`` keeps extra input
+    columns (e.g. ``v``) on the output: the projection is
+    row-preserving, so a consumer that needs the vector next to its
+    cell id takes it directly instead of joining back to the corpus
+    (the join-back was an N-row shuffle per Lloyd round)."""
     packed = _pack(centroids, [], "cid")
     scored = vecs.crossJoin(F.broadcast(packed))
+    cols = ["vec_id", *carry]
     if n == 1:
         return scored.select(
-            "vec_id", F.expr(_nearest_expr("cid", 1)).alias("cid")
+            *cols, F.expr(_nearest_expr("cid", 1)).alias("cid")
         ).filter(F.col("cid").isNotNull())  # empty centroid set ⇒ no rows
     return scored.select(
-        "vec_id",
+        *cols,
         F.explode(F.expr(_nearest_expr("cid", n))).alias("cid"),
     )
 
 
 def _update(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """One Lloyd round over prepped (vec_id, v) rows: assign, then
-    recompute component means in fixed-point; clusters that lost every
-    member keep their centroid."""
-    assigned = _assign_vecs_topn(vecs, centroids, 1).join(vecs, "vec_id")
+    """One Lloyd round over prepped (vec_id, v) rows: assign (carrying
+    the vector through the projection — no join back to the corpus),
+    then recompute component means in fixed-point; clusters that lost
+    every member keep their centroid."""
+    assigned = _assign_vecs_topn(vecs, centroids, 1, carry=("v",))
     comp = assigned.select(
         "cid", F.posexplode("v").alias("pos", "x")
     )
@@ -229,19 +247,22 @@ def train_kmeans(embeddings: DataFrame, k: int, iters: int = 5,
 # SQL oracle replays both levels bit-for-bit.
 
 
-def _assign_fine(vecs: DataFrame, fine: DataFrame, n: int = 1) -> DataFrame:
+def _assign_fine(vecs: DataFrame, fine: DataFrame, n: int = 1,
+                 carry: tuple = ()) -> DataFrame:
     """(vec_id, ccid, fid): each vector's ``n`` nearest fine centroids
     *within each of its coarse cells*. ``vecs`` is (vec_id, ccid, v);
     ``fine`` is (ccid, fid, cvec) — packed per coarse cell and
     broadcast (≤ k total rows), so each (vector, coarse cell) row
     scores its own cell's centroids inside one projection expression
     (``_nearest_expr`` — same map-side, shuffle-free, bit-identical
-    rationale as ``assign_clusters_topn``)."""
+    rationale as ``assign_clusters_topn``; ``carry`` keeps extra input
+    columns on the output, see ``_assign_vecs_topn``)."""
     packed = _pack(fine, ["ccid"], "fid")
     scored = vecs.join(F.broadcast(packed), "ccid")
     if n == 1:
         return scored.select(
-            "vec_id", "ccid", F.expr(_nearest_expr("fid", 1)).alias("fid")
+            "vec_id", "ccid", *carry,
+            F.expr(_nearest_expr("fid", 1)).alias("fid")
         )
     return scored.select(
         "vec_id",
@@ -255,10 +276,10 @@ def _update_fine(vecs: DataFrame, fine: DataFrame) -> DataFrame:
     within-cell, recompute (ccid, fid) component means in fixed-point;
     fine cells that lost every member keep their centroid. One
     partial-aggregated shuffle of cardinality k·dim — never a per-cell
-    driver loop, so the round count is independent of k_coarse."""
-    assigned = _assign_fine(vecs, fine, 1).join(
-        vecs.select("vec_id", "v"), "vec_id"
-    )
+    driver loop, so the round count is independent of k_coarse. The
+    vector rides through the assignment projection — no join back to
+    the corpus."""
+    assigned = _assign_fine(vecs, fine, 1, carry=("v",))
     comp = assigned.select("ccid", "fid", F.posexplode("v").alias("pos", "x"))
     means = (
         comp.groupBy("ccid", "fid", "pos")
@@ -363,6 +384,7 @@ def assign_clusters_2level(
     fine: DataFrame,
     k_fine: int,
     emb_col: str = "embedding",
+    spread: bool = True,
 ) -> DataFrame:
     """(vec_id, cid): single-assignment through the hierarchy — nearest
     coarse cell, then nearest fine cell within it, flattened to the
@@ -375,8 +397,11 @@ def assign_clusters_2level(
     cells with fine centroids are scored (``_live_coarse``) — an
     assignment must never land where no fine cell can hold it, which
     would silently drop the vector from the index being built or
-    extended."""
-    casg = assign_clusters(embeddings, _live_coarse(coarse, fine), emb_col)
+    extended. ``spread=False`` for batch-sized inputs (poll-cycle
+    extends) — see ``_spread``."""
+    casg = assign_clusters(
+        embeddings, _live_coarse(coarse, fine), emb_col, spread
+    )
     vecs = (
         _as_double_vec(embeddings, emb_col)
         .join(casg.withColumnRenamed("cid", "ccid"), "vec_id")

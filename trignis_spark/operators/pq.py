@@ -152,10 +152,14 @@ def train_pq(embeddings: DataFrame, m: int = 8, k: int = 16,
 
 
 def encode_pq(embeddings: DataFrame, codebook: DataFrame, m: int,
-              emb_col: str = "embedding") -> DataFrame:
+              emb_col: str = "embedding", spread: bool = True) -> DataFrame:
     """(vec_id, sub, code): the PQ code per subspace — the compressed
-    representation stored at scale (m bytes/vector)."""
-    subvecs = _spread(split_subvectors(embeddings, m, emb_col))
+    representation stored at scale (m bytes/vector). ``spread=False``
+    for batch-sized inputs (poll-cycle extends) — see
+    ``kmeans._spread``."""
+    subvecs = split_subvectors(embeddings, m, emb_col)
+    if spread:
+        subvecs = _spread(subvecs)
     return assign_codes(subvecs, codebook).withColumnRenamed("cid", "code")
 
 
