@@ -80,7 +80,11 @@ def init_centroids(embeddings: DataFrame, k: int,
     keep an arbitrary subset of equal-id rows. With unique ids this is
     exactly the documented "k lowest vec_ids in order" contract.
     """
-    vecs = _as_double_vec(embeddings, emb_col)
+    return _init_vecs(_as_double_vec(embeddings, emb_col), k)
+
+
+def _init_vecs(vecs: DataFrame, k: int) -> DataFrame:
+    """``init_centroids`` on prepped (vec_id, v) rows."""
     top = vecs.orderBy("vec_id", "v").limit(k)
     packed = top.agg(
         F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("s")
@@ -222,9 +226,14 @@ def train_kmeans(embeddings: DataFrame, k: int, iters: int = 5,
     vecs = _spread(_as_double_vec(embeddings, emb_col)).localCheckpoint(
         eager=True
     )
-    centroids = init_centroids(embeddings, k, emb_col).localCheckpoint(
-        eager=True
-    )
+    return _train_vecs(vecs, k, iters)
+
+
+def _train_vecs(vecs: DataFrame, k: int, iters: int) -> DataFrame:
+    """``train_kmeans``'s core on prepped (vec_id, v) rows — callers
+    that already hold the spread, checkpointed corpus (the two-level
+    trainer) reuse it instead of re-prepping."""
+    centroids = _init_vecs(vecs, k).localCheckpoint(eager=True)
     for _ in range(iters):
         centroids = _update(vecs, centroids).localCheckpoint(eager=True)
     return centroids
@@ -322,13 +331,20 @@ def train_kmeans_2level(
     fids 0..k_fine-1 (deterministic under duplicate ids for the same
     reason). A coarse cell with fewer members seeds fewer fine cells; a
     coarse cell that ended training empty has none (its vectors — by
-    definition none at train time — would lose nothing)."""
-    coarse = train_kmeans(embeddings, k_coarse, iters, emb_col)
-    casg = assign_clusters(embeddings, coarse, emb_col)
+    definition none at train time — would lose nothing).
+
+    The corpus is prepped, spread and checkpointed once; coarse
+    training, the coarse assignment and every fine round read the same
+    materialized vectors, and the assignment carries the vector
+    through its projection — no join back to the corpus anywhere in
+    training."""
+    vecs0 = _spread(_as_double_vec(embeddings, emb_col)).localCheckpoint(
+        eager=True
+    )
+    coarse = _train_vecs(vecs0, k_coarse, iters)
     vecs = (
-        _as_double_vec(embeddings, emb_col)
-        .join(casg.withColumnRenamed("cid", "ccid"), "vec_id")
-        .select("vec_id", "ccid", "v")
+        _assign_vecs_topn(vecs0, coarse, 1, carry=("v",))
+        .select("vec_id", F.col("cid").alias("ccid"), "v")
         .localCheckpoint(eager=True)  # reused by every fine round
     )
     w = Window.partitionBy("ccid").orderBy("vec_id", "v")
@@ -399,13 +415,15 @@ def assign_clusters_2level(
     would silently drop the vector from the index being built or
     extended. ``spread=False`` for batch-sized inputs (poll-cycle
     extends) — see ``_spread``."""
-    casg = assign_clusters(
-        embeddings, _live_coarse(coarse, fine), emb_col, spread
-    )
+    src = _as_double_vec(embeddings, emb_col)
     vecs = (
-        _as_double_vec(embeddings, emb_col)
-        .join(casg.withColumnRenamed("cid", "ccid"), "vec_id")
-        .select("vec_id", "ccid", "v")
+        _assign_vecs_topn(
+            _spread(src) if spread else src,
+            _live_coarse(coarse, fine),
+            1,
+            carry=("v",),
+        )
+        .select("vec_id", F.col("cid").alias("ccid"), "v")
     )
     return _assign_fine(vecs, fine, 1).select(
         "vec_id",
@@ -432,12 +450,13 @@ def assign_cells_2level_topn(
     would silently vanish in the fine join instead of blocking against
     a populated cell (the SQL oracle replays the same live-cell
     filter)."""
-    casg = assign_clusters_topn(
-        embeddings, _live_coarse(coarse, fine), n_coarse, emb_col
-    )
     vecs = (
-        _as_double_vec(embeddings, emb_col)
-        .join(casg.withColumnRenamed("cid", "ccid"), "vec_id")
-        .select("vec_id", "ccid", "v")
+        _assign_vecs_topn(
+            _spread(_as_double_vec(embeddings, emb_col)),
+            _live_coarse(coarse, fine),
+            n_coarse,
+            carry=("v",),
+        )
+        .select("vec_id", F.col("cid").alias("ccid"), "v")
     )
     return _assign_fine(vecs, fine, n_fine)
