@@ -122,3 +122,45 @@ def test_init_centroids_deterministic_under_duplicate_vec_ids(spark):
     assert got_a[0][1] == [9.0, 9.0]
     # duplicates of vec_id=2 order by their arrays: [0,1] before [1,1]...
     assert [c[1] for c in got_a[1:]] == [[0.0, 1.0], [1.0, 1.0], [2.0, 1.0]]
+
+
+def test_packed_assignment_matches_window_ranking_with_ties(spark):
+    """The packed-projection assignment (array_min / slice(array_sort)
+    over struct(d2, id)) must reproduce the ranked window form
+    bit-for-bit, INCLUDING tie-breaks: duplicate vectors and duplicate
+    centroids force exact d2 ties, where the contract is lowest id
+    wins. Locks the equivalence the oracle replays rely on."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(20)]
+    # duplicates ⇒ exact distance ties between centroids and among rows
+    rows = [(i, base[i % 20]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(j, base[j % 5]) for j in range(7)],  # cids 5,6 duplicate 0,1
+        "cid int, cvec array<double>",
+    )
+
+    def window_reference(n):
+        vecs = km._as_double_vec(emb, "embedding")
+        scored = vecs.join(F.broadcast(cents)).withColumn(
+            "d2", F.expr(km._SQDIST.format(a="v", b="cvec"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .select("vec_id", "cid")
+        )
+
+    for n in (1, 2, 3):
+        got = {(r.vec_id, r.cid)
+               for r in km.assign_clusters_topn(emb, cents, n).collect()}
+        want = {(r.vec_id, r.cid) for r in window_reference(n).collect()}
+        assert got == want and len(got) == 60 * n
+    # ties land on the LOWEST cid (cids 5, 6 shadow 0, 1 exactly)
+    one = km.assign_clusters(emb, cents)
+    assert not {r.cid for r in one.collect()} & {5, 6}
