@@ -325,3 +325,29 @@ def test_ivfpq_probe_uses_dynamic_partition_pruning(spark):
     finally:
         for t in ipq._all_tables("plans_ivfpq"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_centroid_assignment_is_projection_shaped(spark):
+    """The packed-array assignment must stay a pure projection: no
+    window, no sort aggregate, no per-row shuffle — the plan shape
+    that moved flat sf10 training from 2679 s to 285 s. The only
+    exchanges allowed are the one round-robin spread of the vector
+    side and the packed side's single-row aggregation."""
+    from pyspark.sql import functions as F
+
+    from trignis_spark.operators import kmeans as km
+
+    emb = load(spark, SF, "embeddings")
+    cents = km.init_centroids(emb, 8).localCheckpoint(eager=True)
+    for n in (1, 2):
+        plan = (
+            km.assign_clusters_topn(emb, cents, n)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortAggregate" not in plan
+        assert "Window" not in plan
+        assert "Sort " not in plan  # no per-partition sort of scored rows
+        # the corpus side shows exactly one exchange: the roundrobin
+        # spread (packed side's single-row collect_list is on the
+        # broadcast side and does not touch the corpus)
+        assert plan.count("REPARTITION_BY_NUM") == 1
