@@ -4,6 +4,7 @@ appends back in."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from trignis_spark.maintenance import ParquetCompactor, _data_files
@@ -212,6 +213,50 @@ def test_partitioned_compaction_recovers_partial_target_with_appends(spark):
         compact_partitioned_table(spark, table, "pb")
         got = {r.doc_id for r in spark.table(table).collect()}
         assert got == set(range(200)) | set(range(500, 530))
+        assert not spark.catalog.tableExists(tmp)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+
+
+@pytest.mark.parametrize("kept,appended", [(0, 17), (199, 23), (120, 0)])
+def test_partitioned_compaction_recovery_matrix(spark, kept, appended):
+    """Recovery invariant across the crash/append matrix: whatever
+    fraction of the snapshot survived the crashed overwrite (``kept``)
+    and however many rows were appended since (``appended``), the
+    recovered table is exactly snapshot ∪ appends."""
+    from trignis_spark.maintenance import compact_partitioned_table
+
+    table = f"maint_part_mx_{kept}_{appended}"
+    tmp = f"{table}__compacting"
+    try:
+        df = spark.range(0, 200).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("int").alias("pb"),
+        )
+        (
+            df.repartition("pb").write.mode("overwrite")
+            .partitionBy("pb").format("parquet").saveAsTable(table)
+        )
+        (
+            spark.table(table).repartition("pb").write.mode("overwrite")
+            .partitionBy("pb").format("parquet").saveAsTable(tmp)
+        )
+        (
+            spark.table(tmp).filter(f"doc_id < {kept}").repartition("pb")
+            .write.mode("overwrite").insertInto(table, overwrite=True)
+        )
+        spark.catalog.refreshTable(table)
+        if appended:
+            extra = spark.range(1000, 1000 + appended).select(
+                F.col("id").alias("doc_id"),
+                (F.col("id") % 4).cast("int").alias("pb"),
+            )
+            extra.write.mode("append").partitionBy("pb") \
+                .format("parquet").saveAsTable(table)
+        compact_partitioned_table(spark, table, "pb")
+        got = {r.doc_id for r in spark.table(table).collect()}
+        assert got == set(range(200)) | set(range(1000, 1000 + appended))
         assert not spark.catalog.tableExists(tmp)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
