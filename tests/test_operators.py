@@ -442,3 +442,41 @@ def test_2level_assignment_survives_memberless_coarse_cell(spark):
     rows = slots.collect()
     assert {r.vec_id for r in rows} == {7, 8}
     assert all(r.ccid == 0 for r in rows)  # only live cells block
+
+
+def test_auto_band_layout_scales_with_corpus():
+    from trignis_spark.operators.similarity import auto_band_layout
+
+    nb_s, bb_s = auto_band_layout(200_000)
+    nb_l, bb_l = auto_band_layout(2_000_000)
+    assert (nb_s, bb_s) == (16, 12)  # the classic layout, unchanged
+    assert bb_l > bb_s  # patterns grow with the corpus
+    assert nb_l >= nb_s  # recall estimate held by more bands
+    assert auto_band_layout(500) == (16, 12)  # small corpora: floor
+
+
+def test_wide_signature_banded_finds_planted_pairs(spark):
+    """The 124-bit wide prefilter (auto above WIDE_SIG_MIN, forced here)
+    must keep every planted tight pair while pruning at double the
+    signature width — same planted-corpus contract as the narrow
+    form."""
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for c in range(5):
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        for k in range(3):
+            rows.append(
+                (c * 10 + k,
+                 [x + rng.uniform(-0.005, 0.005) for x in base])
+            )
+    for i in range(300):
+        rows.append((1000 + i, [rng.uniform(-1, 1) for _ in range(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["d1"], r["d2"]) for r in
+           sim.cosine_near_dup_pairs_banded(
+               emb, threshold=0.9, wide=True).collect()}
+    want = {(c * 10 + a, c * 10 + b)
+            for c in range(5) for a in range(3) for b in range(3) if a < b}
+    assert got == want

@@ -196,13 +196,59 @@ def signature_hamming_max(threshold: float, sig_bits: int = 62) -> int:
     return math.ceil(sig_bits * p + 3.0 * math.sqrt(sig_bits * p * (1.0 - p)))
 
 
+#: per-(band, pattern) occupancy the auto layout targets. Patterns per
+#: band ≈ N / this, so bucket population — and the candidate equijoin's
+#: per-band output, Σ occupancy² — stays constant as the corpus grows
+#: (a fixed pattern count makes candidates grow quadratically: the
+#: 12-bit layout generated 7.8·10⁹ band-colliding pairs at 2 M vectors).
+TARGET_BAND_OCC = 64
+
+#: blocking-recall floor the auto layout sizes n_bands for (independent-
+#: band estimate at the call's threshold — an upper bound, see the
+#: operator docstring).
+BAND_RECALL_TARGET = 0.90
+
+#: corpora above this vector count default to the wide (2·sig_bits)
+#: signature prefilter — see the in-function comment.
+WIDE_SIG_MIN = 1_000_000
+
+
+def auto_band_layout(n_vectors: int, threshold: float = 0.9,
+                     sig_bits: int = 62) -> tuple[int, int]:
+    """(n_bands, band_bits) scaled to the corpus — the banding analog of
+    ``ivfpq_index.auto_n_buckets``. ``band_bits`` grows with log₂(N) to
+    hold per-bucket occupancy at ``TARGET_BAND_OCC`` (floor 12 = the
+    layout every corpus up to ~0.25 M vectors already used, cap 20);
+    wider bands collide less per band, so ``n_bands`` then grows to
+    hold the independent-band recall estimate at
+    ``BAND_RECALL_TARGET`` (floor 16, cap 32). At 200 k vectors this
+    returns exactly the classic (16, 12); at 2 M it returns (23, 15),
+    cutting candidate volume ~4× while keeping the recall estimate."""
+    import math
+
+    band_bits = max(12, min(20, math.ceil(
+        math.log2(max(2.0, n_vectors / TARGET_BAND_OCC))
+    )))
+    band_bits = min(band_bits, sig_bits)
+    p = 1.0 - math.acos(min(1.0, threshold)) / math.pi
+    miss = 1.0 - p ** band_bits
+    if miss <= 0.0:
+        n_bands = 16
+    else:
+        n_bands = min(32, max(16, math.ceil(
+            math.log(1.0 - BAND_RECALL_TARGET) / math.log(miss)
+        )))
+    return n_bands, band_bits
+
+
 def cosine_near_dup_pairs_banded(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    n_bands: int = 16,
-    band_bits: int = 12,
+    n_bands: int | None = None,
+    band_bits: int | None = None,
     hamming_max: int | None = None,
     sig_bits: int = 62,
+    wide: bool | None = None,
 ) -> DataFrame:
     """Production-scale embedding near-dup: overlapping sign-bit bands +
     a signature-Hamming prefilter before any full-vector join.
@@ -229,6 +275,25 @@ def cosine_near_dup_pairs_banded(
        or the exact-cosine verify — the expensive stages see only
        near-qualifying pairs.
 
+    Two corpus-scaled dials keep the shape a further decade
+    (``n_bands``/``band_bits``/``wide`` default to auto-sizing from
+    the corpus count; pass explicit values to pin a layout for an
+    external replayer):
+
+    - **Auto band layout** (``auto_band_layout``): a fixed pattern
+      count saturates like the fixed-partition layouts, one decade
+      later — at 2 M vectors the 12-bit bands held ~490 members each
+      and the candidate join emitted 7.8·10⁹ pairs. ``band_bits``
+      grows with log₂(N) to hold occupancy at ``TARGET_BAND_OCC``;
+      ``n_bands`` grows to hold the recall estimate.
+    - **Wide (124-bit) signatures** above ``WIDE_SIG_MIN`` vectors: a
+      second BIGINT of adjacent-component difference signs joins the
+      prefilter. At 62 bits the random-pair pass rate (~3·10⁻⁴) times
+      N²/2 pairs overwhelms the verify by ~10⁶ vectors (measured:
+      ~2.6·10⁸ surviving random pairs at 2 M — the fallback verify
+      spilled >75 GB); at 124 bits the qualifying/random separation is
+      ~5.7σ and the survivors are essentially only true pairs.
+
     Blocking recall at cos = 0.9: the independent-band estimate
     1 − (1 − p^12)^16 with p = 1 − acos(0.9)/π ≈ 0.856 gives ≈ 93%
     (× ≈ 99.7% for the prefilter), but it is an **upper bound, not a
@@ -240,17 +305,50 @@ def cosine_near_dup_pairs_banded(
     directly; treat the figure as a sizing guide only). Verification
     is exact, so every reported pair is a true pair. Deterministic
     throughout — an external SQL oracle replays it bit-for-bit."""
+    if n_bands is None or band_bits is None or wide is None:
+        n_corpus = embeddings.count()
+        if wide is None:
+            # 62 sign bits separate qualifying (H≈18) from random
+            # (H≈31) pairs by ~3.5σ — enough until the corpus's N²/2
+            # random-pair mass overwhelms the tail: at 2 M vectors
+            # ~2.6·10⁸ random band-colliding pairs passed the 62-bit
+            # cutoff and the verify fallback spilled >75 GB. Doubling
+            # to 124 bits (below) drops the random pass rate to ~1e-8.
+            wide = n_corpus > WIDE_SIG_MIN
+        if n_bands is None or band_bits is None:
+            auto_nb, auto_bb = auto_band_layout(
+                n_corpus, threshold, sig_bits
+            )
+            n_bands = auto_nb if n_bands is None else n_bands
+            band_bits = auto_bb if band_bits is None else band_bits
+    total_bits = sig_bits * (2 if wide else 1)
     if hamming_max is None:
-        hamming_max = signature_hamming_max(threshold, sig_bits)
+        hamming_max = signature_hamming_max(threshold, total_bits)
     sig_expr = " + ".join(
         f"(CASE WHEN element_at(v, {i + 1}) >= 0.0D "
         f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for i in range(sig_bits)
     )
     base = _prep(embeddings).withColumn("sig", F.expr(sig_expr))
+    sig_cols = ["sig"]
+    if wide:
+        # second signature word: signs of adjacent-component
+        # differences — the fixed hyperplanes (eᵢ − eᵢ₊₁)/√2, as
+        # deterministic and SQL-replayable as the axis planes, and
+        # equally valid for the acos/π Hamming calibration (any fixed
+        # unit normal gives P[bit differs] = θ/π for rotation-
+        # invariant pair geometry)
+        sig2_expr = " + ".join(
+            f"(CASE WHEN element_at(v, {i + 1}) - "
+            f"element_at(v, {(i + 1) % sig_bits + 1}) >= 0.0D "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for i in range(sig_bits)
+        )
+        base = base.withColumn("sig2", F.expr(sig2_expr))
+        sig_cols.append("sig2")
     bands = base.select(
         "vec_id",
-        "sig",
+        *sig_cols,
         F.explode(
             F.array(
                 *[
@@ -268,18 +366,20 @@ def cosine_near_dup_pairs_banded(
                 ]
             )
         ).alias("bk"),
-    ).select("vec_id", "sig", "bk.band", "bk.bv")
+    ).select("vec_id", *sig_cols, "bk.band", "bk.bv")
     a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    if wide:
+        hamming = hamming + F.bit_count(
+            F.col("a.sig2").bitwiseXOR(F.col("b.sig2"))
+        )
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.vec_id") < F.col("b.vec_id"))
-            & (
-                F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-                <= F.lit(hamming_max)
-            ),
+            & (hamming <= F.lit(hamming_max)),
         )
         .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
         .distinct()

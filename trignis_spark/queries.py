@@ -1368,6 +1368,7 @@ def dedup_embedding_cosine_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=16,
         band_bits=12,
         sig_bits=62,
+        wide=False,  # pin the narrow layout the oracle replays
     )
 
 
@@ -1428,6 +1429,7 @@ def dedup_embedding_cosine_prod_planted(
         n_bands=16,
         band_bits=12,
         sig_bits=62,
+        wide=False,  # pin the narrow layout the oracle replays
     )
     return pairs.filter(
         (F.col("d2") - F.col("d1") == PLANT_STRIDE)
