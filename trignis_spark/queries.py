@@ -1437,6 +1437,65 @@ def dedup_embedding_cosine_prod_planted(
     )
 
 
+@register(
+    "dedup_embedding_cosine_prod_wide",
+    f"""
+    WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id % 97 = 0),
+    p AS (SELECT vec_id, list_transform(v, x -> x + {PLANT_EPS}) AS pv
+          FROM s),
+    pair AS (
+      SELECT s.vec_id AS d1, s.vec_id + {PLANT_STRIDE} AS d2,
+             {_DDOT.format(a='s.v', b='p.pv')}
+             / sqrt({_DNORM2.format(a='s.v')} * {_DNORM2.format(a='p.pv')})
+             AS cos
+      FROM s JOIN p USING (vec_id))
+    SELECT d1, d2, cos FROM pair WHERE cos >= 0.9
+    """,
+)
+def dedup_embedding_cosine_prod_wide(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`dedup_embedding_cosine_prod_planted`'s twin through the **wide
+    124-bit signature prefilter** (the >10⁶-vector production dial —
+    `similarity.WIDE_SIG_MIN`; forced on here so the driver gate
+    exercises it at fixture scale). Same planted corpus, same band
+    layout, same exact verify; the second signature word (adjacent-
+    component difference signs) joins the Hamming prefilter with the
+    cutoff recomputed for 124 bits. The oracle computes each planted
+    pair's exact cosine directly, so a recall miss introduced by the
+    wider prefilter — the one new way this form could lose pairs —
+    fails the gate as a row-count mismatch. (An ε-shifted copy flips
+    at most a few of the 124 bits, far under the ~29-bit cutoff, so
+    recall on the plant is structurally 1.0; measured 20 618/20 618 on
+    the 2 M-vector corpus, BASELINE.md third-decade table.)"""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+            "embedding"
+        ),
+    )
+    plant = base.filter(F.expr("vec_id % 97 = 0")).select(
+        (F.col("vec_id") + F.lit(PLANT_STRIDE)).alias("vec_id"),
+        F.expr(
+            f"transform(embedding, x -> x + {PLANT_EPS}D)"
+        ).alias("embedding"),
+    )
+    pairs = sim.cosine_near_dup_pairs_banded(
+        base.unionByName(plant),
+        threshold=0.9,
+        n_bands=16,
+        band_bits=12,
+        sig_bits=62,
+        wide=True,
+    )
+    return pairs.filter(
+        (F.col("d2") - F.col("d1") == PLANT_STRIDE)
+        & (F.col("d1") % 97 == 0)
+    )
+
+
 # --------------------------------------------------------------------------
 # Composition queries: corpus assembly + log merge (W4, union set-op)
 # --------------------------------------------------------------------------
