@@ -279,8 +279,21 @@ def test_prefix_probe_sort_merge_fallback_identical_pairs(spark):
                for r in smj.collect()}
         assert got == want and want
         # the auto dial picks broadcast for small batches and the
-        # fallback above MAX_BROADCAST_DOCS
-        assert di.MAX_BROADCAST_DOCS >= 10_000
+        # fallback above MAX_BROADCAST_SHINGLES — and it gates on the
+        # shingle rows actually broadcast, so a batch of FEW but very
+        # long documents still takes the fallback (ADVICE r6)
+        assert di.MAX_BROADCAST_SHINGLES >= 1_000_000
+        orig = di.MAX_BROADCAST_SHINGLES
+        di.MAX_BROADCAST_SHINGLES = 10  # 2 long docs >> 10 shingles
+        try:
+            auto = di.probe_prefix_index(spark, name, batch, 0.5)
+            plan = auto._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan
+            got2 = {(r.batch_doc, r.corpus_doc, round(r.jaccard, 9))
+                    for r in auto.collect()}
+            assert got2 == want
+        finally:
+            di.MAX_BROADCAST_SHINGLES = orig
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in (name, di._full_table(name), di._docs_table(name),

@@ -219,6 +219,98 @@ def test_partitioned_compaction_recovers_partial_target_with_appends(spark):
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
 
 
+def test_partitioned_compaction_appends_sidecar_survives_short_insert(spark):
+    """ADVICE r6: if a RECOVERY run's own INSERT OVERWRITE lands
+    silently short, the preserved appends existed only in a
+    localCheckpoint that dies with the session — a re-run recomputed
+    extra from the now-short target and the appends were gone for
+    good. Now the recovery run persists them to ``<table>__appends``
+    BEFORE the overwrite; simulate the post-crash state (snapshot
+    sidecar + appends sidecar committed, target short of BOTH) and
+    assert the re-run restores every snapshot row AND every append,
+    then cleans both sidecars up."""
+    from trignis_spark.maintenance import compact_partitioned_table
+
+    table = "maint_part_apx"
+    tmp, apx = f"{table}__compacting", f"{table}__appends"
+    try:
+        df = spark.range(0, 200).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("int").alias("pb"),
+        )
+        (
+            df.repartition("pb").write.mode("overwrite")
+            .partitionBy("pb").format("parquet").saveAsTable(table)
+        )
+        (
+            spark.table(table).repartition("pb").write.mode("overwrite")
+            .partitionBy("pb").format("parquet").saveAsTable(tmp)
+        )
+        # the failed recovery run had preserved 30 appends durably...
+        spark.range(500, 530).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("int").alias("pb"),
+        ).write.mode("overwrite").format("parquet").saveAsTable(apx)
+        # ...but its overwrite landed short: 50 snapshot rows, NO appends
+        (
+            spark.table(tmp).filter("doc_id < 50").repartition("pb")
+            .write.mode("overwrite").insertInto(table, overwrite=True)
+        )
+        spark.catalog.refreshTable(table)
+        compact_partitioned_table(spark, table, "pb")
+        got = {r.doc_id for r in spark.table(table).collect()}
+        # the 30 appends are nowhere in the target — only the sidecar
+        # can restore them
+        assert got == set(range(200)) | set(range(500, 530))
+        assert not spark.catalog.tableExists(tmp)
+        assert not spark.catalog.tableExists(apx)
+        assert not spark.catalog.tableExists(f"{apx}__staging")
+    finally:
+        for t in (table, tmp, apx, f"{apx}__staging"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_partitioned_compaction_normal_path_clears_orphan_appends(spark):
+    """An ``__appends`` sidecar orphaned by a crash after a prior run
+    dropped its snapshot is already fully folded into the table; the
+    next NORMAL compaction takes a fresh snapshot (which contains those
+    rows) and must drop the orphan — leaving it would double-fold the
+    rows on a later recovery."""
+    from trignis_spark.maintenance import compact_partitioned_table
+
+    table = "maint_part_orphan"
+    apx = f"{table}__appends"
+    try:
+        df = spark.range(0, 100).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("int").alias("pb"),
+        )
+        (
+            df.repartition("pb").write.mode("overwrite")
+            .partitionBy("pb").format("parquet").saveAsTable(table)
+        )
+        # orphan: rows 0..9 are already IN the table
+        spark.table(table).filter("doc_id < 10").write.mode(
+            "overwrite"
+        ).format("parquet").saveAsTable(apx)
+        compact_partitioned_table(spark, table, "pb")
+        assert not spark.catalog.tableExists(apx)
+        assert spark.table(table).count() == 100
+        # and a subsequent recovery can no longer double-fold them:
+        # simulate a crash right after (snapshot exists, target intact)
+        (
+            spark.table(table).repartition("pb").write.mode("overwrite")
+            .partitionBy("pb").format("parquet")
+            .saveAsTable(f"{table}__compacting")
+        )
+        compact_partitioned_table(spark, table, "pb")
+        assert spark.table(table).count() == 100
+    finally:
+        for t in (table, f"{table}__compacting", apx,
+                  f"{apx}__staging"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 @pytest.mark.parametrize("kept,appended", [(0, 17), (199, 23), (120, 0)])
 def test_partitioned_compaction_recovery_matrix(spark, kept, appended):
     """Recovery invariant across the crash/append matrix: whatever

@@ -2,6 +2,7 @@
 detectors find a planted near-duplicate, the IVF path trades recall for
 candidate reduction, snapshot-diff produces exact I/U/D + masks."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from trignis_spark.operators import changefeed as cf
@@ -453,6 +454,196 @@ def test_auto_band_layout_scales_with_corpus():
     assert bb_l > bb_s  # patterns grow with the corpus
     assert nb_l >= nb_s  # recall estimate held by more bands
     assert auto_band_layout(500) == (16, 12)  # small corpora: floor
+
+
+def test_band_starts_distinct_and_legacy_compatible():
+    """ADVICE r6: at the old 32-band cap, band 31 read exactly band 0's
+    bits (start 4·31 ≡ 0 mod 62) — one wasted band. Starts must be
+    pairwise distinct (distinct starts ⇒ distinct stride-5 bit sets)
+    while leaving every pinned registry layout (≤ 31 bands at 62 bits)
+    byte-identical to the legacy 4·b sequence."""
+    from trignis_spark.operators.similarity import (
+        band_bit_indices, band_starts,
+    )
+
+    assert band_starts(16, 62) == [4 * b for b in range(16)]
+    assert band_starts(31, 62) == [(4 * b) % 62 for b in range(31)]
+    for n, bits in ((32, 62), (62, 62), (95, 124), (124, 124)):
+        s = band_starts(n, bits)
+        assert len(set(s)) == n
+        sets = {frozenset(band_bit_indices(st, 12, bits)) for st in s}
+        assert len(sets) == n  # no two bands read the same bit set
+    with pytest.raises(ValueError):
+        band_starts(63, 62)
+
+
+def test_auto_band_layout_holds_occupancy_across_decades():
+    """VERDICT r6 #2: the fixed 20/32 caps re-saturated buckets at
+    ~67 M vectors. Caps now derive from the signature width — with the
+    wide signature (the default above WIDE_SIG_MIN anyway) occupancy
+    stays ≤ TARGET_BAND_OCC and the independent-band recall estimate
+    holds through N = 10⁹, analytically."""
+    import math
+
+    from trignis_spark.operators.similarity import (
+        BAND_RECALL_TARGET, TARGET_BAND_OCC, WIDE_SIG_MIN,
+        auto_band_layout, band_starts,
+    )
+
+    p = 1.0 - math.acos(0.9) / math.pi
+    for exp in range(5, 10):  # 10^5 .. 10^9
+        n = 10 ** exp
+        wide = n > WIDE_SIG_MIN
+        nb, bb = auto_band_layout(n, 0.9, wide=wide)
+        assert n / 2 ** bb <= TARGET_BAND_OCC
+        assert 1.0 - (1.0 - p ** bb) ** nb >= BAND_RECALL_TARGET - 1e-9
+        # and the layout is realizable: that many distinct band starts
+        assert len(band_starts(nb, 62 * (2 if wide else 1))) == nb
+
+
+def test_auto_band_layout_warns_when_caps_bind():
+    import warnings
+
+    from trignis_spark.operators.similarity import auto_band_layout
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        nb, bb = auto_band_layout(10 ** 9, 0.9, wide=False)  # narrow!
+    assert bb <= 62 and nb <= 62
+    assert any("band starts" in str(x.message) for x in w)
+
+
+def test_explicit_hamming_max_pins_narrow_signature(spark):
+    """ADVICE r6 (medium): an explicit hamming_max calibrated for the
+    62-bit signature must not be silently compared against the wide
+    124-bit Hamming sum when the corpus crosses WIDE_SIG_MIN — wide
+    auto-enablement is suppressed unless wide is also explicit."""
+    import random
+
+    rng = random.Random(29)
+    rows = [(0, [rng.uniform(-1, 1) for _ in range(64)])]
+    rows.append((1, [x + 0.001 for x in rows[0][1]]))
+    for i in range(60):
+        rows.append((10 + i, [rng.uniform(-1, 1) for _ in range(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    orig = sim.WIDE_SIG_MIN
+    sim.WIDE_SIG_MIN = 1  # corpus "crosses" the wide bound
+    try:
+        got = {(r.d1, r.d2) for r in sim.cosine_near_dup_pairs_banded(
+            emb, threshold=0.9, hamming_max=18).collect()}
+    finally:
+        sim.WIDE_SIG_MIN = orig
+    # with wide auto-enabled the 18-bit cutoff would reject even the
+    # planted copy (~36 differing bits of 124 at the threshold);
+    # pinning narrow keeps it
+    assert (0, 1) in got
+
+
+def test_verify_broadcast_gate_is_byte_budgeted(spark):
+    """VERDICT r6 #1: the exact-verify broadcast gate must scale with
+    vector width — the row ceiling a 768-dim corpus gets is ~11× lower
+    than a 64-dim one, and a corpus past its width's ceiling takes the
+    shuffle path (no broadcast in the verify plan)."""
+    r64 = sim._verify_broadcast_rows(64)
+    r768 = sim._verify_broadcast_rows(768)
+    r4096 = sim._verify_broadcast_rows(4096)
+    assert r64 > 9 * r768 > 0 and r768 > 4 * r4096 > 0
+    # 64-dim keeps the previously measured ~1M-row behavior
+    assert 900_000 <= r64 <= 1_000_000
+    # a 1M-vector 768-dim corpus (~6 GB) must NOT broadcast
+    assert 1_000_000 > sim.VERIFY_BROADCAST_BYTES // (768 * 8)
+
+    emb = spark.range(0, 50).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 768), i -> CAST(id + i AS FLOAT)) "
+        "AS embedding",
+    )
+    base = sim._prep(emb)
+    cand = spark.createDataFrame([(1, 2)], "d1 long, d2 long")
+    orig = sim.VERIFY_BROADCAST_BYTES
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # kill Catalyst's own stats-driven broadcast so the plan shows the
+    # GATE's decision (the fixture corpus is tiny either way)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sim.VERIFY_BROADCAST_BYTES = 768 * 8 * 10  # ceiling ~= 9 rows < 50
+    try:
+        plan = sim._verify_pairs(cand, base, 0.5)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan  # width forced shuffle
+        sim.VERIFY_BROADCAST_BYTES = orig
+        plan = sim._verify_pairs(cand, base, 0.5)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # 50 rows fit the budget
+    finally:
+        sim.VERIFY_BROADCAST_BYTES = orig
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_clustered_capped_bounds_candidates_and_matches_full_sweep(spark):
+    """The bounded sweep (VERDICT r6 #3): with a cap larger than any
+    cell it must equal the full two-level sweep exactly; with a small
+    cap it returns a deterministic subset (every pair still
+    exact-verified)."""
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    for c in range(4):
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        for k in range(4):
+            rows.append(
+                (c * 10 + k,
+                 [x + rng.uniform(-0.4, 0.4) for x in base])
+            )
+    for i in range(100):
+        rows.append((1000 + i, [rng.uniform(-1, 1) for _ in range(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.5, k_coarse=2, k_fine=4, assign_n=2)
+    full = {(r.d1, r.d2, round(r.cos, 9)) for r in
+            sim.cosine_near_dup_pairs_clustered_2level(
+                emb, **kw).collect()}
+    wide_cap = {(r.d1, r.d2, round(r.cos, 9)) for r in
+                sim.cosine_near_dup_pairs_clustered_capped(
+                    emb, cap_m=500, **kw).collect()}
+    tight = {(r.d1, r.d2, round(r.cos, 9)) for r in
+             sim.cosine_near_dup_pairs_clustered_capped(
+                 emb, cap_m=1, **kw).collect()}
+    assert wide_cap == full and full
+    assert tight <= full and tight
+
+
+def test_flat_clustered_dispatches_to_2level_past_corpus_bound(spark):
+    """VERDICT r6 #4: the flat entry point owns the >FLAT_CLUSTER_MAX
+    decision — above the bound it trains hierarchically (⌈√k⌉ × ⌈√k⌉)
+    with the same output contract, bit-identical to calling the
+    two-level form directly."""
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    for c in range(4):
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        for k in range(4):
+            rows.append(
+                (c * 10 + k,
+                 [x + rng.uniform(-0.4, 0.4) for x in base])
+            )
+    for i in range(100):
+        rows.append((1000 + i, [rng.uniform(-1, 1) for _ in range(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    orig = sim.FLAT_CLUSTER_MAX
+    sim.FLAT_CLUSTER_MAX = 10
+    try:
+        via_flat = {(r.d1, r.d2, round(r.cos, 9)) for r in
+                    sim.cosine_near_dup_pairs_clustered(
+                        emb, threshold=0.5, k=16, assign_n=2).collect()}
+    finally:
+        sim.FLAT_CLUSTER_MAX = orig
+    direct = {(r.d1, r.d2, round(r.cos, 9)) for r in
+              sim.cosine_near_dup_pairs_clustered_2level(
+                  emb, threshold=0.5, k_coarse=4, k_fine=4,
+                  assign_n=2).collect()}
+    assert via_flat == direct and direct
 
 
 def test_wide_signature_banded_finds_planted_pairs(spark):

@@ -55,6 +55,55 @@ def test_postgres_outbox_scan_with_horizon():
     assert "xact_id <" not in q2  # no horizon → no commit-gate predicate
 
 
+def test_generated_sql_pinned_byte_for_byte():
+    """VERDICT r6 #5: the live-harness legs (SQL Server CHANGETABLE,
+    PostgreSQL outbox) have never executed against a real server, so
+    the generated SQL is the ONLY contract surface the parity harness
+    will eventually replay. Pin every dialect's generated strings
+    byte-for-byte — substring asserts let a quoting/aliasing drift
+    land silently between now and first live contact; this test makes
+    any change to the wire SQL a deliberate, reviewed edit."""
+    from trignis_spark.sources.jdbc import MYSQL
+
+    assert incremental_query(SQLSERVER, OBJ_MSSQL, from_version=42) == (
+        "SELECT ct.SYS_CHANGE_OPERATION AS operation, "
+        "ct.SYS_CHANGE_VERSION AS version, ct.Id AS Id, t.Steps, t.Distance "
+        "FROM CHANGETABLE(CHANGES dbo.TrainingSessions, 42) AS ct "
+        "LEFT OUTER JOIN dbo.TrainingSessions AS t ON t.Id = ct.Id"
+    )
+    assert incremental_query(
+        POSTGRES, OBJ_PG, from_version=100, horizon=9000
+    ) == (
+        "SELECT id AS version, xact_id, operation, session_id, changed, "
+        "steps, distance FROM training_sessions_outbox "
+        "WHERE id > 100 AND xact_id < 9000"
+    )
+    assert incremental_query(POSTGRES, OBJ_PG, from_version=100) == (
+        "SELECT id AS version, xact_id, operation, session_id, changed, "
+        "steps, distance FROM training_sessions_outbox WHERE id > 100"
+    )
+    assert incremental_query(MYSQL, OBJ_PG, from_version=0) == (
+        "SELECT id AS version, xact_id, operation, session_id, changed, "
+        "steps, distance FROM training_sessions_outbox WHERE id > 0"
+    )
+    # probe + session-prep statements (sent verbatim over the wire)
+    assert SQLSERVER.current_version_sql == \
+        "SELECT CHANGE_TRACKING_CURRENT_VERSION()"
+    assert SQLSERVER.session_init == "SET ANSI_WARNINGS OFF"
+    assert POSTGRES.current_version_sql == \
+        "SELECT COALESCE(MAX(id), 0) FROM {outbox}"
+    assert POSTGRES.horizon_sql == (
+        "SELECT pg_snapshot_xmin(pg_current_snapshot())::text::bigint"
+    )
+    assert MYSQL.session_init == \
+        "SET SESSION TRANSACTION ISOLATION LEVEL REPEATABLE READ"
+    assert SQLSERVER.jdbc_url("h", 1433, "app") == \
+        "jdbc:sqlserver://h:1433;databaseName=app"
+    assert POSTGRES.jdbc_url("h", 5432, "app") == \
+        "jdbc:postgresql://h:5432/app"
+    assert MYSQL.jdbc_url("h", 3306, "app") == "jdbc:mysql://h:3306/app"
+
+
 def test_source_sql_escape_hatch():
     obj = TrackingObject(
         name="custom",

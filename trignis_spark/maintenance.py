@@ -238,7 +238,11 @@ def compact_partitioned_table(
     harmlessly instead of rolling the table back); (2) the sidecar is
     dropped only after the rewritten target row count is verified
     against snapshot + preserved appends, so a silently short insert
-    can never destroy the last full copy.
+    can never destroy the last full copy; (3) the preserved appends
+    are themselves persisted to a ``<table>__appends`` sidecar BEFORE
+    the overwrite (ADVICE r6) — if the verification fails, a re-run
+    folds them back in instead of recomputing extra from the
+    now-short target and losing whatever the short insert dropped.
 
     A partitioned scan makes no hash-partitioning claim, so the
     ``repartition`` on the partition column is not optimized away (the
@@ -248,6 +252,8 @@ def compact_partitioned_table(
     from pyspark.sql import functions as F
 
     tmp = f"{table}__compacting"
+    apx = f"{table}__appends"
+    apx_stage = f"{apx}__staging"
     extra = None
     if spark.catalog.tableExists(tmp):
         # A sidecar left behind means a prior run crashed after
@@ -265,8 +271,15 @@ def compact_partitioned_table(
         # replay-idempotent, so such a duplicate carries no
         # information. A crash mid-sidecar-write never commits the tmp
         # table to the catalog, so tableExists ⇒ the snapshot is
-        # whole.) ``extra`` is checkpointed BEFORE the overwrite below
-        # rewrites the table it was computed from.
+        # whole.) ``extra`` is persisted to a SECOND sidecar table
+        # before the overwrite (ADVICE r6): a localCheckpoint alone
+        # dies with the session, so if the rewrite below lands
+        # silently short, a re-run would recompute extra from the
+        # now-short target and the dropped appends would be gone for
+        # good. With the ``__appends`` sidecar they survive: a re-run
+        # folds it back in — extra = prev ∪ ((target ⊖ snapshot) ⊖
+        # prev), which re-adds exactly the preserved appends the short
+        # insert dropped and counts the survivors once.
         spark.catalog.refreshTable(tmp)
         spark.catalog.refreshTable(table)
         cols = spark.table(tmp).columns
@@ -274,8 +287,27 @@ def compact_partitioned_table(
             spark.table(table)
             .select(*cols)
             .exceptAll(spark.table(tmp).select(*cols))
-            .localCheckpoint(eager=True)
         )
+        prev = None
+        # prefer the staging sidecar: it exists only if a prior run
+        # crashed between writing it and committing the rename, and it
+        # is then the newer superset of __appends
+        for t in (apx_stage, apx):
+            if spark.catalog.tableExists(t):
+                spark.catalog.refreshTable(t)
+                prev = spark.table(t).select(*cols)
+                break
+        if prev is not None:
+            extra = prev.unionByName(extra.exceptAll(prev))
+        extra = extra.localCheckpoint(eager=True)
+        # durably persist BEFORE the overwrite, via stage + rename so
+        # the previous sidecar survives a crash mid-write
+        spark.sql(f"DROP TABLE IF EXISTS {apx_stage}")
+        extra.write.mode("overwrite").format("parquet").saveAsTable(
+            apx_stage
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {apx}")
+        spark.sql(f"ALTER TABLE {apx_stage} RENAME TO {apx}")
     else:
         cols = spark.table(table).columns  # partition col listed last
         (
@@ -286,6 +318,11 @@ def compact_partitioned_table(
             .format("parquet")
             .saveAsTable(tmp)
         )
+        # a sidecar orphaned by a crash after a prior run's DROP of its
+        # snapshot is fully folded into the fresh snapshot above —
+        # leaving it would double-fold those rows on a later recovery
+        for t in (apx_stage, apx):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
     src = spark.table(tmp).select(*cols)
     if extra is not None:
         src = src.unionByName(extra)
@@ -303,10 +340,14 @@ def compact_partitioned_table(
     if got != want:
         raise RuntimeError(
             f"compaction of {table} wrote {got} rows where the sidecar "
-            f"{tmp} (+ preserved appends) holds {want}; sidecar "
-            "retained — re-run compact_partitioned_table to restore"
+            f"{tmp} (+ preserved appends) holds {want}; sidecars "
+            f"retained ({tmp}"
+            + (f" and {apx}" if extra is not None else "")
+            + ") — re-run compact_partitioned_table to restore"
         )
     spark.sql(f"DROP TABLE {tmp}")
+    for t in (apx, apx_stage):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
     return len(table_data_files(spark, table))
 
 

@@ -17,8 +17,9 @@ cycle a cheap probe:
 Probe shape at scale: the batch side is one poll cycle (small), so it
 broadcasts and the bucketed index is scanned in place — no shuffle of
 the corpus, candidate aggregation shuffles only the collision set. A
-batch that outgrows broadcast (``MAX_BROADCAST_DOCS``, e.g. a Full
-initial resync) automatically takes the co-located sort-merge path in
+batch whose shingle rows outgrow broadcast (``MAX_BROADCAST_SHINGLES``,
+e.g. a Full initial resync) automatically takes the co-located
+sort-merge path in
 ``probe_prefix_index``: only the batch repartitions to the bucket
 count; the corpus is still never shuffled.
 
@@ -321,11 +322,16 @@ def build_prefix_index(
         spark.catalog.refreshTable(t)
 
 
-#: probes with more batch documents than this take the co-located
-#: sort-merge path instead of broadcasting the batch (a poll-cycle
-#: batch is a few hundred docs; only a Full initial resync routed
-#: through ``probe`` approaches this)
-MAX_BROADCAST_DOCS = 100_000
+#: probes whose batch SHINGLE set exceeds this row count take the
+#: co-located sort-merge path instead of broadcasting the batch. The
+#: broadcast payload is the batch's shingle rows — which scale with
+#: total batch text length, not document count (ADVICE r6: a batch of
+#: few but very long documents blows a per-document gate) — so the
+#: gate counts what it actually ships: ~10 M (doc_id, shingle-hash)
+#: rows ≈ a few hundred MB hashed relation. A poll-cycle batch is a
+#: few hundred docs × a few hundred shingles; only a Full initial
+#: resync routed through ``probe`` approaches this.
+MAX_BROADCAST_SHINGLES = 10_000_000
 
 
 def _bucket_count(spark: SparkSession, table: str) -> int:
@@ -365,28 +371,29 @@ def probe_prefix_index(
     never shuffled, and the verify/size joins run as plain shuffle
     joins (corpus-sized work is inherent when the batch is
     corpus-sized). ``broadcast_batch=None`` decides from the batch's
-    document count (> ``MAX_BROADCAST_DOCS`` ⇒ sort-merge); results
-    are identical on either path (asserted in tests)."""
+    SHINGLE-row count (> ``MAX_BROADCAST_SHINGLES`` ⇒ sort-merge) —
+    the payload actually broadcast, so a batch of few but very long
+    documents is gated correctly (ADVICE r6); results are identical on
+    either path (asserted in tests)."""
     meta = spark.table(_meta_table(table)).collect()[0]
     if threshold < meta.threshold - 1e-12:
         raise ValueError(
             f"index {table!r} was built for threshold >= {meta.threshold}; "
             f"probing at {threshold} would lose pairs (rebuild the index)"
         )
+    n = meta.n
+    bsh = shingle_table(batch_docs, n).select(
+        F.col("doc_id").alias("batch_doc"), "shingle"
+    )
     if broadcast_batch is None:
         from trignis_spark.operators.similarity import exceeds
 
         # limit-bounded probe, not a full count: this gate runs on
         # every poll-cycle probe and the batch plan can be expensive
-        broadcast_batch = not exceeds(batch_docs, MAX_BROADCAST_DOCS)
+        broadcast_batch = not exceeds(bsh, MAX_BROADCAST_SHINGLES)
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_batch else df
-
-    n = meta.n
-    bsh = shingle_table(batch_docs, n).select(
-        F.col("doc_id").alias("batch_doc"), "shingle"
-    )
     if not broadcast_batch:
         # align the batch with the bucketed probe table's layout so the
         # candidate join sort-merges without shuffling the corpus side

@@ -36,12 +36,40 @@ def _prep(embeddings: DataFrame) -> DataFrame:
     ).withColumn("n2", F.expr(NORM2.format(a="v")))
 
 
-#: corpora at or under this vector count broadcast their (vec_id, v, n2)
-#: side into the exact-verify join (~550 B/vector ⇒ ≤ ~550 MB): the
-#: candidate stream then verifies map-side with NO sort. Above it, the
-#: verify falls back to shuffle joins — at that scale candidates must be
-#: controlled by cell sizing anyway.
+#: executor-memory budget (bytes) for broadcasting the prepped corpus
+#: (vec_id, v, n2) into the exact-verify join. The row ceiling is
+#: derived from this PER CALL as budget / (dims·8 + overhead) — a
+#: row-count constant would be blind to vector width (at 64-dim 1 M
+#: vectors is ~550 MB, at 768-dim it is ~6 GB and at 4096-dim ~33 GB,
+#: past Spark's 8 GB broadcast hard limit — the gate must route those
+#: to the shuffle fallback, not broadcast them). 512 MiB keeps the
+#: 64-dim ceiling at the previously measured ~1 M rows.
+VERIFY_BROADCAST_BYTES = 512 * 1024 * 1024
+
+#: per-row bytes on top of the packed vector doubles (vec_id, n2,
+#: array header + UnsafeRow padding)
+_VEC_ROW_OVERHEAD = 48
+
+#: rows are never broadcast past this count regardless of width — the
+#: hash relation's per-row bookkeeping dominates below ~64 B/row
 VERIFY_BROADCAST_MAX = 1_000_000
+
+
+def _vec_dims(base: DataFrame, vec_col: str = "v") -> int:
+    """Vector width of a prepped corpus, from one row (the schema's
+    array type carries no length). LocalLimit-bounded — a 1-row meta
+    read, same class as the repo's DESCRIBE probes."""
+    row = base.select(F.size(vec_col).alias("d")).limit(1).collect()
+    return int(row[0]["d"]) if row else 0
+
+
+def _verify_broadcast_rows(dims: int) -> int:
+    """Row ceiling for broadcasting a ``dims``-wide prepped corpus into
+    the exact-verify join: byte budget / bytes-per-row, capped at
+    ``VERIFY_BROADCAST_MAX``."""
+    per_row = dims * 8 + _VEC_ROW_OVERHEAD
+    return max(1, min(VERIFY_BROADCAST_MAX,
+                      VERIFY_BROADCAST_BYTES // per_row))
 
 
 def exceeds(df: DataFrame, limit: int) -> bool:
@@ -61,13 +89,18 @@ def _verify_pairs(
     ``base`` (= ``_prep`` output). The candidate stream can be orders
     of magnitude larger than the corpus (Σ occupancy² vs N), so the
     plan must never sort it: with ``broadcast_corpus`` (auto: corpus
-    ≤ ``VERIFY_BROADCAST_MAX`` rows) both vector lookups are broadcast
-    hash joins and verification streams map-side — the shape that
-    moved the sf10 two-level run from a spilling 360 GB sort-merge
-    (8-byte pairs × 512-byte vectors, sorted twice) to a pass that
-    completes (BASELINE.md r6)."""
+    bytes ≈ rows × dims·8 fit ``VERIFY_BROADCAST_BYTES`` — the ceiling
+    is byte-budgeted from the measured vector width, so a 768-dim
+    corpus broadcasts only to ~86 k rows where a 64-dim one broadcasts
+    to ~1 M) both vector lookups are broadcast hash joins and
+    verification streams map-side — the shape that moved the sf10
+    two-level run from a spilling 360 GB sort-merge (8-byte pairs ×
+    512-byte vectors, sorted twice) to a pass that completes
+    (BASELINE.md r6)."""
     if broadcast_corpus is None:
-        broadcast_corpus = not exceeds(base, VERIFY_BROADCAST_MAX)
+        broadcast_corpus = not exceeds(
+            base, _verify_broadcast_rows(_vec_dims(base))
+        )
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_corpus else df
@@ -213,31 +246,101 @@ BAND_RECALL_TARGET = 0.90
 WIDE_SIG_MIN = 1_000_000
 
 
+def band_starts(n_bands: int, total_bits: int) -> list[int]:
+    """Distinct start offsets for the overlapping band reads: the
+    legacy ``4·b mod total_bits`` sequence, stepping forward past any
+    offset already taken. Distinct starts ⇒ distinct band bit-sets
+    (each band is a length-``band_bits`` arc in the stride-5 ordering
+    of Z_total_bits, and 5 generates the group for both 62 and 124, so
+    arcs coincide only at equal starts) — the 62-bit layout's band 31
+    used to re-read band 0's exact bits (4·31 ≡ 0 mod 62), delivering
+    31 effective bands where the recall sizing assumed 32 and paying
+    the duplicate's candidate join for nothing. For ``b ≤ 30`` at 62
+    bits (every pinned registry layout) the sequence is untouched.
+    Supports up to ``total_bits`` bands."""
+    if n_bands > total_bits:
+        raise ValueError(
+            f"n_bands={n_bands} exceeds the {total_bits}-bit signature's "
+            "distinct band starts"
+        )
+    starts: list[int] = []
+    used: set[int] = set()
+    for b in range(n_bands):
+        s = (4 * b) % total_bits
+        while s in used:
+            s = (s + 1) % total_bits
+        used.add(s)
+        starts.append(s)
+    return starts
+
+
+def band_bit_indices(start: int, band_bits: int,
+                     total_bits: int) -> list[int]:
+    """The signature bit indices band ``start`` reads: stride-5 from
+    the start offset, wrapping in the full signature bit-space (both
+    words when the wide 124-bit signature is in play — banding from
+    the combined space is what lets layouts keep growing past the
+    62 distinct narrow starts)."""
+    return [(start + 5 * j) % total_bits for j in range(band_bits)]
+
+
 def auto_band_layout(n_vectors: int, threshold: float = 0.9,
-                     sig_bits: int = 62) -> tuple[int, int]:
+                     sig_bits: int = 62,
+                     wide: bool = False) -> tuple[int, int]:
     """(n_bands, band_bits) scaled to the corpus — the banding analog of
     ``ivfpq_index.auto_n_buckets``. ``band_bits`` grows with log₂(N) to
     hold per-bucket occupancy at ``TARGET_BAND_OCC`` (floor 12 = the
-    layout every corpus up to ~0.25 M vectors already used, cap 20);
-    wider bands collide less per band, so ``n_bands`` then grows to
-    hold the independent-band recall estimate at
-    ``BAND_RECALL_TARGET`` (floor 16, cap 32). At 200 k vectors this
-    returns exactly the classic (16, 12); at 2 M it returns (23, 15),
-    cutting candidate volume ~4× while keeping the recall estimate."""
-    import math
+    layout every corpus up to ~0.25 M vectors already used); wider
+    bands collide less per band, so ``n_bands`` then grows to hold the
+    independent-band recall estimate at ``BAND_RECALL_TARGET``
+    (floor 16). At 200 k vectors this returns exactly the classic
+    (16, 12); at 2 M it returns (23, 15), cutting candidate volume ~4×
+    while keeping the recall estimate.
 
-    band_bits = max(12, min(20, math.ceil(
+    Both caps derive from the signature the call actually has
+    (``total_bits = sig_bits × 2`` when ``wide``) instead of the fixed
+    20/32 that re-saturated buckets at ~67 M vectors (VERDICT r6): a
+    band cannot be wider than the signature, and there are only
+    ``total_bits`` distinct band starts (``band_starts``). Analytically
+    the 124-bit wide signature — on by default above ``WIDE_SIG_MIN``
+    anyway — holds occupancy ≤ ``TARGET_BAND_OCC`` with the recall
+    estimate met through N ≈ 10⁹ (band_bits 24, 95 bands); when a cap
+    does bind the layout degrades gradually and says so
+    (``warnings.warn``) instead of silently saturating."""
+    import math
+    import warnings
+
+    total_bits = sig_bits * (2 if wide else 1)
+    band_bits = max(12, math.ceil(
         math.log2(max(2.0, n_vectors / TARGET_BAND_OCC))
-    )))
-    band_bits = min(band_bits, sig_bits)
+    ))
+    if band_bits > total_bits:
+        warnings.warn(
+            f"auto_band_layout: corpus of {n_vectors} vectors wants "
+            f"{band_bits}-bit bands but the signature has only "
+            f"{total_bits} bits — bucket occupancy will exceed "
+            f"TARGET_BAND_OCC={TARGET_BAND_OCC} "
+            f"(use wide=True for {sig_bits * 2} bits)",
+            stacklevel=2,
+        )
+        band_bits = total_bits
     p = 1.0 - math.acos(min(1.0, threshold)) / math.pi
     miss = 1.0 - p ** band_bits
     if miss <= 0.0:
         n_bands = 16
     else:
-        n_bands = min(32, max(16, math.ceil(
+        n_bands = max(16, math.ceil(
             math.log(1.0 - BAND_RECALL_TARGET) / math.log(miss)
-        )))
+        ))
+    if n_bands > total_bits:
+        warnings.warn(
+            f"auto_band_layout: recall target {BAND_RECALL_TARGET} at "
+            f"threshold {threshold} wants {n_bands} bands but only "
+            f"{total_bits} distinct band starts exist — blocking "
+            "recall will fall below the target",
+            stacklevel=2,
+        )
+        n_bands = total_bits
     return n_bands, band_bits
 
 
@@ -304,7 +407,17 @@ def cosine_near_dup_pairs_banded(
     rises steeply above the threshold (planted-pair tests measure it
     directly; treat the figure as a sizing guide only). Verification
     is exact, so every reported pair is a true pair. Deterministic
-    throughout — an external SQL oracle replays it bit-for-bit."""
+    throughout — an external SQL oracle replays it bit-for-bit.
+
+    An explicit ``hamming_max`` pins ``wide=False`` unless ``wide`` is
+    also explicit: the parameter has only ever meant a cutoff against
+    the 62-bit signature (e.g. 18 at cos 0.9), and silently
+    auto-enabling the 124-bit prefilter under it would compare that
+    cutoff against a doubled Hamming sum (qualifying pairs average ~36
+    differing bits there) — collapsing an existing caller's recall the
+    moment their corpus crossed ``WIDE_SIG_MIN`` (ADVICE r6)."""
+    if wide is None and hamming_max is not None:
+        wide = False
     if n_bands is None or band_bits is None or wide is None:
         n_corpus = embeddings.count()
         if wide is None:
@@ -317,7 +430,7 @@ def cosine_near_dup_pairs_banded(
             wide = n_corpus > WIDE_SIG_MIN
         if n_bands is None or band_bits is None:
             auto_nb, auto_bb = auto_band_layout(
-                n_corpus, threshold, sig_bits
+                n_corpus, threshold, sig_bits, wide=wide
             )
             n_bands = auto_nb if n_bands is None else n_bands
             band_bits = auto_bb if band_bits is None else band_bits
@@ -346,6 +459,19 @@ def cosine_near_dup_pairs_banded(
         )
         base = base.withColumn("sig2", F.expr(sig2_expr))
         sig_cols.append("sig2")
+    def _bv(start: int) -> str:
+        # band value: stride-5 bit reads from the start offset across
+        # the FULL signature bit-space — with wide signatures bands
+        # draw from both words, which is what keeps band starts
+        # distinct (and layouts growing) past 62 narrow offsets
+        terms = []
+        for j, idx in enumerate(
+            band_bit_indices(start, band_bits, total_bits)
+        ):
+            word = "sig" if idx < sig_bits else "sig2"
+            terms.append(f"((({word} >> {idx % sig_bits}) & 1) << {j})")
+        return " + ".join(terms)
+
     bands = base.select(
         "vec_id",
         *sig_cols,
@@ -354,15 +480,11 @@ def cosine_near_dup_pairs_banded(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.expr(
-                            " + ".join(
-                                f"(((sig >> {(4 * b + 5 * j) % sig_bits})"
-                                f" & 1) << {j})"
-                                for j in range(band_bits)
-                            )
-                        ).alias("bv"),
+                        F.expr(_bv(start)).alias("bv"),
                     )
-                    for b in range(n_bands)
+                    for b, start in enumerate(
+                        band_starts(n_bands, total_bits)
+                    )
                 ]
             )
         ).alias("bk"),
@@ -387,10 +509,17 @@ def cosine_near_dup_pairs_banded(
     return _verify_pairs(cand, base, threshold)
 
 
+#: corpora above this vector count dispatch trained-cell blocking to
+#: the two-level quantizer regardless of entry point: flat assignment
+#: is brute N·k with k ~ √N, so past ~10⁶ vectors the flat dial stops
+#: turning (its fixed-k registry form OOM'd at sf10 — BASELINE.md)
+FLAT_CLUSTER_MAX = 1_000_000
+
+
 def cosine_near_dup_pairs_clustered(
     embeddings: DataFrame,
     threshold: float = 0.4,
-    k: int = 16,
+    k: int | None = 16,
     iters: int = 2,
     assign_n: int = 2,
 ) -> DataFrame:
@@ -408,13 +537,32 @@ def cosine_near_dup_pairs_clustered(
     by ``k``, which should scale ~√N (same rule as the IVF index;
     training cost per Lloyd round is broadcast-k×dim map-side argmin,
     corpus never shuffled). The √N dial itself caps out: assignment is
-    brute N·k, so past ~10⁶ vectors use
-    ``cosine_near_dup_pairs_clustered_2level`` (same cell count at
-    N·2√k assignment cost). Deterministic end to end (first-k init,
-    decimal means, dist-then-cid tie-breaks), so a SQL oracle replays
-    training, assignment, blocking and verification bit-for-bit."""
+    brute N·k, so past ``FLAT_CLUSTER_MAX`` vectors this entry point
+    **dispatches itself** to ``cosine_near_dup_pairs_clustered_2level``
+    (VERDICT r6 #4 — callers no longer need to know about the wall):
+    the requested ``k`` maps to ⌈√k⌉×⌈√k⌉ hierarchical cells so the
+    blocking granularity is preserved at N·2√k assignment cost, and
+    ``k=None`` auto-sizes (⌈√N⌉ flat below the bound, N^(1/4) per
+    level above it). Same output contract on either path; assignments
+    may differ cell-by-cell (standard for hierarchical quantizers) but
+    every emitted pair remains exact-verified. Deterministic end to
+    end (first-k init, decimal means, dist-then-cid tie-breaks), so a
+    SQL oracle replays training, assignment, blocking and verification
+    bit-for-bit."""
+    import math
+
     from trignis_spark.operators import kmeans as km
 
+    n_corpus = embeddings.count()
+    if n_corpus > FLAT_CLUSTER_MAX:
+        side = (auto_two_level_k(n_corpus) if k is None
+                else max(2, math.ceil(math.sqrt(k))))
+        return cosine_near_dup_pairs_clustered_2level(
+            embeddings, threshold, k_coarse=side, k_fine=side,
+            iters=iters, assign_n=assign_n,
+        )
+    if k is None:
+        k = max(4, math.ceil(math.sqrt(n_corpus)))
     cents = km.train_kmeans(embeddings, k, iters=iters)
     asg = km.assign_clusters_topn(embeddings, cents, assign_n)
     base = _prep(embeddings)
@@ -506,6 +654,80 @@ def cosine_near_dup_pairs_clustered_2level(
         .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
         .distinct()
     )
+    return _verify_pairs(cand, base, threshold)
+
+
+def cosine_near_dup_pairs_clustered_capped(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    k_coarse: int | None = None,
+    k_fine: int | None = None,
+    iters: int = 2,
+    assign_n: int = 2,
+    cap_m: int = 8,
+) -> DataFrame:
+    """Loose-threshold clustered near-dup with a **per-vector candidate
+    bound** — the sweep mode that completes where the full sweep's
+    candidate volume cannot (VERDICT r6 #3).
+
+    The uncapped forms verify every within-cell pair: Σ occupancy² ≈
+    16·N^1.5 at the √N cell rule — ~2·10¹⁰ exact verifies at 2 M
+    vectors, hours of compute that were correctly left unrun. Here
+    each vector keeps only its ``cap_m`` nearest cell-mates per
+    blocking slot (exact cosine, ties to the lower vec_id), so the
+    materialized candidate set is ≤ N·slots·cap_m pairs — linear in N
+    — and the verify stays broadcast-sized. The within-cell scoring
+    still evaluates occupancy cosines per member, but inside ONE
+    projection over the cell's packed member array (the
+    ``kmeans._nearest_expr`` shape: no Σ occupancy² rows ever
+    materialize, no shuffle, no sort — candidates exist only as the
+    top-``cap_m`` ids each projection emits).
+
+    The cap is a *defined semantics*, not a silent truncation: a pair
+    is reported iff it is within one member's ``cap_m`` nearest
+    cell-mates in a shared cell AND passes the exact-cosine verify —
+    deterministic (cos-then-id ranking over bit-identical doubles), so
+    a SQL oracle replays it with a windowed row_number. Recall vs the
+    uncapped sweep rises with ``cap_m`` (each near-dup only needs to
+    rank within EITHER endpoint's top-``cap_m``); the measured
+    recall-vs-cap curve is in BASELINE.md. Every reported pair is a
+    true pair at any cap."""
+    from trignis_spark.operators import kmeans as km
+
+    if k_coarse is None or k_fine is None:
+        auto = auto_two_level_k(embeddings.count())
+        k_coarse = auto if k_coarse is None else k_coarse
+        k_fine = auto if k_fine is None else k_fine
+    coarse, fine = km.train_kmeans_2level(
+        embeddings, k_coarse, k_fine, iters=iters
+    )
+    asg = km.assign_cells_2level_topn(
+        embeddings, coarse, fine, n_coarse=assign_n, n_fine=assign_n
+    )
+    base = _prep(embeddings)
+    slots = asg.join(base, "vec_id")
+    # one row per cell: members packed (sorted by vec_id for
+    # determinism); cell size is occupancy-controlled by the √N rule
+    cells = slots.groupBy("ccid", "fid").agg(
+        F.array_sort(
+            F.collect_list(F.struct("vec_id", "v", "n2"))
+        ).alias("ms")
+    )
+    negc = "-(" + DOT.format(a="m.v", b="c.v") + " / sqrt(m.n2 * c.n2))"
+    top = (
+        "transform(slice(array_sort(transform("
+        "filter(ms, c -> c.vec_id != m.vec_id), "
+        f"c -> struct({negc} AS negc, c.vec_id AS i))), 1, {cap_m}), "
+        "s -> s.i)"
+    )
+    mates = cells.select(F.explode("ms").alias("m"), "ms").select(
+        F.col("m.vec_id").alias("vid"),
+        F.explode(F.expr(top)).alias("nbr"),
+    )
+    cand = mates.select(
+        F.least("vid", "nbr").alias("d1"),
+        F.greatest("vid", "nbr").alias("d2"),
+    ).distinct()
     return _verify_pairs(cand, base, threshold)
 
 

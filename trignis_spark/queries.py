@@ -1316,15 +1316,20 @@ def _duck_embedding_dedup_prod_sql(
         "ELSE 0::BIGINT END)"
         for i in range(sig_bits)
     )
+    # same start/stride offsets as the Spark side (similarity.band_starts
+    # / band_bit_indices — identical to the legacy (4b+5j) mod sig_bits
+    # for every pinned narrow layout) so the replay can never drift
     band_rows = " UNION ALL ".join(
         "SELECT vec_id, sig, {b} AS band, {bits} AS bv FROM sg".format(
             b=b,
             bits=" + ".join(
-                f"(((sig >> {(4 * b + 5 * j) % sig_bits}) & 1) << {j})"
-                for j in range(band_bits)
+                f"(((sig >> {idx}) & 1) << {j})"
+                for j, idx in enumerate(
+                    sim.band_bit_indices(start, band_bits, sig_bits)
+                )
             ),
         )
-        for b in range(n_bands)
+        for b, start in enumerate(sim.band_starts(n_bands, sig_bits))
     )
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -2111,6 +2111,92 @@ def dedup_embedding_cosine_clustered_scaled(
     )
 
 
+_KMC_CAP = 1  # per-vector nearest cell-mates kept. Pinned to 1 because
+#               that is the largest cap that TRUNCATES at fixture scale
+#               (cap 1 -> 55 pairs vs the full sweep's 57 at sf0.01;
+#               cap >= 2 already recovers all 57) — the gate must prove
+#               the truncation semantics, not just the full sweep again.
+#               Production default is 8 (see the operator docstring).
+
+
+@register(
+    "dedup_embedding_cosine_clustered_capped",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cvec
+      FROM e ORDER BY vec_id LIMIT {_KMH_KC}),
+    c1 AS ({_km_update_sql(_km_assign_sql('e', 'c0'), 'c0')}),
+    c2 AS ({_km_update_sql(_km_assign_sql('e', 'c1'), 'c1')}),
+    ca AS ({_km_assign_sql('e', 'c2')}),
+    vx AS (SELECT ca.vec_id, ca.cid AS ccid, e.v
+           FROM ca JOIN e USING (vec_id)),
+    f0 AS (
+      SELECT ccid, CAST(rn - 1 AS INT) AS fid, v AS cvec FROM (
+        SELECT ccid, v,
+               row_number() OVER (PARTITION BY ccid
+                                  ORDER BY vec_id, v) AS rn
+        FROM vx) WHERE rn <= {_KMH_KF}),
+    f1 AS ({_kmh_fine_update_sql(_kmh_fine_assign_sql('vx', 'f0', 1), 'f0')}),
+    f2 AS ({_kmh_fine_update_sql(_kmh_fine_assign_sql('vx', 'f1', 1), 'f1')}),
+    c2l AS (SELECT * FROM c2
+            WHERE cid IN (SELECT DISTINCT ccid FROM f2)),
+    ca2 AS ({_km_assign_topn_sql('e', 'c2l', _KMC_ASSIGN)}),
+    vx2 AS (SELECT ca2.vec_id, ca2.cid AS ccid, e.v
+            FROM ca2 JOIN e USING (vec_id)),
+    fa AS ({_kmh_fine_assign_sql('vx2', 'f2', _KMC_ASSIGN)}),
+    n AS (SELECT vec_id, v, {_DNORM2.format(a='v')} AS n2 FROM e),
+    mates AS (
+      SELECT a.vec_id AS vid, b.vec_id AS nbr,
+             row_number() OVER (
+               PARTITION BY a.vec_id, a.ccid, a.fid
+               ORDER BY -({_DDOT.format(a='x.v', b='y.v')}
+                          / sqrt(x.n2 * y.n2)),
+                        b.vec_id) AS rn
+      FROM fa a JOIN fa b ON a.ccid = b.ccid AND a.fid = b.fid
+                         AND a.vec_id <> b.vec_id
+           JOIN n x ON x.vec_id = a.vec_id
+           JOIN n y ON y.vec_id = b.vec_id),
+    cand AS (
+      SELECT DISTINCT least(vid, nbr) AS d1, greatest(vid, nbr) AS d2
+      FROM mates WHERE rn <= {_KMC_CAP}),
+    s AS (
+      SELECT c.d1, c.d2,
+             {_DDOT.format(a='x.v', b='y.v')} / sqrt(x.n2 * y.n2) AS cos
+      FROM cand c JOIN n x ON x.vec_id = c.d1 JOIN n y ON y.vec_id = c.d2)
+    SELECT d1, d2, cos FROM s WHERE cos >= 0.4
+    """,
+)
+def dedup_embedding_cosine_clustered_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The bounded sweep mode for loose-threshold clustered near-dup
+    (VERDICT r6 #3): identical two-level blocking to
+    `dedup_embedding_cosine_clustered_scaled`, but each vector keeps
+    only its {cap} nearest cell-mates per blocking slot (exact cosine,
+    ties to the lower vec_id), ranked inside ONE projection over the
+    cell's packed member array — candidate volume drops from
+    Σ occupancy² (≈16·N^1.5, the ~2·10¹⁰-verify wall at 2 M vectors)
+    to ≤ N·slots·cap, linear in N. The truncation is deterministic, so
+    the oracle replays it with a windowed row_number over the same
+    cell join; the pinned cap of 1 is the largest cap that actually
+    truncates at fixture scale (non-vacuous: 55 vs the full sweep's 57
+    pairs at sf0.01). Recall-vs-cap is measured
+    with planted pairs in BASELINE.md
+    (`operators/similarity.py::cosine_near_dup_pairs_clustered_capped`)."""
+    from trignis_spark.operators import similarity as sim
+
+    return sim.cosine_near_dup_pairs_clustered_capped(
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        k_coarse=_KMH_KC,
+        k_fine=_KMH_KF,
+        iters=2,
+        assign_n=_KMC_ASSIGN,
+        cap_m=_KMC_CAP,
+    )
+
+
 @register(
     "dedup_index_probe",
     f"""
