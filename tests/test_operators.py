@@ -612,6 +612,32 @@ def test_clustered_capped_bounds_candidates_and_matches_full_sweep(spark):
     assert tight <= full and tight
 
 
+def test_clustered_capped_query_chunking_is_invisible(spark):
+    """Mega-cell parallelism must not change results: forcing every
+    cell to split into many query chunks (CELL_TASK_QUERIES=7) returns
+    exactly the single-chunk pair set — each vector's top-m is ranked
+    against ALL cell-mates regardless of chunking."""
+    import random
+
+    rng = random.Random(31)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.2, k_coarse=2, k_fine=2, assign_n=2, cap_m=3)
+    whole = {(r.d1, r.d2, round(r.cos, 9)) for r in
+             sim.cosine_near_dup_pairs_clustered_capped(
+                 emb, **kw).collect()}
+    orig = sim.CELL_TASK_QUERIES
+    sim.CELL_TASK_QUERIES = 7
+    try:
+        split = {(r.d1, r.d2, round(r.cos, 9)) for r in
+                 sim.cosine_near_dup_pairs_clustered_capped(
+                     emb, **kw).collect()}
+    finally:
+        sim.CELL_TASK_QUERIES = orig
+    assert split == whole and whole
+
+
 def test_flat_clustered_dispatches_to_2level_past_corpus_bound(spark):
     """VERDICT r6 #4: the flat entry point owns the >FLAT_CLUSTER_MAX
     decision — above the bound it trains hierarchically (⌈√k⌉ × ⌈√k⌉)

@@ -58,7 +58,7 @@ def main() -> int:
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count()}]")
         .config("spark.sql.shuffle.partitions", "64")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", "80g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -100,11 +100,18 @@ def main() -> int:
         report("banded_wide", time.time() - t0, got)
 
     if "capped" in legs:
+        # 32×32 cells instead of the auto 18×18: an isotropic gaussian
+        # corpus under first-k seeding skews cell occupancy ~17× (max
+        # 21 259 vs mean 1 250 at 18×18 — measured), and the skewed
+        # cell's packed scoring is a single-task straggler; the cap
+        # keeps output linear at any cell count, so more cells is the
+        # right dial here (see the operator's skew note)
         t0 = time.time()
         got = {(r.d1, r.d2) for r in
                sim.cosine_near_dup_pairs_clustered_capped(
-                   emb, threshold=0.9, cap_m=8).collect()}
-        report("clustered_capped_m8", time.time() - t0, got)
+                   emb, threshold=0.9, k_coarse=32, k_fine=32,
+                   cap_m=8).collect()}
+        report("clustered_capped_m8_32x32", time.time() - t0, got)
 
     if "ivfpq" in legs:
         name = "wide768_ivfpq"

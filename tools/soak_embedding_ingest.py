@@ -53,7 +53,7 @@ def main() -> int:
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count()}]")
         .config("spark.sql.shuffle.partitions", "64")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", "80g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -691,7 +691,31 @@ def cosine_near_dup_pairs_clustered_capped(
     uncapped sweep rises with ``cap_m`` (each near-dup only needs to
     rank within EITHER endpoint's top-``cap_m``); the measured
     recall-vs-cap curve is in BASELINE.md. Every reported pair is a
-    true pair at any cap."""
+    true pair at any cap.
+
+    The within-cell ranking is the one place in this module Python
+    compute is the RIGHT engine: ranking needs occupancy² cosines per
+    cell, and a SQL higher-order-function formulation (transform +
+    aggregate(zip_with) over a packed member array) evaluates them in
+    Spark's interpreted lambda path — measured ~86 µs/cosine at 768
+    dims with enough boxing garbage to OOM an 80 GB heap at
+    occupancy ≈ 8 000. The Arrow-batched grouped-map below computes
+    the same cosines vectorized (~1000× the throughput) while staying
+    **bit-identical** to the SQL/DuckDB fold: the dot product
+    accumulates column-by-column in ascending component order — the
+    exact expression tree of the oracle's ``list_reduce`` — and
+    ranking breaks ties by id via a stable argsort over id-sorted
+    columns, so an external SQL oracle still replays the truncation
+    row-for-row.
+
+    Skew note: each cell is one Arrow group, so a pathologically
+    popular cell is a single-task straggler holding occupancy × dims
+    doubles in memory. Trained cells on real, clustered corpora stay
+    near the N/cells mean; an unstructured (isotropic gaussian) corpus
+    under first-k seeding measured ~17× skew (BASELINE.md wide-dim
+    table) — size ``k_coarse``/``k_fine`` up there: the cap keeps the
+    *output* linear at any cell count, so extra cells only trade
+    loose-pair recall."""
     from trignis_spark.operators import kmeans as km
 
     if k_coarse is None or k_fine is None:
@@ -706,29 +730,110 @@ def cosine_near_dup_pairs_clustered_capped(
     )
     base = _prep(embeddings)
     slots = asg.join(base, "vec_id")
-    # one row per cell: members packed (sorted by vec_id for
-    # determinism); cell size is occupancy-controlled by the √N rule
-    cells = slots.groupBy("ccid", "fid").agg(
-        F.array_sort(
-            F.collect_list(F.struct("vec_id", "v", "n2"))
-        ).alias("ms")
+    # mega-cell parallelism: a cell's scoring is occupancy² and would
+    # otherwise run inside ONE task (the 768-dim gaussian corpus
+    # measured a 21 k-member cell — a lone multi-minute straggler).
+    # Split each cell's QUERY side into ⌈occ / CELL_TASK_QUERIES⌉
+    # chunks; every chunk group carries the full cell as candidates,
+    # so each vector's top-m is still computed against ALL cell-mates
+    # — bit-identical results (the oracle replays the unsplit
+    # semantics), just ⌈occ/chunk⌉-way parallel. Candidate rows
+    # replicate per chunk, but only for cells that exceed the bound.
+    counts = slots.groupBy("ccid", "fid").agg(
+        F.count(F.lit(1)).alias("_occ")
     )
-    negc = "-(" + DOT.format(a="m.v", b="c.v") + " / sqrt(m.n2 * c.n2))"
-    top = (
-        "transform(slice(array_sort(transform("
-        "filter(ms, c -> c.vec_id != m.vec_id), "
-        f"c -> struct({negc} AS negc, c.vec_id AS i))), 1, {cap_m}), "
-        "s -> s.i)"
+    chunked = (
+        slots.join(F.broadcast(counts), ["ccid", "fid"])
+        .withColumn(
+            "_nsplit",
+            F.ceil(F.col("_occ") / F.lit(CELL_TASK_QUERIES)).cast("int"),
+        )
+        .withColumn("_qchunk", F.explode(F.expr("sequence(0, _nsplit - 1)")))
+        .withColumn(
+            "_is_q",
+            F.pmod(F.col("vec_id"), F.col("_nsplit")) == F.col("_qchunk"),
+        )
     )
-    mates = cells.select(F.explode("ms").alias("m"), "ms").select(
-        F.col("m.vec_id").alias("vid"),
-        F.explode(F.expr(top)).alias("nbr"),
+    cand = (
+        chunked.groupBy("ccid", "fid", "_qchunk")
+        .applyInPandas(_topm_cellmates_fn(cap_m), "d1 long, d2 long")
+        .distinct()
     )
-    cand = mates.select(
-        F.least("vid", "nbr").alias("d1"),
-        F.greatest("vid", "nbr").alias("d2"),
-    ).distinct()
     return _verify_pairs(cand, base, threshold)
+
+
+#: query rows per within-cell scoring task: a chunk's work is
+#: CELL_TASK_QUERIES × occupancy × dims element-ops, so this bounds the
+#: straggler a skewed cell can produce (~2 min at occ 40 k × 768 dims)
+CELL_TASK_QUERIES = 2048
+
+
+def _topm_cellmates_fn(cap_m: int):
+    """Grouped-map body for ``cosine_near_dup_pairs_clustered_capped``:
+    one (cell, query-chunk) group in — every cell member as candidate,
+    the ``_is_q`` rows as queries — and the ordered (d1 < d2) union of
+    each query's ``cap_m`` nearest cell-mates out. Bit-exact contract
+    with the SQL oracle (see the operator docstring): the dot
+    accumulates ``acc = acc + x_i·y_i`` in ascending component order
+    (each elementwise numpy op is the same correctly-rounded IEEE
+    double op as the SQL fold step), and ranking is a stable argsort
+    over columns pre-sorted by vec_id — exactly ORDER BY -cos, id."""
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"d1": np.array([], np.int64), "d2": np.array([], np.int64)}
+        )
+        occ = len(pdf)
+        if occ < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(np.int64),
+                           kind="stable")
+        ids = pdf["vec_id"].to_numpy(np.int64)[order]
+        vecs = np.stack(pdf["v"].to_numpy()[order]).astype(
+            np.float64, copy=False
+        )
+        n2 = pdf["n2"].to_numpy(np.float64)[order]
+        qidx = np.flatnonzero(pdf["_is_q"].to_numpy(bool)[order])
+        if len(qidx) == 0:
+            return empty
+        dims = vecs.shape[1]
+        m = min(cap_m, occ - 1)
+        d1s, d2s = [], []
+        # block height keeps the (block × occ) accumulator ~4 MB so
+        # the dims sequential passes over it stay cache-resident — the
+        # fold is inherently dims passes (exactness forbids matmul's
+        # reassociation), and an L3-sized accumulator is the
+        # difference between compute-bound and 20 TB of DRAM traffic
+        # on a 40 k-member cell
+        block = max(1, min(512, (1 << 19) // max(1, occ)))
+        vt = np.ascontiguousarray(vecs.T)  # column reads stride-1
+        tmp = np.empty((block, occ))
+        for s in range(0, len(qidx), block):
+            rows = qidx[s:s + block]
+            b = len(rows)
+            acc = np.zeros((b, occ))
+            t = tmp[:b]
+            for i in range(dims):
+                # ascending-component fold — the SQL/DuckDB
+                # expression tree, elementwise
+                np.multiply(vt[i, rows, None], vt[i, None, :], out=t)
+                acc += t
+            negc = -(acc / np.sqrt(np.multiply.outer(n2[rows], n2)))
+            negc[np.arange(b), rows] = np.inf  # self
+            top = np.argsort(negc, axis=1, kind="stable")[:, :m]
+            src = np.repeat(ids[rows], m)
+            nbr = ids[top.ravel()]
+            keep = src != nbr  # self survives only when occ <= cap_m
+            d1s.append(np.minimum(src[keep], nbr[keep]))
+            d2s.append(np.maximum(src[keep], nbr[keep]))
+        return pd.DataFrame({
+            "d1": np.concatenate(d1s), "d2": np.concatenate(d2s),
+        })
+
+    return fn
 
 
 def cosine_near_dup_pairs(
