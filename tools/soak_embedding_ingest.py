@@ -64,9 +64,12 @@ def main() -> int:
     )
     n = emb.count()
     if not args.skip_build:
+        from trignis_spark.operators.similarity import auto_two_level_k
+
+        k = auto_two_level_k(n)  # the r6 third-decade sizing (38x38 at 2M)
         t0 = time.time()
-        ai.build_ann_index_2level(spark, emb, args.name)
-        print(json.dumps({"leg": "build_2level", "n": n,
+        ai.build_ann_index_2level(spark, emb, args.name, k, k)
+        print(json.dumps({"leg": "build_2level", "n": n, "cells": k * k,
                           "sec": round(time.time() - t0, 1)}), flush=True)
     base_ids = spark.table(ai._ids_table(args.name)).count()
     shutil.rmtree(args.accepted, ignore_errors=True)
