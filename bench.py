@@ -67,6 +67,8 @@ OPTIONAL = [
     "agg_exact_percentiles",
     "dedup_index_probe",
     "dedup_embedding_cosine_clustered_scaled",
+    "dedup_embedding_cosine_prod_wide",
+    "dedup_embedding_cosine_clustered_capped",
 ]
 
 

@@ -697,3 +697,48 @@ def test_wide_signature_banded_finds_planted_pairs(spark):
     want = {(c * 10 + a, c * 10 + b)
             for c in range(5) for a in range(3) for b in range(3) if a < b}
     assert got == want
+
+
+def test_band_values_expr_matches_reference(spark):
+    """The HOF band-value expression (one transform over a literal
+    index array — the form that survives janino's 64 KB method limit
+    at decade-4 layouts like 43×19) must compute bit-identical bv to
+    the definitional per-band shift/mask sum over hand-set signature
+    words, narrow and wide."""
+    import random
+
+    from trignis_spark.operators.similarity import (
+        band_bit_indices, band_starts, band_values_expr,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.getrandbits(62), rng.getrandbits(62)) for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, sig long, sig2 long")
+    for n_bands, band_bits, wide in ((16, 12, False), (43, 19, True),
+                                     (95, 24, True)):
+        total = 124 if wide else 62
+        got = {
+            r["vec_id"]: r["bvs"]
+            for r in df.select(
+                "vec_id",
+                F.expr(
+                    band_values_expr(n_bands, band_bits, total,
+                                     wide=wide)
+                ).alias("bvs"),
+            ).collect()
+        }
+        starts = band_starts(n_bands, total)
+        for vid, sig, sig2 in rows:
+            want = [
+                sum(
+                    (((sig if idx < 62 else sig2) >> (idx % 62)) & 1)
+                    << j
+                    for j, idx in enumerate(
+                        band_bit_indices(st, band_bits, total)
+                    )
+                )
+                for st in starts
+            ]
+            assert got[vid] == want, (n_bands, band_bits, wide, vid)

@@ -51,8 +51,9 @@ from trignis_spark.operators.ann_index import _bucket_expr
 from trignis_spark.operators.kmeans import _ACC
 from trignis_spark.operators.pq import (
     _SUBDOT,
-    encode_pq,
+    assign_codes,
     split_subvectors,
+    split_v,
     train_pq,
 )
 from trignis_spark.operators.similarity import DOT, _prep
@@ -187,9 +188,14 @@ def build_ivfpq_index(
         .format("parquet")
         .saveAsTable(table)
     )
-    codes = encode_pq(embeddings, codebook, m).join(
-        rows.select("vec_id", "bucket"), "vec_id"
-    ).select("vec_id", "sub", "code", "bucket")
+    # encode straight off the bucketed rows, carrying the bucket through
+    # the subvector split and the assignment projection — the former
+    # encode→bucket join shuffled the m×N-row code table on vec_id
+    # (160 M rows at 20 M vectors; with train_pq's old join-back it
+    # filled the 67 GB scratch disk before the build completed)
+    codes = assign_codes(
+        split_v(rows, m, carry=("bucket",)), codebook, carry=("bucket",)
+    ).select("vec_id", "sub", F.col("cid").alias("code"), "bucket")
     (
         codes.repartition("bucket")
         .write.mode("overwrite")
@@ -227,11 +233,13 @@ def extend_ivfpq_index(
     if added == 0:
         return 0
     codebook = spark.table(_codebook_table(table))
-    # spread=False: an extend batch is poll-cycle-sized — the corpus-
-    # parallelism repartition would be pure overhead here
-    codes = encode_pq(fresh_src, codebook, meta["m"], spread=False).join(
-        rows.select("vec_id", "bucket"), "vec_id"
-    ).select("vec_id", "sub", "code", "bucket")
+    # encode off the checkpointed bucketed rows (no corpus-parallelism
+    # repartition — an extend batch is poll-cycle-sized), carrying the
+    # bucket through instead of joining it back onto the code rows
+    codes = assign_codes(
+        split_v(rows, meta["m"], carry=("bucket",)), codebook,
+        carry=("bucket",),
+    ).select("vec_id", "sub", F.col("cid").alias("code"), "bucket")
     for df, name in ((rows, table), (codes, _codes_table(table))):
         if _cell_partitioned(spark, name):
             (

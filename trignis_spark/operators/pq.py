@@ -40,11 +40,12 @@ _SUBDOT = (
 )
 
 
-def split_subvectors(embeddings: DataFrame, m: int,
-                     emb_col: str = "embedding") -> DataFrame:
-    """(vec_id, sub, subv): contiguous equal slices of the embedding.
-    Requires dim % m == 0 (checked lazily by slice bounds)."""
-    vecs = _as_double_vec(embeddings, emb_col)
+def split_v(vecs: DataFrame, m: int, carry: tuple = ()) -> DataFrame:
+    """(vec_id, *carry, sub, subv) from already-prepped (vec_id, v)
+    rows: contiguous equal slices of ``v``. ``carry`` keeps extra
+    columns (e.g. a precomputed IVF ``bucket``) next to each subvector
+    so downstream consumers never join back per-vector state onto the
+    m×-larger subvector table."""
     subs = F.explode(
         F.expr(
             f"transform(sequence(0, {m - 1}), "
@@ -52,9 +53,17 @@ def split_subvectors(embeddings: DataFrame, m: int,
             f"'subv', slice(v, s * (size(v) div {m}) + 1, size(v) div {m})))"
         )
     ).alias("s")
-    return vecs.select("vec_id", subs).select(
-        "vec_id", F.col("s.sub").alias("sub"), F.col("s.subv").alias("subv")
+    return vecs.select("vec_id", *carry, subs).select(
+        "vec_id", *carry,
+        F.col("s.sub").alias("sub"), F.col("s.subv").alias("subv"),
     )
+
+
+def split_subvectors(embeddings: DataFrame, m: int,
+                     emb_col: str = "embedding") -> DataFrame:
+    """(vec_id, sub, subv): contiguous equal slices of the embedding.
+    Requires dim % m == 0 (checked lazily by slice bounds)."""
+    return split_v(_as_double_vec(embeddings, emb_col), m)
 
 
 def init_codebook(embeddings: DataFrame, m: int, k: int,
@@ -84,30 +93,40 @@ def init_codebook(embeddings: DataFrame, m: int, k: int,
     )
 
 
-def assign_codes(subvecs: DataFrame, codebook: DataFrame) -> DataFrame:
-    """(vec_id, sub, cid): nearest centroid per subspace (squared L2,
-    ties to the lowest cid). The per-subspace codebook packs into a
-    broadcast array and each (vector, sub) row scores it inside one
-    projection expression — map-side, shuffle-free, no N·m·k row
-    explosion (see ``kmeans._nearest_expr`` for why this beats both
-    the window and the struct-keyed ``min_by`` forms; identical
-    tie-break semantics, so codes and every oracle replay are
-    bit-identical)."""
+def assign_codes(subvecs: DataFrame, codebook: DataFrame,
+                 carry: tuple = ()) -> DataFrame:
+    """(vec_id, sub, *carry, cid): nearest centroid per subspace
+    (squared L2, ties to the lowest cid). The per-subspace codebook
+    packs into a broadcast array and each (vector, sub) row scores it
+    inside one projection expression — map-side, shuffle-free, no
+    N·m·k row explosion (see ``kmeans._nearest_expr`` for why this
+    beats both the window and the struct-keyed ``min_by`` forms;
+    identical tie-break semantics, so codes and every oracle replay
+    are bit-identical). ``carry`` keeps extra input columns (e.g.
+    ``subv`` for the Lloyd update, ``bucket`` for the index build) on
+    the row-preserving projection output so consumers never join back
+    to the subvector table — at 20 M vectors (160 M subvector rows)
+    that join-back shuffled both 160 M-row sides every Lloyd round and
+    filled 67 GB of scratch disk before it died."""
     from trignis_spark.operators.kmeans import _nearest_expr, _pack
 
     packed = _pack(codebook, ["sub"], "cid")
     return subvecs.join(F.broadcast(packed), "sub").select(
         "vec_id",
         "sub",
+        *carry,
         F.expr(_nearest_expr("cid", 1, vec_col="subv")).alias("cid"),
     )
 
 
 def _update(subvecs: DataFrame, codebook: DataFrame) -> DataFrame:
-    """One grouped Lloyd round across all subspaces at once."""
-    assigned = assign_codes(subvecs, codebook).join(
-        subvecs, ["vec_id", "sub"]
-    )
+    """One grouped Lloyd round across all subspaces at once. The
+    assignment carries ``subv`` through its projection instead of
+    joining back to ``subvecs`` (same carry-through design as
+    ``kmeans._update``), so the only shuffle per round is the
+    map-side-combined means aggregation — cardinality m·k·(dim/m),
+    corpus-independent."""
+    assigned = assign_codes(subvecs, codebook, carry=("subv",))
     comp = assigned.select("sub", "cid", F.posexplode("subv").alias("pos", "x"))
     means = (
         comp.groupBy("sub", "cid", "pos")

@@ -344,6 +344,45 @@ def auto_band_layout(n_vectors: int, threshold: float = 0.9,
     return n_bands, band_bits
 
 
+def band_values_expr(n_bands: int, band_bits: int, total_bits: int,
+                     sig_bits: int = 62, wide: bool = False) -> str:
+    """SQL expression computing all band values as one
+    ``array<bigint>`` over signature columns ``sig`` (and ``sig2`` when
+    ``wide``): element ``b`` is ``Σⱼ bit(idxⱼ) << j`` over band ``b``'s
+    stride-5 bit indices (``band_bit_indices``).
+
+    The bit reads run inside ONE higher-order ``transform`` over a
+    constant-folded literal ``array<array<int>>`` of per-band indices
+    rather than ``n_bands`` inlined shift/mask chains: at decade-4
+    layouts (43 bands × 19 bits = 817 terms) the inlined form blew
+    janino's 64 KB method limit inside the Generate operator and
+    dropped the whole stage to interpreted execution (observed at 20 M
+    vectors); the HOF form keeps the expression text O(layout) and
+    whole-stage codegen alive while computing the identical ``bv``
+    (equivalence locked by tests/test_operators.py::
+    test_band_values_expr_matches_reference)."""
+    bands_lit = "array(" + ",".join(
+        "array(" + ",".join(
+            str(i)
+            for i in band_bit_indices(start, band_bits, total_bits)
+        ) + ")"
+        for start in band_starts(n_bands, total_bits)
+    ) + ")"
+    word_of = (
+        f"(CASE WHEN idx < {sig_bits} THEN sig ELSE sig2 END)"
+        if wide else "sig"
+    )
+    # function forms (shiftright/shiftleft), not >>/<< operators: the
+    # SQL parser rejects >> inside a lambda body (ambiguity with ->)
+    return (
+        f"transform({bands_lit}, idxs -> aggregate("
+        f"zip_with(idxs, sequence(0, {band_bits - 1}), (idx, j) -> "
+        f"shiftleft(shiftright({word_of}, idx % {sig_bits}) "
+        f"& CAST(1 AS BIGINT), j)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+    )
+
+
 def cosine_near_dup_pairs_banded(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -459,36 +498,18 @@ def cosine_near_dup_pairs_banded(
         )
         base = base.withColumn("sig2", F.expr(sig2_expr))
         sig_cols.append("sig2")
-    def _bv(start: int) -> str:
-        # band value: stride-5 bit reads from the start offset across
-        # the FULL signature bit-space — with wide signatures bands
-        # draw from both words, which is what keeps band starts
-        # distinct (and layouts growing) past 62 narrow offsets
-        terms = []
-        for j, idx in enumerate(
-            band_bit_indices(start, band_bits, total_bits)
-        ):
-            word = "sig" if idx < sig_bits else "sig2"
-            terms.append(f"((({word} >> {idx % sig_bits}) & 1) << {j})")
-        return " + ".join(terms)
-
+    # band values from both signature words via the codegen-safe HOF
+    # form (see band_values_expr) — bands draw from the FULL signature
+    # bit-space, which is what keeps band starts distinct (and layouts
+    # growing) past 62 narrow offsets
     bands = base.select(
         "vec_id",
         *sig_cols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(_bv(start)).alias("bv"),
-                    )
-                    for b, start in enumerate(
-                        band_starts(n_bands, total_bits)
-                    )
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", *sig_cols, "bk.band", "bk.bv")
+        F.posexplode(
+            F.expr(band_values_expr(n_bands, band_bits, total_bits,
+                                    sig_bits, wide))
+        ).alias("band", "bv"),
+    )
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     if wide:
