@@ -51,8 +51,20 @@ def test_default_cell_count_scales_with_corpus(spark, index):
     assert spark.table(ipq._meta_table(index)).first()["n_buckets"] == 16
     # dims clamp (ADVICE r5): a sign quantizer can't address more than
     # 2^dims cells
-    assert ipq.auto_n_buckets(10**6, dims=8) == 256
-    assert ipq.auto_n_buckets(10**9) == 4096
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert ipq.auto_n_buckets(10**6, dims=8) == 256
+        assert ipq.auto_n_buckets(10**9) == 4096
+        # a binding cap is never silent (decade-4 leg: √20M wants 4472)
+        assert ipq.auto_n_buckets(20_000_000) == 4096
+    assert sum("pass n_buckets explicitly" in str(x.message)
+               for x in w) == 3
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert ipq.auto_n_buckets(10**6) == 1024  # √N rule, uncapped
+    assert not w
 
 
 def test_extend_is_idempotent_and_uses_frozen_codebook(spark, index):

@@ -138,14 +138,32 @@ def auto_n_buckets(n_vectors: int, dims: int = 64) -> int:
     sane. A fixed cell count makes probe cost linear in the corpus: at
     the tiled sf10 corpus (200 k vectors) 16 cells put 12.5 k codes in
     every probed cell, measured 16.6 s for the probe query vs 4.7 s
-    with √N-scaled cells (BASELINE.md sf10 table)."""
+    with √N-scaled cells (BASELINE.md sf10 table).
+
+    Past the 4096-cell file-count cap (first bound at the 20 M-vector
+    decade-4 leg, where √N wants 4472 — BASELINE.md) per-cell
+    occupancy grows linearly again, N/4096 codes per probed cell; the
+    cap is a local-filesystem file-count dial, not a semantic bound,
+    so a binding cap warns (``warnings.warn``) and a cluster caller
+    can pass an explicit ``n_buckets`` to keep the √N rule."""
     import math
+    import warnings
 
     n = max(16, 1 << math.ceil(math.log2(max(1.0, math.sqrt(n_vectors)))))
     # the sign-pattern quantizer draws log2(n) bits from the leading
     # components, so n may never exceed 2^dims (for the default 64-dim
     # embeddings the 4096 cap binds long before that bound matters)
-    return min(n, 4096, 1 << dims)
+    capped = min(n, 4096, 1 << dims)
+    if capped < n:
+        warnings.warn(
+            f"auto_n_buckets: √N rule wants {n} cells for "
+            f"{n_vectors} vectors but the cap holds it at {capped} — "
+            f"per-cell occupancy (≈{n_vectors // capped} codes) now "
+            "grows linearly with the corpus; pass n_buckets explicitly "
+            "to restore √N scaling",
+            stacklevel=2,
+        )
+    return capped
 
 
 def build_ivfpq_index(
