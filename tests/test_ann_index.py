@@ -189,3 +189,46 @@ def test_probe_immune_to_replayed_extend_duplicates(spark, index):
     after = _pairs(ai.probe_ann_index(spark, index, queries, k=10,
                                       nprobe=4))
     assert after == before
+
+
+def test_attach_restores_catalog_and_extends(spark, index):
+    """``attach_ann_index`` re-registers a persisted index from its
+    warehouse directories in a catalog that has never seen it
+    (fresh-session restart, simulated by copying the dirs under a new
+    name): probes answer identically and bucketed extends still append
+    (the re-declared bucket spec, not just the rows)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    emb = load(spark, SF, "embeddings")
+    ai.build_ann_index(spark, emb, index, n_buckets=16)
+    queries = emb.filter(F.expr(QUERY_PRED))
+    want = _pairs(ai.probe_ann_index(spark, index, queries, k=10, nprobe=2))
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    twin = index + "_reattached"
+    suffixes = ("", "_ids", "_meta")  # hash-bucketed: no quantizer tables
+    for sfx in suffixes:
+        spark.sql(f"DROP TABLE IF EXISTS {twin}{sfx}")
+        dst = os.path.join(wh, twin + sfx)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(os.path.join(wh, index + sfx), dst)
+    try:
+        ai.attach_ann_index(spark, twin)
+        got = _pairs(ai.probe_ann_index(spark, twin, queries, k=10,
+                                        nprobe=2))
+        assert got == want and got
+        fresh = emb.limit(5).select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+        )
+        assert ai.extend_ann_index(spark, fresh, twin) == 5
+        assert ai.extend_ann_index(spark, fresh, twin) == 0  # replay
+    finally:
+        for sfx in ("", "_ids", "_meta", "_centroids",
+                    "_centroids_coarse"):
+            spark.sql(f"DROP TABLE IF EXISTS {twin}{sfx}")
+            dst = os.path.join(wh, twin + sfx)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)

@@ -299,3 +299,44 @@ def test_prefix_probe_sort_merge_fallback_identical_pairs(spark):
         for t in (name, di._full_table(name), di._docs_table(name),
                   di._meta_table(name)):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_attach_prefix_index_restores_probes(spark, pindex):
+    """Re-registering a persisted prefix index's tables from their
+    warehouse directories (fresh-session/in-memory-catalog restart —
+    simulated by copying the dirs under a name the catalog has never
+    seen) must leave probe results identical."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    rows = _rand_docs(3, 16)
+    corpus = _frame(spark, rows)
+    # batch: verbatim copies of three corpus docs → guaranteed pairs
+    batch = _frame(spark, [(1000 + i, rows[i][1]) for i in range(3)])
+    di.build_prefix_index(spark, corpus, pindex, threshold=0.5)
+    want = {(r["batch_doc"], r["corpus_doc"], round(r["jaccard"], 9))
+            for r in di.probe_prefix_index(spark, pindex, batch,
+                                           threshold=0.5).collect()}
+    assert want
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    twin = pindex + "_reattached"
+    for suffix in ("", "_full", "_docs", "_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {twin}{suffix}")
+        dst = os.path.join(wh, twin + suffix)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(os.path.join(wh, pindex + suffix), dst)
+    try:
+        di.attach_prefix_index(spark, twin)
+        got = {(r["batch_doc"], r["corpus_doc"], round(r["jaccard"], 9))
+               for r in di.probe_prefix_index(spark, twin, batch,
+                                              threshold=0.5).collect()}
+        assert got == want
+    finally:
+        for suffix in ("", "_full", "_docs", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {twin}{suffix}")
+            dst = os.path.join(wh, twin + suffix)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)

@@ -215,3 +215,54 @@ def test_extend_and_compact_dispatch_on_legacy_bucketed_layout(spark, index):
     assert _pairs(
         ipq.ivfpq_probe(spark, index, queries, k=10, nprobe=2)
     ) == got
+
+
+def test_attach_restores_catalog_registration(spark, index):
+    """A fresh session's in-memory catalog has no entry for an index a
+    prior session persisted; ``attach_ivfpq_index`` must re-register
+    all five tables from their warehouse directories — partition
+    recovery included — such that probes answer identically. Simulated
+    in-session by copying the warehouse dirs under a new name (the
+    catalog has never heard of the copy, exactly like a restart)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    emb = load(spark, SF, "embeddings")
+    ipq.build_ivfpq_index(spark, emb, index, m=M, k=K)  # auto cells
+    queries = emb.filter(F.expr(QUERY_PRED))
+    want = _pairs(
+        ipq.ivfpq_probe(spark, index, queries, k=10, nprobe=2, shortlist=30)
+    )
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    twin = index + "_reattached"
+    for src in ipq._all_tables(index):
+        dst = src.replace(index, twin)
+        spark.sql(f"DROP TABLE IF EXISTS {dst}")
+        if os.path.isdir(os.path.join(wh, dst)):
+            shutil.rmtree(os.path.join(wh, dst))
+        shutil.copytree(os.path.join(wh, src), os.path.join(wh, dst))
+    try:
+        ipq.attach_ivfpq_index(spark, twin)
+        ipq.attach_ivfpq_index(spark, twin)  # idempotent
+        # the codes table re-registered as *partitioned* (pruning intact)
+        assert ipq._cell_partitioned(spark, ipq._codes_table(twin))
+        got = _pairs(
+            ipq.ivfpq_probe(spark, twin, queries, k=10, nprobe=2,
+                            shortlist=30)
+        )
+        assert got == want and got
+        # the extend path needs the ids table's BUCKET SPEC back, not
+        # just its rows — a spec-less re-attach made the bucketed
+        # append fail with a spec mismatch (hit live at the 20 M leg)
+        fresh = emb.limit(5).select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+        )
+        assert ipq.extend_ivfpq_index(spark, fresh, twin) == 5
+        assert ipq.extend_ivfpq_index(spark, fresh, twin) == 0  # replay
+    finally:
+        for t in ipq._all_tables(twin):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            if os.path.isdir(os.path.join(wh, t)):
+                shutil.rmtree(os.path.join(wh, t))

@@ -58,6 +58,80 @@ def drop_table_and_location(spark: SparkSession, table: str) -> None:
         shutil.rmtree(path)
 
 
+def attach_table(spark: SparkSession, table: str,
+                 bucket_cols: list[str] | None = None,
+                 n_buckets: int | None = None,
+                 sort_cols: list[str] | None = None) -> bool:
+    """Register an existing warehouse table directory as an *external*
+    parquet table in this session's catalog — the inverse of the
+    orphaned-location problem ``drop_table_and_location`` handles: the
+    local in-memory catalog forgets every ``saveAsTable`` registration
+    when its session ends, so a serving process that restarts (or any
+    fresh session probing an index a previous session built) finds the
+    data on disk but no table. With a shared metastore (Hive/Glue) the
+    catalog persists and this is a no-op.
+
+    Schema *and partition columns* are inferred from the files; a
+    partitioned layout then gets its partitions recovered (``MSCK
+    REPAIR``) so dynamic partition pruning works exactly as on the
+    original registration. ``bucketBy`` metadata cannot be inferred
+    from files — pass ``bucket_cols``/``n_buckets`` (and ``sort_cols``
+    if the original write sorted) matching the original spec, or
+    bucketed *appends* to the re-attached table will be rejected for
+    spec mismatch (reads would stay correct either way; the index
+    attach_* wrappers read the spec from their meta tables). The
+    original bucket hash and file naming are Spark's own, so the
+    re-declared spec reads the existing files verbatim.
+
+    Returns False when the table is already registered (idempotent)."""
+    from urllib.parse import urlparse
+
+    if spark.catalog.tableExists(table):
+        return False
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = os.path.join(wh, table.lower())
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"attach_table: no warehouse directory at {path} for "
+            f"table {table}"
+        )
+    if bucket_cols:
+        if not n_buckets:
+            raise ValueError("attach_table: bucket_cols needs n_buckets")
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in spark.read.parquet(path).schema.fields
+        )
+        sort = (f" SORTED BY ({', '.join(sort_cols)})" if sort_cols
+                else "")
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING parquet "
+            f"CLUSTERED BY ({', '.join(bucket_cols)}){sort} "
+            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+        )
+    else:
+        spark.sql(f"CREATE TABLE {table} USING parquet LOCATION '{path}'")
+    if any(c.isPartition for c in spark.catalog.listColumns(table)):
+        spark.sql(f"MSCK REPAIR TABLE {table}")
+    return True
+
+
+def warehouse_dir_partitioned(spark: SparkSession, table: str,
+                              col: str) -> bool:
+    """True when ``table``'s warehouse directory carries ``col=``
+    partition subdirectories — the layout sniff ``attach_*`` wrappers
+    use to tell a cell-*partitioned* index table (attach plain, recover
+    partitions) from a legacy cell-*bucketed* one (attach with the
+    bucket spec) before either is in the catalog."""
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = os.path.join(wh, table.lower())
+    return os.path.isdir(path) and any(
+        e.startswith(f"{col}=") for e in os.listdir(path)
+    )
+
+
 def table_location(spark: SparkSession, table: str) -> str:
     """Filesystem location of a catalog table (no Delta DESCRIBE DETAIL
     in plain parquet land; the catalog row carries it)."""

@@ -271,6 +271,28 @@ def build_ann_index_2level(
     _refresh(spark, table)
 
 
+def attach_ann_index(spark: SparkSession, table: str) -> None:
+    """Re-register a persisted ANN index's tables in a fresh session's
+    catalog (see ``ivfpq_index.attach_ivfpq_index`` — same in-memory-
+    catalog restart story). The float and ids tables re-declare their
+    bucket specs from the meta row so bucketed extends still append.
+    Covers both the flat and two-level layouts; the quantizer tables
+    only exist for trained/two-level indexes, so those attach
+    best-effort."""
+    from trignis_spark.maintenance import attach_table
+
+    attach_table(spark, _meta_table(table))
+    nb = int(spark.table(_meta_table(table)).first()["n_buckets"])
+    attach_table(spark, table, bucket_cols=["bucket"], n_buckets=nb)
+    attach_table(spark, _ids_table(table), bucket_cols=["vec_id"],
+                 n_buckets=nb)
+    for name in (_centroids_table(table), _coarse_table(table)):
+        try:
+            attach_table(spark, name)
+        except FileNotFoundError:
+            pass  # hash-bucketed / flat index: no trained quantizer
+
+
 def extend_ann_index(
     spark: SparkSession,
     embeddings: DataFrame,

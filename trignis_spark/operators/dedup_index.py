@@ -343,6 +343,24 @@ def _bucket_count(spark: SparkSession, table: str) -> int:
     return DEFAULT_BUCKETS
 
 
+def attach_prefix_index(spark: SparkSession, table: str,
+                        n_buckets: int = DEFAULT_BUCKETS) -> None:
+    """Re-register a persisted prefix index's four tables in a fresh
+    session's catalog (see ``ivfpq_index.attach_ivfpq_index`` — same
+    in-memory-catalog restart story). The shingle and docs tables
+    re-declare their bucket specs so bucketed extends still append;
+    the v2 meta row predates the bucket count (see ``_bucket_count``),
+    so an index built with a non-default count must pass it."""
+    from trignis_spark.maintenance import attach_table
+
+    attach_table(spark, table, bucket_cols=["shingle"],
+                 n_buckets=n_buckets, sort_cols=["shingle"])
+    attach_table(spark, _full_table(table))
+    attach_table(spark, _docs_table(table), bucket_cols=["doc_id"],
+                 n_buckets=n_buckets)
+    attach_table(spark, _meta_table(table))
+
+
 def probe_prefix_index(
     spark: SparkSession,
     table: str,

@@ -237,6 +237,36 @@ def build_ivfpq_index(
     _refresh(spark, table)
 
 
+def attach_ivfpq_index(spark: SparkSession, table: str) -> None:
+    """Re-register a persisted index's five tables in a fresh session's
+    catalog (``maintenance.attach_table``): the local in-memory catalog
+    forgets ``saveAsTable`` registrations across sessions, so a probe/
+    extend server that restarts — or the decade-4 measurement probing
+    an index a previous session built — needs this before
+    ``ivfpq_probe`` / ``extend_ivfpq_index``. Cell-partitioned codes/
+    float tables recover their partitions (pruning intact); bucketed
+    tables (ids always; codes/floats on the legacy pre-r6 layout,
+    sniffed from the directory) re-declare their original bucket spec
+    from the meta row so bucketed *extends* still append. Idempotent;
+    no-op per table already in the catalog."""
+    from trignis_spark.maintenance import (
+        attach_table,
+        warehouse_dir_partitioned,
+    )
+
+    attach_table(spark, _meta_table(table))
+    nb = int(spark.table(_meta_table(table)).first()["n_buckets"])
+    attach_table(spark, _codebook_table(table))
+    attach_table(spark, _ids_table(table), bucket_cols=["vec_id"],
+                 n_buckets=nb)
+    for name in (table, _codes_table(table)):
+        if warehouse_dir_partitioned(spark, name, "bucket"):
+            attach_table(spark, name)
+        else:
+            attach_table(spark, name, bucket_cols=["bucket"],
+                         n_buckets=nb)
+
+
 def extend_ivfpq_index(
     spark: SparkSession, embeddings: DataFrame, table: str
 ) -> int:
