@@ -351,3 +351,31 @@ def test_centroid_assignment_is_projection_shaped(spark):
         # spread (packed side's single-row collect_list is on the
         # broadcast side and does not touch the corpus)
         assert plan.count("REPARTITION_BY_NUM") == 1
+
+
+def test_batch_anti_join_never_shuffles_the_corpus(spark):
+    """Extends/ingest gates drop already-indexed ids by anti-joining the
+    poll batch against the corpus ids table. A LeftAnti can only
+    broadcast its RIGHT side, so the direct form sort-merges — re-
+    sorting/shuffling the full corpus id table every poll cycle (at
+    100 TB the per-cycle corpus shuffle is the whole bill).
+    ``plans.bucketing.batch_anti_join`` must keep the corpus scan
+    map-side: broadcast semi (corpus ∩ batch keys) then broadcast anti
+    — no SortMergeJoin, no exchange of the corpus side."""
+    from pyspark.sql import functions as F
+
+    from trignis_spark.plans.bucketing import batch_anti_join
+
+    corpus = load(spark, SF, "embeddings").select("vec_id")
+    batch = spark.range(0, 50).select(F.col("id").alias("vec_id"))
+    joined = batch_anti_join(batch, corpus, "vec_id")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    # semantics: equal to the direct anti-join, duplicates preserved
+    dup_batch = batch.union(batch.filter("vec_id < 5"))
+    got = sorted(r["vec_id"] for r in
+                 batch_anti_join(dup_batch, corpus, "vec_id").collect())
+    want = sorted(r["vec_id"] for r in
+                  dup_batch.join(corpus, "vec_id", "left_anti").collect())
+    assert got == want

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from trignis_spark.operators.similarity import DOT, _prep
+from trignis_spark.plans.bucketing import batch_anti_join
 
 DEFAULT_BUCKETS = 16
 
@@ -312,7 +313,7 @@ def extend_ann_index(
 
         coarse, fine, k_fine = hier
         n_buckets = _stored_n_buckets(spark, table, n_buckets)
-        fresh_src = embeddings.join(known, "vec_id", "left_anti")
+        fresh_src = batch_anti_join(embeddings, known, "vec_id")
         # spread=False: an extend batch is poll-cycle-sized — the
         # corpus-parallelism repartition would be pure overhead here
         assigned = km.assign_clusters_2level(
@@ -335,7 +336,7 @@ def extend_ann_index(
     if cents is not None:
         n_buckets = max(1, cents.count())  # layout follows the quantizer
     fresh = _rows(
-        embeddings.join(known, "vec_id", "left_anti"),
+        batch_anti_join(embeddings, known, "vec_id"),
         n_buckets,
         cents,
         spread=False,  # batch-sized input — skip the corpus repartition

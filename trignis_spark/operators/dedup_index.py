@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trignis_spark.operators.dedup import shingle_table
+from trignis_spark.plans.bucketing import batch_anti_join
 
 DEFAULT_BUCKETS = 16
 
@@ -155,7 +156,7 @@ def extend_index(
     new files land in the correct buckets and the sorted-bucket layout
     survives incremental growth."""
     known = spark.table(_docs_table(table)).select("doc_id")
-    fresh = docs.join(known, "doc_id", "left_anti")
+    fresh = batch_anti_join(docs, known, "doc_id")
     rows = _sized_shingles(fresh, n).localCheckpoint(eager=True)
     added = rows.select("doc_id").distinct().count()
     if added == 0:
@@ -472,7 +473,7 @@ def extend_prefix_index(
     order only tunes posting-list length."""
     meta = spark.table(_meta_table(table)).collect()[0]
     known = spark.table(_docs_table(table)).select("doc_id")
-    fresh = docs.join(known, "doc_id", "left_anti").localCheckpoint(
+    fresh = batch_anti_join(docs, known, "doc_id").localCheckpoint(
         eager=True
     )
     added = fresh.count()

@@ -57,6 +57,7 @@ from trignis_spark.operators.pq import (
     train_pq,
 )
 from trignis_spark.operators.similarity import DOT, _prep
+from trignis_spark.plans.bucketing import batch_anti_join
 
 
 def _codebook_table(table: str) -> str:
@@ -275,7 +276,7 @@ def extend_ivfpq_index(
     actually added."""
     meta = spark.table(_meta_table(table)).first()
     known = spark.table(_ids_table(table))
-    fresh_src = embeddings.join(known, "vec_id", "left_anti")
+    fresh_src = batch_anti_join(embeddings, known, "vec_id")
     rows = _bucketed(fresh_src, meta["n_buckets"]).localCheckpoint(eager=True)
     added = rows.count()
     if added == 0:

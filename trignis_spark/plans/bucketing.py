@@ -40,3 +40,29 @@ def bucketed_join(
     """Join two same-bucketed tables on their bucket key; with matching
     bucket specs Spark plans a zero-shuffle sort-merge join."""
     return spark.table(left_table).join(spark.table(right_table), list(on), how)
+
+
+def batch_anti_join(batch: DataFrame, corpus: DataFrame,
+                    on: str) -> DataFrame:
+    """``batch LEFT ANTI corpus``, planned for a poll-sized left side
+    against a corpus-sized keyed right side. The naive
+    ``batch.join(corpus, on, "left_anti")`` cannot broadcast — only the
+    RIGHT side of a LeftAnti builds the hash relation, and the corpus
+    is the right side — so Spark sort-merges it: at 20 M index rows
+    that re-sorted (bucketed layout) or re-shuffled (plain layout) the
+    FULL corpus id table on every poll cycle, and at 100 TB the per-
+    cycle corpus shuffle is the whole bill. Here the corpus is first
+    *semi*-joined against the broadcast batch keys (one map-side corpus
+    scan, zero corpus shuffle, output ≤ batch-distinct rows), and the
+    anti-join then runs against that small set, broadcast.
+
+    Identical multiset semantics to the direct anti-join: a batch row
+    is dropped iff its key exists in the corpus; duplicate batch rows
+    survive or drop together in both forms, and corpus-side duplicate
+    keys never multiply an anti/semi output."""
+    from pyspark.sql import functions as F
+
+    present = corpus.select(on).join(
+        F.broadcast(batch.select(on).distinct()), on, "left_semi"
+    )
+    return batch.join(F.broadcast(present), on, "left_anti")

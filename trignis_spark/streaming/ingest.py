@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from trignis_spark.operators import dedup as dd
 from trignis_spark.operators import dedup_index as di
 from trignis_spark.operators.text import quality_scores
+from trignis_spark.plans.bucketing import batch_anti_join
 
 
 @dataclass(frozen=True)
@@ -105,7 +106,7 @@ def make_ingest_batch_fn(
         )
         docs = docs.localCheckpoint(eager=True)  # cut the stream lineage
         known = spark.table(di._docs_table(index_table)).select("doc_id")
-        fresh = docs.join(known, "doc_id", "left_anti")
+        fresh = batch_anti_join(docs, known, "doc_id")
 
         w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
         uniq = (
@@ -290,7 +291,7 @@ def make_embedding_ingest_fn(
             F.col(emb_col).alias("embedding"),
         ).localCheckpoint(eager=True)
         known = spark.table(ai._ids_table(ann_table))
-        fresh = vecs.join(known, "vec_id", "left_anti")
+        fresh = batch_anti_join(vecs, known, "vec_id")
 
         hits = (
             ai.probe_ann_index(
