@@ -43,10 +43,10 @@ BEGIN
         VALUES ('I', NEW.pk, '{}', NEW.label, NEW.qty, NEW.price, NEW.note);
         RETURN NEW;
     ELSIF TG_OP = 'UPDATE' THEN
-        IF NEW.label IS DISTINCT FROM OLD.label THEN cols := cols || 'label'; END IF;
-        IF NEW.qty   IS DISTINCT FROM OLD.qty   THEN cols := cols || 'qty';   END IF;
-        IF NEW.price IS DISTINCT FROM OLD.price THEN cols := cols || 'price'; END IF;
-        IF NEW.note  IS DISTINCT FROM OLD.note  THEN cols := cols || 'note';  END IF;
+        IF NEW.label IS DISTINCT FROM OLD.label THEN cols := array_append(cols, 'label'); END IF;
+        IF NEW.qty   IS DISTINCT FROM OLD.qty   THEN cols := array_append(cols, 'qty');   END IF;
+        IF NEW.price IS DISTINCT FROM OLD.price THEN cols := array_append(cols, 'price'); END IF;
+        IF NEW.note  IS DISTINCT FROM OLD.note  THEN cols := array_append(cols, 'note');  END IF;
         IF cols = '{}' THEN RETURN NEW; END IF;  -- no-op update: no row
         INSERT INTO items_outbox (operation, pk, changed, label, qty, price, note)
         VALUES ('U', NEW.pk, cols, NEW.label, NEW.qty, NEW.price, NEW.note);
