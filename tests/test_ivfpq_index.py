@@ -87,13 +87,16 @@ def test_extend_is_idempotent_and_uses_frozen_codebook(spark, index):
     }
     assert cb_after == cb_before
     # codes for extended vectors = encode through the same codebook
+    # (stored layout is wide: one (vec_id, codes) row per vector)
     codebook = spark.table(ipq._codebook_table(index))
+    per_vec: dict = {}
+    for r in pq.encode_pq(tail, codebook, M).collect():
+        per_vec.setdefault(r["vec_id"], {})[r["sub"]] = r["code"]
     want_codes = {
-        (r["vec_id"], r["sub"], r["code"])
-        for r in pq.encode_pq(tail, codebook, M).collect()
+        (vid, tuple(d[s] for s in sorted(d))) for vid, d in per_vec.items()
     }
     got_codes = {
-        (r["vec_id"], r["sub"], r["code"])
+        (r["vec_id"], tuple(r["codes"]))
         for r in spark.table(ipq._codes_table(index))
         .filter("vec_id >= 400")
         .collect()
@@ -266,3 +269,26 @@ def test_attach_restores_catalog_registration(spark, index):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             if os.path.isdir(os.path.join(wh, t)):
                 shutil.rmtree(os.path.join(wh, t))
+
+
+def test_wide_codes_match_assign_codes(spark):
+    """The wide one-row-per-vector encode (`_wide_codes`, a single
+    map-side projection) must produce bit-identical codes to the
+    narrow `pq.assign_codes` path — same subvector slice, same
+    left-fold squared-L2, same (d2, cid) struct-min tie-break."""
+    emb = load(spark, SF, "embeddings")
+    codebook = pq.train_pq(emb, m=M, k=K, iters=2)
+    rows = ipq._bucketed(emb, 16)
+    got = {
+        (r["vec_id"], tuple(r["codes"]), r["bucket"])
+        for r in ipq._wide_codes(rows, codebook, M).collect()
+    }
+    per_vec: dict = {}
+    for r in pq.assign_codes(pq.split_v(rows, M), codebook).collect():
+        per_vec.setdefault(r["vec_id"], {})[r["sub"]] = r["cid"]
+    buckets = {r["vec_id"]: r["bucket"] for r in rows.collect()}
+    want = {
+        (vid, tuple(d[s] for s in sorted(d)), buckets[vid])
+        for vid, d in per_vec.items()
+    }
+    assert got == want and got

@@ -14,10 +14,15 @@ search touches only persisted, bucket-pruned tables, mirroring
   cell, so the exact-re-rank join prunes partitions dynamically).
 - ``<name>_codebook``  — (sub INT, cid INT, cvec ARRAY<DOUBLE>): the m
   per-subspace PQ codebooks (m·k rows — broadcast side of every probe).
-- ``<name>_codes``     — (vec_id BIGINT, sub INT, code INT,
-  bucket INT), *partitioned* by cell id: one partition-pruned scan
-  yields both the candidate set and its codes (the memory-bandwidth
-  cut — m bytes per vector at scale, the float corpus untouched).
+- ``<name>_codes``     — (vec_id BIGINT, codes ARRAY<INT> ordered by
+  sub, bucket INT), *partitioned* by cell id, one row per vector (the
+  *wide* layout): one partition-pruned scan yields both the candidate
+  set and its codes (the memory-bandwidth cut — m bytes per vector at
+  scale, the float corpus untouched), and the ADC sum computes inside
+  the candidate projection — the legacy narrow (vec_id, sub, code)
+  layout joined and grouped candidate×m rows per probe (~195 M rows
+  shuffled twice at the 20 M-vector decade-4 probe); probes and
+  extends still dispatch on the stored schema for legacy indexes.
   Partitioning (not bucketing) is load-bearing: Spark prunes a
   *bucketed* scan only under literal bucket predicates, while a
   *partitioned* scan gets dynamic partition pruning from the probe's
@@ -167,6 +172,44 @@ def auto_n_buckets(n_vectors: int, dims: int = 64) -> int:
     return capped
 
 
+def _wide_codes(rows: DataFrame, codebook: DataFrame, m: int) -> DataFrame:
+    """(vec_id, codes ARRAY<INT> ordered by sub, bucket) — the PQ codes
+    table in its *wide* layout, one row per vector, computed in a single
+    map-side projection (full codebook broadcast as one packed array;
+    every subspace argmin inlines per row).
+
+    Wide is the serving layout: the ADC scan reads m× fewer rows, the
+    per-(query, vector) sum happens inside a projection instead of an
+    m-row groupBy, and the replay-duplicate guard dedups candidate rows
+    instead of candidate×m rows — at 20 M vectors the narrow layout
+    shuffled ~195 M (query, vec, sub) rows twice per probe.
+
+    Bit-identical codes to ``pq.assign_codes``: the subvector slice is
+    the same expression text as ``pq.split_v``, the distance the same
+    left-fold squared-L2, and the tie-break the same struct-min
+    (lowest d2, then lowest cid) — locked by
+    tests/test_ivfpq_index.py::test_wide_codes_match_assign_codes."""
+    packed = codebook.agg(
+        F.array_sort(
+            F.collect_list(F.struct("sub", "cid", "cvec"))
+        ).alias("_cb")
+    )
+    sub_slice = f"slice(v, s * (size(v) div {m}) + 1, size(v) div {m})"
+    d2 = (
+        f"aggregate(zip_with({sub_slice}, c.cvec, "
+        "(x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)"
+    )
+    codes_expr = (
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"array_min(transform(filter(_cb, c -> c.sub = s), "
+        f"c -> struct({d2} AS d2, c.cid AS i))).i)"
+    )
+    return rows.crossJoin(F.broadcast(packed)).select(
+        "vec_id", F.expr(codes_expr).alias("codes"), "bucket"
+    )
+
+
 def build_ivfpq_index(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -207,14 +250,12 @@ def build_ivfpq_index(
         .format("parquet")
         .saveAsTable(table)
     )
-    # encode straight off the bucketed rows, carrying the bucket through
-    # the subvector split and the assignment projection — the former
-    # encode→bucket join shuffled the m×N-row code table on vec_id
-    # (160 M rows at 20 M vectors; with train_pq's old join-back it
-    # filled the 67 GB scratch disk before the build completed)
-    codes = assign_codes(
-        split_v(rows, m, carry=("bucket",)), codebook, carry=("bucket",)
-    ).select("vec_id", "sub", F.col("cid").alias("code"), "bucket")
+    # encode straight off the bucketed rows in the wide one-row-per-
+    # vector layout, all map-side (no encode→bucket join — the former
+    # join shuffled the m×N-row code table on vec_id; 160 M rows at
+    # 20 M vectors, and with train_pq's old join-back it filled the
+    # 67 GB scratch disk before the build completed)
+    codes = _wide_codes(rows, codebook, m)
     (
         codes.repartition("bucket")
         .write.mode("overwrite")
@@ -283,12 +324,16 @@ def extend_ivfpq_index(
         return 0
     codebook = spark.table(_codebook_table(table))
     # encode off the checkpointed bucketed rows (no corpus-parallelism
-    # repartition — an extend batch is poll-cycle-sized), carrying the
-    # bucket through instead of joining it back onto the code rows
-    codes = assign_codes(
-        split_v(rows, meta["m"], carry=("bucket",)), codebook,
-        carry=("bucket",),
-    ).select("vec_id", "sub", F.col("cid").alias("code"), "bucket")
+    # repartition — an extend batch is poll-cycle-sized); the layout
+    # must follow the stored table: wide (current) or narrow (legacy
+    # persisted indexes, whose appends must keep the stored schema)
+    if "sub" in spark.table(_codes_table(table)).columns:
+        codes = assign_codes(
+            split_v(rows, meta["m"], carry=("bucket",)), codebook,
+            carry=("bucket",),
+        ).select("vec_id", "sub", F.col("cid").alias("code"), "bucket")
+    else:
+        codes = _wide_codes(rows, codebook, meta["m"])
     for df, name in ((rows, table), (codes, _codes_table(table))):
         if _cell_partitioned(spark, name):
             (
@@ -373,29 +418,73 @@ def ivfpq_probe(
         )
     )
     codes = spark.table(_codes_table(table))
-    adc = (
-        # broadcast cell join on the *partition* column → dynamic
-        # partition pruning: only the probed cells' code partitions are
-        # read (asserted in tests/test_plans.py)
-        codes.join(F.broadcast(qb), codes["bucket"] == qb["qbucket"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        # a crash between an extend's codes append and its _ids append
-        # makes the at-least-once replay re-append the same code rows,
-        # and duplicate (vec_id, sub) rows would double-count the ADC
-        # sum below, corrupting shortlist ranking — dedup the pruned
-        # candidate set (duplicates are byte-identical whole rows, so
-        # which one survives is immaterial; same guard as dedup_index)
-        .dropDuplicates(["query_id", "vec_id", "sub"])
-        .join(F.broadcast(lut), ["query_id", "sub", "code"])
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(
-            F.sum(F.col("pdot").cast(_ACC)).cast("double").alias("adot"),
-            # a vector lives in exactly one cell; carrying it into the
-            # shortlist lets the exact re-rank prune the float table's
-            # partitions the same way
-            F.max("bucket").alias("nbucket"),
+    if "sub" not in codes.columns:
+        # wide layout (current): one (vec_id, codes ARRAY<INT>, bucket)
+        # row per vector. The per-query LUT flattens to one
+        # (sub, code)-ordered array riding the broadcast cell fan-out,
+        # and the ADC sum computes INSIDE the candidate projection — no
+        # per-(query, vec, sub) join fan, no m-row groupBy: the narrow
+        # layout shuffled ~195 M rows twice at the 20 M-vector decade-4
+        # probe. The decimal left-fold equals the narrow SUM(DECIMAL)
+        # exactly (decimal addition is exact), so results are
+        # bit-identical and the oracle replays unchanged.
+        kk = int(meta["k"])
+        lut_flat = lut.groupBy("query_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "struct(sub, code, pdot))), t -> t.pdot)"
+            ).alias("lut")
         )
-    )
+        qbl = qb.join(lut_flat, "query_id")
+        # the merge must return the accumulator's exact type, and the
+        # sum type must never hit the precision-38 cap (Spark then
+        # REDUCES SCALE, rounding the 12th decimal away). A (32,12)
+        # accumulator + (30,12) addend adds exactly at (33,12); the
+        # cast back to (32,12) is lossless at these magnitudes —
+        # fixed-point addition is exact, so this equals the narrow
+        # layout's SUM(DECIMAL) bit-for-bit.
+        adot = (
+            f"CAST(aggregate(zip_with(codes, sequence(0, {m - 1}), "
+            f"(cd, s) -> element_at(lut, s * {kk} + cd + 1)), "
+            f"CAST(0 AS DECIMAL(32,12)), "
+            f"(acc, p) -> CAST(acc + CAST(p AS {_ACC}) AS DECIMAL(32,12)))"
+            " AS DOUBLE)"
+        )
+        adc = (
+            # broadcast cell join on the *partition* column → dynamic
+            # partition pruning (asserted in tests/test_plans.py)
+            codes.join(F.broadcast(qbl),
+                       codes["bucket"] == qbl["qbucket"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            # replayed extend appends duplicate whole rows; a vector
+            # must not surface at two shortlist ranks (same guard as
+            # dedup_index — which row survives is immaterial)
+            .dropDuplicates(["query_id", "vec_id"])
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.expr(adot).alias("adot"),
+                # a vector lives in exactly one cell; carrying it lets
+                # the exact re-rank prune the float table's partitions
+                F.col("bucket").alias("nbucket"),
+            )
+        )
+    else:
+        # narrow legacy layout: (vec_id, sub, code, bucket) rows
+        adc = (
+            codes.join(F.broadcast(qb), codes["bucket"] == qb["qbucket"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            # duplicate (vec_id, sub) rows would double-count the ADC
+            # sum below, corrupting shortlist ranking
+            .dropDuplicates(["query_id", "vec_id", "sub"])
+            .join(F.broadcast(lut), ["query_id", "sub", "code"])
+            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+            .agg(
+                F.sum(F.col("pdot").cast(_ACC)).cast("double")
+                .alias("adot"),
+                F.max("bucket").alias("nbucket"),
+            )
+        )
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("adot"), F.asc("neighbor_id")
     )
