@@ -292,3 +292,38 @@ def test_wide_codes_match_assign_codes(spark):
         for vid, d in per_vec.items()
     }
     assert got == want and got
+
+
+def test_probe_correct_with_short_codebook(spark):
+    """ADVICE r7: a corpus smaller than ``k`` trains a short codebook
+    (``init_codebook`` seeds min(N, k) centroids); the wide layout's
+    flattened-LUT stride must come from the codebook the index actually
+    has, not meta's requested k — with the requested-k stride the ADC
+    silently misreads other subspaces' partials."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(10)]  # N=10 < k=16 → 10-code codebook
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    table = "ivfpq_shortcb"
+    try:
+        # 2 cells so nprobe=2 (home + its one flip) covers the corpus
+        ipq.build_ivfpq_index(spark, emb, table, m=4, k=16, n_buckets=2)
+        got = ipq.ivfpq_probe(
+            spark, table, emb.filter("vec_id = 0"), k=3, nprobe=2,
+            shortlist=10,
+        ).collect()
+        assert len(got) == 3
+        # with nprobe covering all cells and shortlist ≥ N the probe's
+        # exact re-rank must agree with brute force
+        from trignis_spark.operators.similarity import cosine_topk
+
+        want = {(r.neighbor_id, r.rank) for r in cosine_topk(
+            emb, "vec_id = 0", k=3).collect()}
+        assert {(r.neighbor_id, r.rank) for r in got} == want
+    finally:
+        from trignis_spark.operators.ivfpq_index import _all_tables
+
+        for t in _all_tables(table):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -353,3 +353,96 @@ def test_partitioned_compaction_recovery_matrix(spark, kept, appended):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+
+
+def test_partitioned_compaction_drops_orphan_appends_before_snapshot(spark):
+    """ADVICE r7: the orphan-``__appends`` drop must happen BEFORE the
+    fresh snapshot write. Dropped after, a crash between
+    ``saveAsTable(tmp)`` and the drop loop pairs a fresh snapshot with
+    a stale sidecar whose rows the snapshot already contains — the next
+    recovery run would then fold them in twice. Injected crash: the
+    snapshot write itself raises after completing; the stale sidecar
+    must already be gone, and the recovery run must leave no
+    duplicates."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from trignis_spark.maintenance import compact_partitioned_table
+
+    table = "maint_part_orphan_order"
+    tmp = f"{table}__compacting"
+    apx = f"{table}__appends"
+    try:
+        df = spark.range(0, 80).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("int").alias("pb"),
+        )
+        (
+            df.repartition("pb").write.mode("overwrite")
+            .partitionBy("pb").format("parquet").saveAsTable(table)
+        )
+        # stale orphan: rows 0..9 are already IN the table
+        spark.table(table).filter("doc_id < 10").write.mode(
+            "overwrite"
+        ).format("parquet").saveAsTable(apx)
+
+        real = DataFrameWriter.saveAsTable
+
+        def crash_after_write(self, name, *a, **kw):
+            real(self, name, *a, **kw)
+            if name == tmp:
+                raise RuntimeError("injected crash after snapshot write")
+
+        DataFrameWriter.saveAsTable = crash_after_write
+        try:
+            with pytest.raises(RuntimeError, match="injected"):
+                compact_partitioned_table(spark, table, "pb")
+        finally:
+            DataFrameWriter.saveAsTable = real
+        # the fix: stale sidecar gone BEFORE the snapshot existed
+        assert not spark.catalog.tableExists(apx)
+        # recovery folds extra = target ⊖ snapshot = ∅ — no duplicates
+        compact_partitioned_table(spark, table, "pb")
+        assert spark.table(table).count() == 80
+        assert spark.table(table).select("doc_id").distinct().count() == 80
+    finally:
+        for t in (table, tmp, apx, f"{apx}__staging"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_attach_table_db_qualified_name(spark):
+    """ADVICE r7: ``attach_table`` must resolve a ``db.tbl`` name via
+    the owning database's ``locationUri`` — the plain
+    ``warehouse/<name>`` join only holds for unqualified names in the
+    default database."""
+    from trignis_spark.maintenance import attach_table
+
+    import shutil
+    from urllib.parse import urlparse
+
+    db, tbl = "maintdb", "attach_qualified"
+    qual = f"{db}.{tbl}"
+    src = "attach_qualified_src"
+    try:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        spark.range(0, 25).withColumn("v", F.col("id") * 2).write.mode(
+            "overwrite"
+        ).format("parquet").saveAsTable(src)
+        # simulate a prior session's write into the db: files exist
+        # under <warehouse>/maintdb.db/<tbl> but this session's catalog
+        # has never heard of the table
+        dbdir = urlparse(
+            spark.catalog.getDatabase(db).locationUri
+        ).path
+        shutil.copytree(
+            os.path.join(
+                urlparse(spark.conf.get("spark.sql.warehouse.dir")).path,
+                src,
+            ),
+            os.path.join(dbdir, tbl),
+        )
+        assert attach_table(spark, qual) is True
+        assert spark.table(qual).count() == 25
+        assert attach_table(spark, qual) is False  # idempotent
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {src}")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

@@ -742,3 +742,89 @@ def test_band_values_expr_matches_reference(spark):
                 for st in starts
             ]
             assert got[vid] == want, (n_bands, band_bits, wide, vid)
+
+
+def test_clustered_capped_candidate_blocking_is_invisible(spark):
+    """Round 8 (VERDICT r7 #2): splitting the CANDIDATE side of the
+    within-cell scoring (CELL_TASK_CANDS) must not change results —
+    block-local top-m sets merge associatively to the cell-global
+    top-m, so the pair set and cosines are bit-identical to the
+    unsplit run even when both axes split at once."""
+    import random
+
+    rng = random.Random(47)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)])
+            for i in range(150)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.2, k_coarse=2, k_fine=2, assign_n=2, cap_m=3)
+    whole = {(r.d1, r.d2, r.cos) for r in
+             sim.cosine_near_dup_pairs_clustered_capped(
+                 emb, **kw).collect()}
+    oq, oc = sim.CELL_TASK_QUERIES, sim.CELL_TASK_CANDS
+    sim.CELL_TASK_QUERIES, sim.CELL_TASK_CANDS = 11, 7
+    try:
+        split = {(r.d1, r.d2, r.cos) for r in
+                 sim.cosine_near_dup_pairs_clustered_capped(
+                     emb, **kw).collect()}
+    finally:
+        sim.CELL_TASK_QUERIES, sim.CELL_TASK_CANDS = oq, oc
+    assert split == whole and whole
+
+
+def test_clustered_capped_group_rows_bounded(spark):
+    """The per-task memory bound (VERDICT r7 #2): every Arrow group the
+    capped sweep's grouped-map receives holds at most
+    CELL_TASK_QUERIES + CELL_TASK_CANDS rows — so a task's vector
+    payload is ≤ (Q + C) × dims × 8 bytes no matter how skewed the
+    cells are. Checked against a synthetic mega-cell via the chunk
+    assignment itself."""
+    # one giant cell: every vector shares (ccid, fid) = (0, 0)
+    slots = spark.range(0, 400).selectExpr(
+        "CAST(0 AS INT) AS ccid", "CAST(0 AS INT) AS fid",
+        "id AS vec_id", "array(CAST(id AS DOUBLE)) AS v",
+        "CAST(1.0 AS DOUBLE) AS n2",
+    )
+    oq, oc = sim.CELL_TASK_QUERIES, sim.CELL_TASK_CANDS
+    sim.CELL_TASK_QUERIES, sim.CELL_TASK_CANDS = 32, 48
+    try:
+        chunked = sim._chunk_slots(slots)
+        sizes = chunked.groupBy(
+            "ccid", "fid", "_qchunk", "_cchunk"
+        ).count().agg(F.max("count")).first()[0]
+        assert sizes <= 32 + 48
+        # and every (query, candidate) pair is covered exactly once
+        pairs = chunked.filter("_is_q").alias("q").join(
+            chunked.filter("_is_c").alias("c"),
+            (F.col("q._qchunk") == F.col("c._qchunk"))
+            & (F.col("q._cchunk") == F.col("c._cchunk")),
+        ).groupBy(
+            F.col("q.vec_id").alias("qv"), F.col("c.vec_id").alias("cv")
+        ).count()
+        assert pairs.filter("count != 1").count() == 0
+        assert pairs.count() == 400 * 400
+    finally:
+        sim.CELL_TASK_QUERIES, sim.CELL_TASK_CANDS = oq, oc
+
+
+def test_similarity_n_vectors_hint_skips_count(spark):
+    """VERDICT r7 #7: the auto-sizing entry points accept an
+    ``n_vectors`` hint so JDBC/stream-backed frames are not scanned
+    just to size a layout — with the hint supplied, ``count()`` must
+    never be called on the input."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, -1.0, 0.5]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def boom():
+        raise AssertionError("count() called despite n_vectors hint")
+
+    emb.count = boom  # shadow the bound method on this instance
+    sim.cosine_near_dup_pairs_banded(emb, 0.9, n_vectors=30)
+    sim.cosine_near_dup_pairs_clustered(emb, 0.4, k=None, n_vectors=30)
+    sim.cosine_near_dup_pairs_clustered_2level(
+        emb, 0.4, k_coarse=None, k_fine=None, n_vectors=30)
+    sim.cosine_near_dup_pairs_clustered_capped(emb, 0.4, n_vectors=30)
+    # and the dispatch path threads the hint through
+    sim.cosine_near_dup_pairs_clustered(
+        emb, 0.4, k=None, n_vectors=sim.FLAT_CLUSTER_MAX + 1)

@@ -379,3 +379,34 @@ def test_batch_anti_join_never_shuffles_the_corpus(spark):
     want = sorted(r["vec_id"] for r in
                   dup_batch.join(corpus, "vec_id", "left_anti").collect())
     assert got == want
+
+
+def test_batch_anti_join_oversized_batch_falls_back(spark):
+    """ADVICE r7: the semi-then-anti plan broadcasts the batch key set,
+    so a backfill-sized batch must fall back to the plain anti-join
+    instead of building an unbounded driver broadcast. Semantics are
+    identical on both routes."""
+    from pyspark.sql import functions as F
+
+    from trignis_spark.plans.bucketing import batch_anti_join
+
+    corpus = load(spark, SF, "embeddings").select("vec_id")
+    big = spark.range(0, 40).select(F.col("id").alias("vec_id"))
+    got = sorted(r["vec_id"] for r in
+                 batch_anti_join(big, corpus, "vec_id",
+                                 broadcast_max=10).collect())
+    want = sorted(r["vec_id"] for r in
+                  big.join(corpus, "vec_id", "left_anti").collect())
+    assert got == want
+    # the fallback is the direct anti-join — no broadcast of the batch
+    # key set (disable auto-broadcast so the assert sees the real shape)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            batch_anti_join(big, corpus, "vec_id", broadcast_max=10)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -41,6 +41,24 @@ from trignis_spark.sinks.generations import GenerationStore
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024  # HDFS-block-ish
 
 
+def _managed_table_dir(spark: SparkSession, table: str) -> str:
+    """Filesystem directory where the warehouse keeps (or kept)
+    ``table``'s data. Resolved via the owning *database's*
+    ``locationUri`` rather than ``os.path.join(warehouse_dir, name)``
+    (ADVICE r7): a db-qualified name (``db.tbl``) lives under
+    ``<warehouse>/db.db/tbl``, and a session whose current database is
+    not ``default`` stores unqualified names there too — the plain
+    warehouse join only holds for unqualified names in ``default``."""
+    from urllib.parse import urlparse
+
+    if "." in table:
+        db, tbl = table.rsplit(".", 1)
+    else:
+        db, tbl = spark.catalog.currentDatabase(), table
+    loc = urlparse(spark.catalog.getDatabase(db).locationUri).path
+    return os.path.join(loc, tbl.lower())
+
+
 def drop_table_and_location(spark: SparkSession, table: str) -> None:
     """DROP TABLE IF EXISTS plus removal of any *orphaned warehouse
     location*: a fresh session starts with an empty in-memory catalog,
@@ -49,11 +67,9 @@ def drop_table_and_location(spark: SparkSession, table: str) -> None:
     LOCATION_ALREADY_EXISTS. Local/derby-catalog concern only — with a
     shared metastore the catalog owns the locations."""
     import shutil
-    from urllib.parse import urlparse
 
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    path = os.path.join(wh, table.lower())
+    path = _managed_table_dir(spark, table)
     if os.path.isdir(path):
         shutil.rmtree(path)
 
@@ -84,12 +100,9 @@ def attach_table(spark: SparkSession, table: str,
     re-declared spec reads the existing files verbatim.
 
     Returns False when the table is already registered (idempotent)."""
-    from urllib.parse import urlparse
-
     if spark.catalog.tableExists(table):
         return False
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    path = os.path.join(wh, table.lower())
+    path = _managed_table_dir(spark, table)
     if not os.path.isdir(path):
         raise FileNotFoundError(
             f"attach_table: no warehouse directory at {path} for "
@@ -123,10 +136,7 @@ def warehouse_dir_partitioned(spark: SparkSession, table: str,
     use to tell a cell-*partitioned* index table (attach plain, recover
     partitions) from a legacy cell-*bucketed* one (attach with the
     bucket spec) before either is in the catalog."""
-    from urllib.parse import urlparse
-
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    path = os.path.join(wh, table.lower())
+    path = _managed_table_dir(spark, table)
     return os.path.isdir(path) and any(
         e.startswith(f"{col}=") for e in os.listdir(path)
     )
@@ -384,6 +394,16 @@ def compact_partitioned_table(
         spark.sql(f"ALTER TABLE {apx_stage} RENAME TO {apx}")
     else:
         cols = spark.table(table).columns  # partition col listed last
+        # a sidecar orphaned by a crash after a prior run's DROP of its
+        # snapshot holds rows the table already contains; it must go
+        # BEFORE the fresh snapshot write (ADVICE r7) — dropped after,
+        # a crash in between would pair the fresh tmp with the stale
+        # appends and the next recovery would fold those rows in twice.
+        # Dropping first is safe: the orphan's rows are in the table
+        # (its run verified+dropped tmp before crashing), so the
+        # snapshot below carries them whether or not we crash next.
+        for t in (apx_stage, apx):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
         (
             spark.table(table)
             .repartition(F.col(part_col))
@@ -392,11 +412,6 @@ def compact_partitioned_table(
             .format("parquet")
             .saveAsTable(tmp)
         )
-        # a sidecar orphaned by a crash after a prior run's DROP of its
-        # snapshot is fully folded into the fresh snapshot above —
-        # leaving it would double-fold those rows on a later recovery
-        for t in (apx_stage, apx):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
     src = spark.table(tmp).select(*cols)
     if extra is not None:
         src = src.unionByName(extra)

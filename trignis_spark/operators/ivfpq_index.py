@@ -428,7 +428,37 @@ def ivfpq_probe(
         # probe. The decimal left-fold equals the narrow SUM(DECIMAL)
         # exactly (decimal addition is exact), so results are
         # bit-identical and the oracle replays unchanged.
-        kk = int(meta["k"])
+        #
+        # The flattened-LUT stride is the number of codes PER SUBSPACE
+        # in the codebook the index actually has — not meta's requested
+        # ``k`` (ADVICE r7): a corpus smaller than k trains a short
+        # codebook (``init_codebook`` seeds min(N, k) centroids), and
+        # indexing ``lut[s*k + cd]`` with the requested k against a
+        # short LUT silently misreads other subspaces' partials. Derive
+        # it from the codebook (a one-row agg over an m·k-row table)
+        # and assert the density the stride arithmetic assumes: every
+        # sub carries the same count of dense codes 0..kk-1.
+        d = (
+            codebook.groupBy("sub")
+            .agg(
+                F.countDistinct("cid").alias("n"),
+                (F.max("cid") + F.lit(1)).alias("span"),
+            )
+            .agg(
+                F.min("n").alias("lo"),
+                F.max("n").alias("hi"),
+                F.max("span").alias("span"),
+            )
+            .first()
+        )
+        if d["lo"] != d["hi"] or d["hi"] != d["span"]:
+            raise ValueError(
+                f"ivfpq_probe: codebook of {table} is not dense — "
+                f"per-sub code counts span [{d['lo']}, {d['hi']}] with "
+                f"max code {d['span'] - 1}; the wide-layout ADC stride "
+                "requires a uniform dense codebook"
+            )
+        kk = int(d["hi"])
         lut_flat = lut.groupBy("query_id").agg(
             F.expr(
                 "transform(array_sort(collect_list("

@@ -391,6 +391,7 @@ def cosine_near_dup_pairs_banded(
     hamming_max: int | None = None,
     sig_bits: int = 62,
     wide: bool | None = None,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Production-scale embedding near-dup: overlapping sign-bit bands +
     a signature-Hamming prefilter before any full-vector join.
@@ -458,7 +459,12 @@ def cosine_near_dup_pairs_banded(
     if wide is None and hamming_max is not None:
         wide = False
     if n_bands is None or band_bits is None or wide is None:
-        n_corpus = embeddings.count()
+        # ``n_vectors`` skips the auto-sizing count (VERDICT r7 #7):
+        # metadata-cheap over parquet, but a FULL source scan over a
+        # JDBC/stream-backed frame — callers that already know their
+        # corpus size (the persistent indexes' meta rows, gen tools)
+        # pass it through
+        n_corpus = embeddings.count() if n_vectors is None else n_vectors
         if wide is None:
             # 62 sign bits separate qualifying (H≈18) from random
             # (H≈31) pairs by ~3.5σ — enough until the corpus's N²/2
@@ -543,6 +549,7 @@ def cosine_near_dup_pairs_clustered(
     k: int | None = 16,
     iters: int = 2,
     assign_n: int = 2,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Loose-threshold embedding near-dup via trained-quantizer
     blocking: candidates share one of each vector's ``assign_n``
@@ -574,13 +581,13 @@ def cosine_near_dup_pairs_clustered(
 
     from trignis_spark.operators import kmeans as km
 
-    n_corpus = embeddings.count()
+    n_corpus = embeddings.count() if n_vectors is None else n_vectors
     if n_corpus > FLAT_CLUSTER_MAX:
         side = (auto_two_level_k(n_corpus) if k is None
                 else max(2, math.ceil(math.sqrt(k))))
         return cosine_near_dup_pairs_clustered_2level(
             embeddings, threshold, k_coarse=side, k_fine=side,
-            iters=iters, assign_n=assign_n,
+            iters=iters, assign_n=assign_n, n_vectors=n_corpus,
         )
     if k is None:
         k = max(4, math.ceil(math.sqrt(n_corpus)))
@@ -624,6 +631,7 @@ def cosine_near_dup_pairs_clustered_2level(
     k_fine: int | None = 4,
     iters: int = 2,
     assign_n: int = 2,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Loose-threshold embedding near-dup with a **two-level trained
     quantizer** — the >10⁶-vector path the flat clustered form lacks.
@@ -654,7 +662,9 @@ def cosine_near_dup_pairs_clustered_2level(
     from trignis_spark.operators import kmeans as km
 
     if k_coarse is None or k_fine is None:
-        auto = auto_two_level_k(embeddings.count())
+        auto = auto_two_level_k(
+            embeddings.count() if n_vectors is None else n_vectors
+        )
         k_coarse = auto if k_coarse is None else k_coarse
         k_fine = auto if k_fine is None else k_fine
     coarse, fine = km.train_kmeans_2level(
@@ -686,6 +696,7 @@ def cosine_near_dup_pairs_clustered_capped(
     iters: int = 2,
     assign_n: int = 2,
     cap_m: int = 8,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Loose-threshold clustered near-dup with a **per-vector candidate
     bound** — the sweep mode that completes where the full sweep's
@@ -729,18 +740,24 @@ def cosine_near_dup_pairs_clustered_capped(
     columns, so an external SQL oracle still replays the truncation
     row-for-row.
 
-    Skew note: each cell is one Arrow group, so a pathologically
-    popular cell is a single-task straggler holding occupancy × dims
-    doubles in memory. Trained cells on real, clustered corpora stay
-    near the N/cells mean; an unstructured (isotropic gaussian) corpus
-    under first-k seeding measured ~17× skew (BASELINE.md wide-dim
-    table) — size ``k_coarse``/``k_fine`` up there: the cap keeps the
-    *output* linear at any cell count, so extra cells only trade
-    loose-pair recall."""
+    Skew note: a pathologically popular cell is bounded on BOTH task
+    axes (``_chunk_slots``): query chunks of ``CELL_TASK_QUERIES``
+    bound per-task compute, candidate chunks of ``CELL_TASK_CANDS``
+    bound per-task memory — a task's vector payload never exceeds
+    (CELL_TASK_QUERIES + CELL_TASK_CANDS) × dims × 8 bytes (~63 MB at
+    768 dims) plus the ~4 MB score accumulator, regardless of skew
+    (an unstructured isotropic-gaussian corpus under first-k seeding
+    measured ~17× skew — BASELINE.md wide-dim table). Block-local
+    top-m results merge associatively to the cell-global top-m, so
+    the blocking is invisible in the output. Extra cells
+    (``k_coarse``/``k_fine`` up) still trade loose-pair recall for
+    candidate volume; the cap keeps the *output* linear either way."""
     from trignis_spark.operators import kmeans as km
 
     if k_coarse is None or k_fine is None:
-        auto = auto_two_level_k(embeddings.count())
+        auto = auto_two_level_k(
+            embeddings.count() if n_vectors is None else n_vectors
+        )
         k_coarse = auto if k_coarse is None else k_coarse
         k_fine = auto if k_fine is None else k_fine
     coarse, fine = km.train_kmeans_2level(
@@ -751,64 +768,142 @@ def cosine_near_dup_pairs_clustered_capped(
     )
     base = _prep(embeddings)
     slots = asg.join(base, "vec_id")
-    # mega-cell parallelism: a cell's scoring is occupancy² and would
-    # otherwise run inside ONE task (the 768-dim gaussian corpus
-    # measured a 21 k-member cell — a lone multi-minute straggler).
-    # Split each cell's QUERY side into ⌈occ / CELL_TASK_QUERIES⌉
-    # chunks; every chunk group carries the full cell as candidates,
-    # so each vector's top-m is still computed against ALL cell-mates
-    # — bit-identical results (the oracle replays the unsplit
-    # semantics), just ⌈occ/chunk⌉-way parallel. Candidate rows
-    # replicate per chunk, but only for cells that exceed the bound.
+    chunked = _chunk_slots(slots)
+    scored = chunked.groupBy(
+        "ccid", "fid", "_qchunk", "_cchunk"
+    ).applyInPandas(
+        _topm_cellmates_fn(cap_m),
+        "ccid int, fid int, qid long, nid long, cos double, ncand int",
+    )
+    # single-candidate-block cells (every cell at or under
+    # CELL_TASK_CANDS occupancy — all of them on a typical corpus): the
+    # group-local top-m IS the per-slot top-m, no merge needed
+    direct = scored.filter(F.col("ncand") == 1).select(
+        F.least("qid", "nid").alias("d1"),
+        F.greatest("qid", "nid").alias("d2"),
+    )
+    # candidate-split mega-cells: each block emitted its local
+    # top-min(cap_m, block) with exact cosines, and the global top-m is
+    # a subset of the union of block top-ms (top-k merges
+    # associatively), so one windowed rank over the union — ordered
+    # exactly like the in-block stable argsort, cos desc then id —
+    # reproduces the unsplit semantics bit-for-bit
+    wm = Window.partitionBy("ccid", "fid", "qid").orderBy(
+        F.desc("cos"), F.asc("nid")
+    )
+    merged = (
+        scored.filter(F.col("ncand") > 1)
+        .withColumn("_rn", F.row_number().over(wm))
+        .filter(F.col("_rn") <= cap_m)
+        .select(
+            F.least("qid", "nid").alias("d1"),
+            F.greatest("qid", "nid").alias("d2"),
+        )
+    )
+    cand = direct.unionByName(merged).distinct()
+    return _verify_pairs(cand, base, threshold)
+
+
+#: query rows per within-cell scoring task: a chunk's work is
+#: CELL_TASK_QUERIES × candidates × dims element-ops, so this bounds
+#: the straggler a skewed cell can produce (~2 min at occ 40 k × 768
+#: dims before candidate blocking; ~seconds per task after)
+CELL_TASK_QUERIES = 2048
+
+#: candidate rows per within-cell scoring task (round 8 — VERDICT r7
+#: #2): before this bound every query chunk carried the FULL cell as
+#: candidates, so a skewed cell's Arrow task materialized
+#: occupancy × dims doubles (a 40 k-member cell at 4096 dims is
+#: ~1.3 GB per task, ×32 concurrent tasks ≈ 42 GB — the chunking
+#: bounded *compute*, not *memory*). With both sides blocked, a task's
+#: vector payload is at most (CELL_TASK_QUERIES + CELL_TASK_CANDS) ×
+#: dims × 8 bytes — ~63 MB at 768 dims, ~335 MB at 4096 — plus the
+#: ≤4 MB score accumulator, regardless of cell skew
+#: (tests/test_operators.py::test_clustered_capped_group_rows_bounded).
+CELL_TASK_CANDS = 8192
+
+
+def _chunk_slots(slots: DataFrame) -> DataFrame:
+    """Blocking-slot rows → (cell, query-chunk, candidate-chunk)
+    groups for the capped sweep's within-cell scoring. A cell's scoring
+    is occupancy² and would otherwise run inside ONE task (the 768-dim
+    gaussian corpus measured a 21 k-member cell — a lone multi-minute
+    straggler holding the whole cell in memory). Both sides of the
+    score matrix are blocked:
+
+    - the QUERY side into ``⌈occ / CELL_TASK_QUERIES⌉`` chunks (bounds
+      per-task compute),
+    - the CANDIDATE side into ``⌈occ / CELL_TASK_CANDS⌉`` chunks
+      (bounds per-task memory — see ``CELL_TASK_CANDS``).
+
+    Each row lands in its home (query-chunk, candidate-chunk) group
+    once playing both roles, in its query chunk's other candidate
+    blocks as query only, and in its candidate chunk's other query
+    blocks as candidate only — so every (query, candidate) pair is
+    scored in exactly ONE group, and each vector's top-m per block
+    merges associatively to the cell-global top-m downstream.
+    Replication is ``nsplit + ncand − 1`` copies per row, and both
+    factors exceed 1 only for cells past the bounds."""
     counts = slots.groupBy("ccid", "fid").agg(
         F.count(F.lit(1)).alias("_occ")
     )
-    chunked = (
+    return (
         slots.join(F.broadcast(counts), ["ccid", "fid"])
         .withColumn(
             "_nsplit",
             F.ceil(F.col("_occ") / F.lit(CELL_TASK_QUERIES)).cast("int"),
         )
-        .withColumn("_qchunk", F.explode(F.expr("sequence(0, _nsplit - 1)")))
         .withColumn(
-            "_is_q",
-            F.pmod(F.col("vec_id"), F.col("_nsplit")) == F.col("_qchunk"),
+            "_ncand",
+            F.ceil(F.col("_occ") / F.lit(CELL_TASK_CANDS)).cast("int"),
         )
+        .withColumn("_oq", F.pmod(F.col("vec_id"), F.col("_nsplit")).cast("int"))
+        .withColumn("_oc", F.pmod(F.col("vec_id"), F.col("_ncand")).cast("int"))
+        .withColumn(
+            "_chunk",
+            F.explode(F.expr(
+                "concat("
+                "transform(sequence(0, _ncand - 1), "
+                "c -> named_struct('q', _oq, 'c', c)), "
+                "transform(filter(sequence(0, _nsplit - 1), "
+                "q -> q != _oq), q -> named_struct('q', q, 'c', _oc)))"
+            )),
+        )
+        .withColumn("_qchunk", F.col("_chunk.q"))
+        .withColumn("_cchunk", F.col("_chunk.c"))
+        .withColumn("_is_q", F.col("_qchunk") == F.col("_oq"))
+        .withColumn("_is_c", F.col("_cchunk") == F.col("_oc"))
     )
-    cand = (
-        chunked.groupBy("ccid", "fid", "_qchunk")
-        .applyInPandas(_topm_cellmates_fn(cap_m), "d1 long, d2 long")
-        .distinct()
-    )
-    return _verify_pairs(cand, base, threshold)
-
-
-#: query rows per within-cell scoring task: a chunk's work is
-#: CELL_TASK_QUERIES × occupancy × dims element-ops, so this bounds the
-#: straggler a skewed cell can produce (~2 min at occ 40 k × 768 dims)
-CELL_TASK_QUERIES = 2048
 
 
 def _topm_cellmates_fn(cap_m: int):
     """Grouped-map body for ``cosine_near_dup_pairs_clustered_capped``:
-    one (cell, query-chunk) group in — every cell member as candidate,
-    the ``_is_q`` rows as queries — and the ordered (d1 < d2) union of
-    each query's ``cap_m`` nearest cell-mates out. Bit-exact contract
-    with the SQL oracle (see the operator docstring): the dot
-    accumulates ``acc = acc + x_i·y_i`` in ascending component order
-    (each elementwise numpy op is the same correctly-rounded IEEE
-    double op as the SQL fold step), and ranking is a stable argsort
-    over columns pre-sorted by vec_id — exactly ORDER BY -cos, id."""
+    one (cell, query-chunk, candidate-chunk) group in — the ``_is_c``
+    rows as candidates, the ``_is_q`` rows as queries — and each
+    query's block-local top-``cap_m`` nearest candidates out, with
+    their exact cosines (the downstream merge re-ranks the union when
+    a cell was candidate-split; ``ncand`` tells it whether one was).
+    Bit-exact contract with the SQL oracle (see the operator
+    docstring): the dot accumulates ``acc = acc + x_i·y_i`` in
+    ascending component order (each elementwise numpy op is the same
+    correctly-rounded IEEE double op as the SQL fold step — and the
+    per-pair expression tree is independent of the blocking), and
+    ranking is a stable argsort over columns pre-sorted by vec_id —
+    exactly ORDER BY -cos, id."""
 
     def fn(pdf):
         import numpy as np
         import pandas as pd
 
-        empty = pd.DataFrame(
-            {"d1": np.array([], np.int64), "d2": np.array([], np.int64)}
-        )
-        occ = len(pdf)
-        if occ < 2:
+        empty = pd.DataFrame({
+            "ccid": np.array([], np.int32),
+            "fid": np.array([], np.int32),
+            "qid": np.array([], np.int64),
+            "nid": np.array([], np.int64),
+            "cos": np.array([], np.float64),
+            "ncand": np.array([], np.int32),
+        })
+        if len(pdf) < 2:
             return empty
         order = np.argsort(pdf["vec_id"].to_numpy(np.int64),
                            kind="stable")
@@ -818,40 +913,54 @@ def _topm_cellmates_fn(cap_m: int):
         )
         n2 = pdf["n2"].to_numpy(np.float64)[order]
         qidx = np.flatnonzero(pdf["_is_q"].to_numpy(bool)[order])
-        if len(qidx) == 0:
+        cidx = np.flatnonzero(pdf["_is_c"].to_numpy(bool)[order])
+        if len(qidx) == 0 or len(cidx) == 0:
             return empty
         dims = vecs.shape[1]
-        m = min(cap_m, occ - 1)
-        d1s, d2s = [], []
-        # block height keeps the (block × occ) accumulator ~4 MB so
-        # the dims sequential passes over it stay cache-resident — the
-        # fold is inherently dims passes (exactness forbids matmul's
-        # reassociation), and an L3-sized accumulator is the
-        # difference between compute-bound and 20 TB of DRAM traffic
-        # on a 40 k-member cell
-        block = max(1, min(512, (1 << 19) // max(1, occ)))
+        cids = ids[cidx]
+        cn2 = n2[cidx]
+        nc = len(cidx)
+        m = min(cap_m, nc)
+        qs, ns, cs = [], [], []
+        # block height keeps the (block × candidates) accumulator
+        # ~4 MB so the dims sequential passes over it stay
+        # cache-resident — the fold is inherently dims passes
+        # (exactness forbids matmul's reassociation), and an L3-sized
+        # accumulator is the difference between compute-bound and
+        # 20 TB of DRAM traffic on a big cell
+        block = max(1, min(512, (1 << 19) // max(1, nc)))
         vt = np.ascontiguousarray(vecs.T)  # column reads stride-1
-        tmp = np.empty((block, occ))
+        ct = np.ascontiguousarray(vecs[cidx].T)
+        tmp = np.empty((block, nc))
         for s in range(0, len(qidx), block):
             rows = qidx[s:s + block]
             b = len(rows)
-            acc = np.zeros((b, occ))
+            acc = np.zeros((b, nc))
             t = tmp[:b]
             for i in range(dims):
                 # ascending-component fold — the SQL/DuckDB
                 # expression tree, elementwise
-                np.multiply(vt[i, rows, None], vt[i, None, :], out=t)
+                np.multiply(vt[i, rows, None], ct[i, None, :], out=t)
                 acc += t
-            negc = -(acc / np.sqrt(np.multiply.outer(n2[rows], n2)))
-            negc[np.arange(b), rows] = np.inf  # self
+            negc = -(acc / np.sqrt(np.multiply.outer(n2[rows], cn2)))
+            negc[ids[rows][:, None] == cids[None, :]] = np.inf  # self
             top = np.argsort(negc, axis=1, kind="stable")[:, :m]
             src = np.repeat(ids[rows], m)
-            nbr = ids[top.ravel()]
-            keep = src != nbr  # self survives only when occ <= cap_m
-            d1s.append(np.minimum(src[keep], nbr[keep]))
-            d2s.append(np.maximum(src[keep], nbr[keep]))
+            nbr = cids[top.ravel()]
+            keep = src != nbr  # self survives only when nc <= cap_m
+            qs.append(src[keep])
+            ns.append(nbr[keep])
+            cs.append(-negc[np.arange(b)[:, None], top].ravel()[keep])
         return pd.DataFrame({
-            "d1": np.concatenate(d1s), "d2": np.concatenate(d2s),
+            "ccid": np.full(sum(map(len, qs)),
+                            np.int32(pdf["ccid"].iloc[0])),
+            "fid": np.full(sum(map(len, qs)),
+                           np.int32(pdf["fid"].iloc[0])),
+            "qid": np.concatenate(qs),
+            "nid": np.concatenate(ns),
+            "cos": np.concatenate(cs),
+            "ncand": np.full(sum(map(len, qs)),
+                             np.int32(pdf["_ncand"].iloc[0])),
         })
 
     return fn

@@ -42,8 +42,19 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), list(on), how)
 
 
+#: batch rows past which ``batch_anti_join`` falls back to the plain
+#: sort-merge anti-join: the semi-then-anti plan broadcasts the batch
+#: key set AND the semi-join survivors, so a backfill/full-resync-sized
+#: batch would otherwise build an arbitrarily large driver broadcast
+#: (ADVICE r7 — Spark hard-fails broadcasts at 8 GB and OOMs earlier).
+#: 1 M id-sized rows ≈ tens of MB, the same order as the similarity
+#: module's VERIFY_BROADCAST_MAX.
+BATCH_BROADCAST_MAX = 1_000_000
+
+
 def batch_anti_join(batch: DataFrame, corpus: DataFrame,
-                    on: str) -> DataFrame:
+                    on: str,
+                    broadcast_max: int = BATCH_BROADCAST_MAX) -> DataFrame:
     """``batch LEFT ANTI corpus``, planned for a poll-sized left side
     against a corpus-sized keyed right side. The naive
     ``batch.join(corpus, on, "left_anti")`` cannot broadcast — only the
@@ -59,9 +70,19 @@ def batch_anti_join(batch: DataFrame, corpus: DataFrame,
     Identical multiset semantics to the direct anti-join: a batch row
     is dropped iff its key exists in the corpus; duplicate batch rows
     survive or drop together in both forms, and corpus-side duplicate
-    keys never multiply an anti/semi output."""
+    keys never multiply an anti/semi output.
+
+    Poll-sized is a *contract*, gated not assumed (ADVICE r7): a batch
+    above ``broadcast_max`` rows (checked with a LocalLimit probe, not
+    a full count) falls back to the plain anti-join — one corpus
+    sort-merge, the price of a backfill, instead of an unbounded
+    driver broadcast."""
     from pyspark.sql import functions as F
 
+    from trignis_spark.operators.similarity import exceeds
+
+    if exceeds(batch, broadcast_max):
+        return batch.join(corpus.select(on), on, "left_anti")
     present = corpus.select(on).join(
         F.broadcast(batch.select(on).distinct()), on, "left_semi"
     )
