@@ -68,6 +68,7 @@ OPTIONAL = [
     "dedup_index_probe",
     "dedup_embedding_cosine_clustered_scaled",
     "dedup_embedding_cosine_prod_wide",
+    "dedup_embedding_cosine_prod_wide768",
     "dedup_embedding_cosine_clustered_capped",
 ]
 

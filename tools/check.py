@@ -7,6 +7,13 @@ stringified rows (stricter than any reasonable value-hash the driver
 could use). Usage:
 
     python tools/check.py [--sf /root/testdata/sf0.01] [--only name,name]
+
+Runtime budget (local[32], 120 registered queries): expect ~2.5 min at
+sf0.01 and ~8 min at sf0.1. A run drifting well past those numbers
+means ONE query went runaway — bisect with --only rather than waiting
+out a hung CI (the workflow's timeout-minutes is sized ~2× the sf0.01
+budget). NOTE: --only silently ignores names not present in the
+registry; verify spelling against __spark_entry__.queries().
 """
 
 from __future__ import annotations

@@ -1501,6 +1501,87 @@ def dedup_embedding_cosine_prod_wide(
     )
 
 
+#: deterministic in-query widening of the 64-dim fixture vectors to
+#: 768 dims: each component fans out to 12 exact binary scalings
+#: (sign flips and /2^k are bit-exact in doubles, so Spark and DuckDB
+#: compute identical widened vectors). Keeps width-dependent code —
+#: signature expressions over non-leading components, the
+#: dims-measured broadcast byte gate — under the per-round oracle
+#: gate, where the 768-dim proofs previously lived only in hand-run
+#: tools (VERDICT r7 #6).
+_W768_TIERS = ["x", "-x", "x / 2", "-x / 2", "x / 4", "-x / 4",
+               "x / 8", "-x / 8", "x / 16", "-x / 16",
+               "x / 32", "-x / 32"]
+
+
+@register(
+    "dedup_embedding_cosine_prod_wide768",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id % 97 = 0),
+    w AS (SELECT vec_id,
+                 flatten(list_transform(v, x ->
+                   [{", ".join(_W768_TIERS)}])) AS wv
+          FROM e),
+    p AS (SELECT vec_id, list_transform(wv, x -> x + {PLANT_EPS}) AS pv
+          FROM w),
+    pair AS (
+      SELECT w.vec_id AS d1, w.vec_id + {PLANT_STRIDE} AS d2,
+             {_DDOT.format(a='w.wv', b='p.pv')}
+             / sqrt({_DNORM2.format(a='w.wv')} * {_DNORM2.format(a='p.pv')})
+             AS cos
+      FROM w JOIN p USING (vec_id))
+    SELECT d1, d2, cos FROM pair WHERE cos >= 0.9
+    """,
+)
+def dedup_embedding_cosine_prod_wide768(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The banded near-dup at REAL embedding width, oracle-gated per
+    round (VERDICT r7 #6): every other registry row runs on the
+    driver's 64-dim fixtures, so the width-dependent code paths — the
+    sign/difference signature expressions reading past component 64,
+    the 124-bit Hamming prefilter, and the exact-verify broadcast
+    gate's dims-measured byte arithmetic (768 dims ⇒ an ~86.7 k-row
+    ceiling instead of ~1 M) — were proven only by hand-run tools on
+    generated corpora. Here the fixture vectors are widened to 768
+    dims *inside the query* by exact binary scalings both engines
+    replay bit-identically, an ε-copy is planted for every 97th
+    vector, and the full wide-signature banded operator runs over the
+    widened corpus; the oracle computes each planted pair's exact
+    cosine directly, so a recall miss introduced at width fails the
+    gate as a row-count mismatch."""
+    emb = load(spark, sf_dir, "embeddings")
+    widen = (
+        "flatten(transform(embedding, x -> array("
+        + ", ".join(_W768_TIERS) + ")))"
+    )
+    base = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform({widen}, x -> CAST(x AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    plant = base.filter(F.expr("vec_id % 97 = 0")).select(
+        (F.col("vec_id") + F.lit(PLANT_STRIDE)).alias("vec_id"),
+        F.expr(
+            f"transform(embedding, x -> x + {PLANT_EPS}D)"
+        ).alias("embedding"),
+    )
+    pairs = sim.cosine_near_dup_pairs_banded(
+        base.unionByName(plant),
+        threshold=0.9,
+        n_bands=16,
+        band_bits=12,
+        sig_bits=62,
+        wide=True,
+    )
+    return pairs.filter(
+        (F.col("d2") - F.col("d1") == PLANT_STRIDE)
+        & (F.col("d1") % 97 == 0)
+    )
+
+
 # --------------------------------------------------------------------------
 # Composition queries: corpus assembly + log merge (W4, union set-op)
 # --------------------------------------------------------------------------
