@@ -164,3 +164,90 @@ def test_packed_assignment_matches_window_ranking_with_ties(spark):
     # ties land on the LOWEST cid (cids 5, 6 shadow 0, 1 exactly)
     one = km.assign_clusters(emb, cents)
     assert not {r.cid for r in one.collect()} & {5, 6}
+
+
+def _tie_corpus(spark, dims=8, n=80):
+    """Corpus engineered for assignment ties: duplicate vectors (exact
+    zero-distance ties across centroids seeded from them) plus random
+    rows."""
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(n):
+        if i % 7 == 0 and i > 0:
+            rows.append((i, list(rows[i - 1][1])))  # exact duplicate
+        else:
+            rows.append((i, [rng.uniform(-1, 1) for _ in range(dims)]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def _force_arrow(val):
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        orig = km.VECTORIZED_ASSIGN_MIN_SCORE
+        km.VECTORIZED_ASSIGN_MIN_SCORE = val
+        try:
+            yield
+        finally:
+            km.VECTORIZED_ASSIGN_MIN_SCORE = orig
+
+    return cm()
+
+
+def test_arrow_assignment_matches_hof_flat(spark):
+    """Round 8: the Arrow-vectorized assignment must be BIT-IDENTICAL
+    to the ``_nearest_expr`` HOF projection — same ascending-component
+    fold, same (d2, cid) tie-break — on a tie-laden corpus, for n=1
+    and n>1, carry included."""
+    emb = _tie_corpus(spark)
+    cents = km.init_centroids(emb, 6)
+    for n in (1, 3):
+        with _force_arrow(10**9):  # force HOF
+            hof = km.assign_clusters_topn(emb, cents, n)
+            want = sorted((r.vec_id, r.cid) for r in hof.collect())
+        with _force_arrow(0):  # force Arrow
+            arr = km.assign_clusters_topn(emb, cents, n)
+            got = sorted((r.vec_id, r.cid) for r in arr.collect())
+        assert got == want and got
+
+
+def test_arrow_assignment_matches_hof_fine(spark):
+    """Same bit-exactness lock for the per-coarse-cell fine assignment,
+    including the inner-join drop of vectors whose coarse cell has no
+    fine centroids."""
+    emb = _tie_corpus(spark)
+    with _force_arrow(10**9):
+        coarse, fine = km.train_kmeans_2level(emb, 3, 2, iters=1)
+        coarse = coarse.localCheckpoint(eager=True)
+        # drop one coarse cell's fine centroids to exercise the
+        # inner-join parity
+        fine = fine.filter("ccid <> 1").localCheckpoint(eager=True)
+        want1 = sorted(
+            (r.vec_id, r.ccid, r.fid)
+            for r in km.assign_cells_2level_topn(
+                emb, coarse, fine, 2, 2).collect()
+        )
+    with _force_arrow(0):
+        got1 = sorted(
+            (r.vec_id, r.ccid, r.fid)
+            for r in km.assign_cells_2level_topn(
+                emb, coarse, fine, 2, 2).collect()
+        )
+    assert got1 == want1 and got1
+
+
+def test_arrow_training_matches_hof_training(spark):
+    """Training through the Arrow assignment path must produce the
+    exact centroids of the HOF path — every Lloyd round's assignment
+    is bit-identical, so the decimal means are too."""
+    emb = _tie_corpus(spark, dims=6, n=60)
+    with _force_arrow(10**9):
+        want = _centroid_map(km.train_kmeans(emb, 5, iters=2))
+    with _force_arrow(0):
+        got = _centroid_map(km.train_kmeans(emb, 5, iters=2))
+    assert got == want and len(got) == 5

@@ -158,6 +158,88 @@ def assign_clusters_topn(embeddings: DataFrame, centroids: DataFrame,
                              centroids, n)
 
 
+#: per-row score size (centroids × dims) above which assignment
+#: dispatches to the Arrow-vectorized path (round 8): Spark evaluates
+#: higher-order-function lambdas interpreted — never codegen'd — at
+#: ~86 µs per 768-dim distance (measured r7), so a 2 M × 768-dim
+#: corpus scoring 45 coarse cells would spend HOURS inside
+#: ``_nearest_expr`` where the numpy fold below does the identical
+#: arithmetic ~100× faster. Both paths are locked bit-identical
+#: (tests/test_kmeans.py::test_arrow_assignment_matches_hof*), so the
+#: dispatch is purely a performance decision; the floor keeps every
+#: pinned oracle fixture (64-dim, k ≤ ~100) on the expression path
+#: the DuckDB replay was written against.
+VECTORIZED_ASSIGN_MIN_SCORE = 32_768
+
+
+def _fold_sqdist(X, C, acc_out):
+    """Squared-L2 scores of every row of ``X`` (b × dims) against every
+    row of ``C`` (k × dims) with the EXACT expression tree of
+    ``_SQDIST``: the accumulator adds ``(x_i − y_i)²`` in ascending
+    component order, each step one correctly-rounded IEEE double op —
+    matmul/einsum would reassociate and drift the last ulp, flipping
+    argmin on near-ties. Writes into ``acc_out`` (b × k)."""
+    import numpy as np
+
+    acc_out[:] = 0.0
+    b, k = acc_out.shape
+    t = np.empty((b, k))
+    for i in range(X.shape[1]):
+        np.subtract(X[:, i, None], C[None, :, i], out=t)
+        np.multiply(t, t, out=t)
+        acc_out += t
+    return acc_out
+
+
+def _assign_vecs_topn_arrow(vecs: DataFrame, rows: list,
+                            n: int, carry: tuple) -> DataFrame:
+    """Arrow-vectorized twin of the ``_nearest_expr`` projection over
+    pre-collected centroid ``rows`` (cid-ordered; the collected matrix
+    IS the broadcast side — k × dims doubles, the same payload
+    ``_pack`` ships). Each Arrow batch scores it with the bit-exact
+    fold; ranking is ``argmin`` / stable ``argsort`` over cid-ordered
+    columns — exactly array_min / array_sort's (d2, cid) order. Same
+    map-side, zero-shuffle shape: mapInPandas is a projection over the
+    scan, no row explosion."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cids = np.asarray([r["cid"] for r in rows], np.int32)
+    C = np.asarray([r["cvec"] for r in rows], np.float64)
+    src = vecs.select(
+        "vec_id", *carry, *([] if "v" in carry else ["v"])
+    )
+    out_fields = [src.schema["vec_id"], *(src.schema[c] for c in carry),
+                  StructField("cid", IntegerType(), True)]
+    schema = StructType(out_fields)
+    keep = ["vec_id", *carry]
+    m = min(n, len(cids))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64,
+                                                     copy=False)
+            acc = np.empty((len(pdf), len(cids)))
+            _fold_sqdist(X, C, acc)
+            if n == 1:
+                out = pdf[keep].copy()
+                out["cid"] = cids[np.argmin(acc, axis=1)]
+                yield out
+            else:
+                top = np.argsort(acc, axis=1, kind="stable")[:, :m]
+                out = pdf[keep].iloc[
+                    np.repeat(np.arange(len(pdf)), m)
+                ].copy()
+                out["cid"] = cids[top.ravel()]
+                yield out
+
+    return src.mapInPandas(gen, schema)
+
+
 def _assign_vecs_topn(vecs: DataFrame, centroids: DataFrame, n: int,
                       carry: tuple = ()) -> DataFrame:
     """``assign_clusters_topn``'s core on prepped (vec_id, v) rows —
@@ -166,7 +248,16 @@ def _assign_vecs_topn(vecs: DataFrame, centroids: DataFrame, n: int,
     columns (e.g. ``v``) on the output: the projection is
     row-preserving, so a consumer that needs the vector next to its
     cell id takes it directly instead of joining back to the corpus
-    (the join-back was an N-row shuffle per Lloyd round)."""
+    (the join-back was an N-row shuffle per Lloyd round).
+
+    Dispatches to the Arrow-vectorized twin when the per-row score
+    size (k × dims) crosses ``VECTORIZED_ASSIGN_MIN_SCORE``; the size
+    probe collects the centroid table — k rows, the broadcast payload
+    either path ships anyway."""
+    rows = centroids.select("cid", "cvec").orderBy("cid").collect()
+    if rows and len(rows) * len(rows[0]["cvec"]) >= \
+            VECTORIZED_ASSIGN_MIN_SCORE:
+        return _assign_vecs_topn_arrow(vecs, rows, n, carry)
     packed = _pack(centroids, [], "cid")
     scored = vecs.crossJoin(F.broadcast(packed))
     cols = ["vec_id", *carry]
@@ -256,6 +347,71 @@ def _train_vecs(vecs: DataFrame, k: int, iters: int) -> DataFrame:
 # SQL oracle replays both levels bit-for-bit.
 
 
+def _assign_fine_arrow(vecs: DataFrame, rows: list, n: int,
+                       carry: tuple) -> DataFrame:
+    """Arrow-vectorized twin of ``_assign_fine``: the per-coarse-cell
+    fine centroid matrices are collected into one dict (k_coarse ×
+    k_fine × dims doubles — the payload ``_pack`` would broadcast
+    anyway) shipped via an explicit Spark broadcast, and each Arrow
+    batch groups its rows by ccid and scores its own cell's matrix
+    with the bit-exact fold. Rows whose ccid has no fine centroids
+    drop, mirroring the HOF form's inner join."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cells: dict = {}
+    for r in rows:
+        cells.setdefault(r["ccid"], ([], []))
+        cells[r["ccid"]][0].append(r["fid"])
+        cells[r["ccid"]][1].append(r["cvec"])
+    cells = {
+        cc: (np.asarray(fs, np.int32), np.asarray(vs, np.float64))
+        for cc, (fs, vs) in cells.items()
+    }
+    bc = vecs.sparkSession.sparkContext.broadcast(cells)
+    src = vecs.select(
+        "vec_id", "ccid", *carry, *([] if "v" in carry else ["v"])
+    )
+    keep = (["vec_id", "ccid", *carry] if n == 1
+            else ["vec_id", "ccid"])
+    out_fields = [*(src.schema[c] for c in keep),
+                  StructField("fid", IntegerType(), True)]
+    schema = StructType(out_fields)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parts = []
+            for cc, grp in pdf.groupby("ccid", sort=True):
+                cell = bc.value.get(cc)
+                if cell is None:  # no fine centroids ⇒ inner-join drop
+                    continue
+                fids, Cm = cell
+                X = np.stack(grp["v"].to_numpy()).astype(
+                    np.float64, copy=False
+                )
+                acc = np.empty((len(grp), len(fids)))
+                _fold_sqdist(X, Cm, acc)
+                if n == 1:
+                    out = grp[keep].copy()
+                    out["fid"] = fids[np.argmin(acc, axis=1)]
+                else:
+                    m = min(n, len(fids))
+                    top = np.argsort(acc, axis=1, kind="stable")[:, :m]
+                    out = grp[keep].iloc[
+                        np.repeat(np.arange(len(grp)), m)
+                    ].copy()
+                    out["fid"] = fids[top.ravel()]
+                parts.append(out)
+            if parts:
+                import pandas as pd
+
+                yield pd.concat(parts, ignore_index=True)
+
+    return src.mapInPandas(gen, schema)
+
+
 def _assign_fine(vecs: DataFrame, fine: DataFrame, n: int = 1,
                  carry: tuple = ()) -> DataFrame:
     """(vec_id, ccid, fid): each vector's ``n`` nearest fine centroids
@@ -265,7 +421,21 @@ def _assign_fine(vecs: DataFrame, fine: DataFrame, n: int = 1,
     scores its own cell's centroids inside one projection expression
     (``_nearest_expr`` — same map-side, shuffle-free, bit-identical
     rationale as ``assign_clusters_topn``; ``carry`` keeps extra input
-    columns on the output, see ``_assign_vecs_topn``)."""
+    columns on the output, see ``_assign_vecs_topn``). Dispatches to
+    the Arrow twin past ``VECTORIZED_ASSIGN_MIN_SCORE`` on the
+    *largest* cell's score size — the HOF lambda is interpreted and
+    becomes the wall at wide dims (see ``_assign_vecs_topn``); the
+    size probe collects the fine table, the broadcast payload either
+    path ships anyway."""
+    rows = fine.select("ccid", "fid", "cvec").orderBy(
+        "ccid", "fid"
+    ).collect()
+    if rows:
+        from collections import Counter
+
+        kmax = max(Counter(r["ccid"] for r in rows).values())
+        if kmax * len(rows[0]["cvec"]) >= VECTORIZED_ASSIGN_MIN_SCORE:
+            return _assign_fine_arrow(vecs, rows, n, carry)
     packed = _pack(fine, ["ccid"], "fid")
     scored = vecs.join(F.broadcast(packed), "ccid")
     if n == 1:
