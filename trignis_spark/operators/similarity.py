@@ -767,7 +767,13 @@ def cosine_near_dup_pairs_clustered_capped(
         embeddings, coarse, fine, n_coarse=assign_n, n_fine=assign_n
     )
     base = _prep(embeddings)
-    slots = asg.join(base, "vec_id")
+    # the grouped map ships the RAW embedding column (float32 off
+    # parquet = half the bytes of the prepped doubles) and casts
+    # inside the fn — float→double widening is exact and the n2 fold
+    # replays there component-ascending, so results stay bit-identical
+    # to scoring the prepped vectors while the Arrow shuffle halves
+    # (~50 GB → ~25 GB at 2 M × 768 dims with 4 blocking slots)
+    slots = asg.join(embeddings.select("vec_id", "embedding"), "vec_id")
     chunked = _chunk_slots(slots)
     scored = chunked.groupBy(
         "ccid", "fid", "_qchunk", "_cchunk"
@@ -908,10 +914,15 @@ def _topm_cellmates_fn(cap_m: int):
         order = np.argsort(pdf["vec_id"].to_numpy(np.int64),
                            kind="stable")
         ids = pdf["vec_id"].to_numpy(np.int64)[order]
-        vecs = np.stack(pdf["v"].to_numpy()[order]).astype(
-            np.float64, copy=False
+        # raw embedding → float64: exact widening (the SQL _prep cast),
+        # and the n2 fold below is NORM2's expression tree — square
+        # each component, then accumulate ascending
+        vecs = np.stack(pdf["embedding"].to_numpy()[order]).astype(
+            np.float64
         )
-        n2 = pdf["n2"].to_numpy(np.float64)[order]
+        n2 = np.zeros(len(vecs))
+        for i in range(vecs.shape[1]):
+            n2 += vecs[:, i] * vecs[:, i]
         qidx = np.flatnonzero(pdf["_is_q"].to_numpy(bool)[order])
         cidx = np.flatnonzero(pdf["_is_c"].to_numpy(bool)[order])
         if len(qidx) == 0 or len(cidx) == 0:
