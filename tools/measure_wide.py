@@ -48,6 +48,18 @@ def main() -> int:
     ap.add_argument("--src", default=".localdata/wide768")
     ap.add_argument("--n-base", type=int, default=100_000)
     ap.add_argument("--legs", default="banded,banded_wide,capped,ivfpq")
+    ap.add_argument("--capped-cells", type=int, default=32,
+                    help="k_coarse = k_fine for the capped leg "
+                         "(cells = k^2; size ~ sqrt(N x slots / "
+                         "target_occ) per level)")
+    ap.add_argument("--cap-m", type=int, default=8)
+    ap.add_argument("--driver-mem", default="56g",
+                    help="JVM heap. NOT most-of-the-box: at 2 M x 768 "
+                         "an 80g heap got OS-OOM-killed at 101.9 GB "
+                         "java RSS (heap + ~20 GB Arrow/netty direct "
+                         "buffers) with 32 Python workers alongside; "
+                         "a smaller heap spills instead — same cluster "
+                         "lesson as executor memoryOverhead")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -58,7 +70,7 @@ def main() -> int:
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count()}]")
         .config("spark.sql.shuffle.partitions", "64")
-        .config("spark.driver.memory", "80g")
+        .config("spark.driver.memory", args.driver_mem)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -100,18 +112,21 @@ def main() -> int:
         report("banded_wide", time.time() - t0, got)
 
     if "capped" in legs:
-        # 32×32 cells instead of the auto 18×18: an isotropic gaussian
-        # corpus under first-k seeding skews cell occupancy ~17× (max
-        # 21 259 vs mean 1 250 at 18×18 — measured), and the skewed
-        # cell's packed scoring is a single-task straggler; the cap
-        # keeps output linear at any cell count, so more cells is the
-        # right dial here (see the operator's skew note)
+        # default 32×32 cells instead of the auto 18×18: an isotropic
+        # gaussian corpus under first-k seeding skews cell occupancy
+        # ~17× (max 21 259 vs mean 1 250 at 18×18 — measured), and
+        # more cells is the right dial here — the cap keeps output
+        # linear at any cell count (see the operator's skew note). At
+        # 2 M × 768 pass --capped-cells 128 (16 384 cells ⇒ ~490 mean
+        # occupancy) so the Σ occupancy²·dims scoring stays bounded.
+        kc = args.capped_cells
         t0 = time.time()
         got = {(r.d1, r.d2) for r in
                sim.cosine_near_dup_pairs_clustered_capped(
-                   emb, threshold=0.9, k_coarse=32, k_fine=32,
-                   cap_m=8).collect()}
-        report("clustered_capped_m8_32x32", time.time() - t0, got)
+                   emb, threshold=0.9, k_coarse=kc, k_fine=kc,
+                   cap_m=args.cap_m).collect()}
+        report(f"clustered_capped_m{args.cap_m}_{kc}x{kc}",
+               time.time() - t0, got)
 
     if "ivfpq" in legs:
         name = "wide768_ivfpq"
