@@ -175,10 +175,14 @@ def test_embedding_gate_rejects_near_dups_and_extends(spark, tmp_path):
             (11, [0.1, -2.0, 1.0, 0.3]),    # genuinely new direction
         ])
         fn(batch, epoch_id=0)
-        assert stats[-1].__dict__ == {
+        assert {k: v for k, v in stats[-1].__dict__.items()
+                if k != "timings"} == {
             "epoch_id": 0, "arrived": 2, "already_known": 0,
             "near_dup": 1, "accepted": 1,
         }
+        # stage telemetry: every stage ran on an accepting epoch
+        assert set(stats[-1].timings) == {"dedup", "probe", "write",
+                                          "extend"}
         got = {r["vec_id"] for r in spark.read.parquet(accepted_path).collect()}
         assert got == {11}
         ids = {r["vec_id"] for r in spark.table("emb_gate_idx_ids").collect()}
@@ -187,6 +191,14 @@ def test_embedding_gate_rejects_near_dups_and_extends(spark, tmp_path):
         # replay: everything known, nothing re-appended
         fn(batch, epoch_id=0)
         assert stats[-1].accepted == 0 and stats[-1].already_known == 1
+        # no accept → no write/extend stage ever launched
+        assert set(stats[-1].timings) == {"dedup", "probe"}
+
+        # all-replay epoch (every id already indexed): the probe —
+        # the cycle's dominant term at corpus scale — never launches
+        fn(vframe([(11, [0.1, -2.0, 1.0, 0.3])]), epoch_id=1)
+        assert stats[-1].already_known == 1 and stats[-1].near_dup == 0
+        assert set(stats[-1].timings) == {"dedup"}
         assert spark.read.parquet(accepted_path).count() == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS emb_gate_idx")

@@ -124,6 +124,7 @@ def main() -> int:
             "arrived": s.arrived, "already_known": s.already_known,
             "near_dup": s.near_dup, "accepted": s.accepted,
             "rows_per_sec": round(s.arrived / dt, 1),
+            "timings": s.timings,
         }), flush=True)
 
     # post-soak invariants: exactly-once index growth, no duplicate ids

@@ -249,13 +249,20 @@ def documents_from_outbox(outbox_df: DataFrame) -> DataFrame:
 
 @dataclass(frozen=True)
 class EmbeddingIngestStats:
-    """Per-epoch telemetry for the embedding gate."""
+    """Per-epoch telemetry for the embedding gate. ``timings`` maps
+    stage name → seconds (``dedup`` = ids anti-join, ``probe`` = index
+    probe + threshold, ``write`` = accepted append, ``extend`` = index
+    extend) so a too-slow poll cycle names its dominant term instead of
+    being one opaque number (the reference warns when a cycle overruns
+    its poll interval — ``Models/Environment.cs:53-54`` — and the
+    operator's first question is always *which stage*)."""
 
     epoch_id: int
     arrived: int
     already_known: int
     near_dup: int
     accepted: int
+    timings: dict | None = None
 
 
 def make_embedding_ingest_fn(
@@ -285,28 +292,58 @@ def make_embedding_ingest_fn(
 
     kw = {} if n_buckets is None else {"n_buckets": n_buckets}
 
+    import time
+
     def ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        t = {}
+        t0 = time.time()
         vecs = batch_df.select(
             F.col(id_col).cast("long").alias("vec_id"),
             F.col(emb_col).alias("embedding"),
         ).localCheckpoint(eager=True)
         known = spark.table(ai._ids_table(ann_table))
-        fresh = batch_anti_join(vecs, known, "vec_id")
-
-        hits = (
-            ai.probe_ann_index(
-                spark, ann_table, fresh, k=1, nprobe=nprobe,
-                include_score=True, **kw,
-            )
-            .filter(F.col("cos") >= cos_threshold)
-            .select(F.col("query_id").alias("vec_id"))
-            .distinct()
-        )
-        accepted = fresh.join(hits, "vec_id", "left_anti") \
+        # checkpoint the survivors (batch-sized): the anti-join runs
+        # once instead of under both the probe and the stats counts,
+        # and an all-replay epoch skips the probe entirely
+        fresh = batch_anti_join(vecs, known, "vec_id") \
             .localCheckpoint(eager=True)
+        t["dedup"] = time.time() - t0
+
+        n_fresh = fresh.count()
+        if n_fresh == 0:
+            accepted, n_acc = None, 0
+        else:
+            t0 = time.time()
+            hits = (
+                ai.probe_ann_index(
+                    spark, ann_table, fresh, k=1, nprobe=nprobe,
+                    include_score=True, **kw,
+                )
+                .filter(F.col("cos") >= cos_threshold)
+                .select(F.col("query_id").alias("vec_id"))
+                .distinct()
+            )
+            accepted = fresh.join(hits, "vec_id", "left_anti") \
+                .localCheckpoint(eager=True)
+            n_acc = accepted.count()
+            t["probe"] = time.time() - t0
+
+        if n_acc > 0:
+            t0 = time.time()
+            (
+                accepted.withColumn(
+                    "epoch_id", F.lit(epoch_id).cast("long")
+                )
+                .write.mode("append")
+                .parquet(accepted_path)
+            )
+            t["write"] = time.time() - t0
+            t0 = time.time()
+            ai.extend_ann_index(spark, accepted, ann_table, **kw)
+            t["extend"] = time.time() - t0
 
         if stats is not None:
-            n_all, n_fresh, n_acc = vecs.count(), fresh.count(), accepted.count()
+            n_all = vecs.count()
             stats.append(
                 EmbeddingIngestStats(
                     epoch_id=epoch_id,
@@ -314,15 +351,8 @@ def make_embedding_ingest_fn(
                     already_known=n_all - n_fresh,
                     near_dup=n_fresh - n_acc,
                     accepted=n_acc,
+                    timings={k: round(v, 3) for k, v in t.items()},
                 )
             )
-        if accepted.isEmpty():
-            return
-        (
-            accepted.withColumn("epoch_id", F.lit(epoch_id).cast("long"))
-            .write.mode("append")
-            .parquet(accepted_path)
-        )
-        ai.extend_ann_index(spark, accepted, ann_table, **kw)
 
     return ingest_batch
