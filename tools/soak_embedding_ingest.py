@@ -41,6 +41,10 @@ def main() -> int:
     ap.add_argument("--accepted", default=".localdata/soak2m_accepted")
     ap.add_argument("--skip-build", action="store_true",
                     help="reuse an existing index of the same name")
+    ap.add_argument("--driver-mem", default="56g",
+                    help="JVM heap; leave headroom for Arrow/netty "
+                         "direct buffers + Python workers (see "
+                         "measure_wide.py --driver-mem)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -53,7 +57,7 @@ def main() -> int:
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count()}]")
         .config("spark.sql.shuffle.partitions", "64")
-        .config("spark.driver.memory", "80g")
+        .config("spark.driver.memory", args.driver_mem)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

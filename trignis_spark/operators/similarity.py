@@ -708,7 +708,9 @@ def cosine_near_dup_pairs_clustered_capped(
     each vector keeps only its ``cap_m`` nearest cell-mates per
     blocking slot (exact cosine, ties to the lower vec_id), so the
     materialized candidate set is ≤ N·slots·cap_m pairs — linear in N
-    — and the verify stays broadcast-sized. The within-cell scoring
+    — and those candidates leave the scoring fn ALREADY exactly
+    verified (the fn's cosines are the verify fold, bit-for-bit), so
+    no vector is ever joined back onto a pair. The within-cell scoring
     still evaluates occupancy cosines per member, but inside ONE
     projection over the cell's packed member array (the
     ``kmeans._nearest_expr`` shape: no Σ occupancy² rows ever
@@ -717,7 +719,8 @@ def cosine_near_dup_pairs_clustered_capped(
 
     The cap is a *defined semantics*, not a silent truncation: a pair
     is reported iff it is within one member's ``cap_m`` nearest
-    cell-mates in a shared cell AND passes the exact-cosine verify —
+    cell-mates in a shared cell AND its exact cosine reaches the
+    threshold —
     deterministic (cos-then-id ranking over bit-identical doubles), so
     a SQL oracle replays it with a windowed row_number. Recall vs the
     uncapped sweep rises with ``cap_m`` (each near-dup only needs to
@@ -766,7 +769,6 @@ def cosine_near_dup_pairs_clustered_capped(
     asg = km.assign_cells_2level_topn(
         embeddings, coarse, fine, n_coarse=assign_n, n_fine=assign_n
     )
-    base = _prep(embeddings)
     # the grouped map ships the RAW embedding column (float32 off
     # parquet = half the bytes of the prepped doubles) and casts
     # inside the fn — float→double widening is exact and the n2 fold
@@ -781,33 +783,50 @@ def cosine_near_dup_pairs_clustered_capped(
         _topm_cellmates_fn(cap_m),
         "ccid int, fid int, qid long, nid long, cos double, ncand int",
     )
+    # The scoring fn's cosines ARE the exact verify: they accumulate
+    # the SQL fold's expression tree over exactly-widened doubles
+    # (bit-identical contract above), and cos(a,b) == cos(b,a) to the
+    # last bit (per-component multiply commutes; the fold order is
+    # fixed). So the threshold applies HERE — routing the candidates
+    # back through ``_verify_pairs`` would re-join full vectors onto
+    # ≤ N·slots·cap pairs (64 M at 2 M vectors), a sort-merge whose
+    # pair×vector intermediate measured its way to a filled 54 GB
+    # scratch disk at 2 M × 768 before this was fused (round 8).
+    #
     # single-candidate-block cells (every cell at or under
     # CELL_TASK_CANDS occupancy — all of them on a typical corpus): the
     # group-local top-m IS the per-slot top-m, no merge needed
-    direct = scored.filter(F.col("ncand") == 1).select(
+    direct = scored.filter(
+        (F.col("ncand") == 1) & (F.col("cos") >= threshold)
+    ).select(
         F.least("qid", "nid").alias("d1"),
         F.greatest("qid", "nid").alias("d2"),
+        "cos",
     )
     # candidate-split mega-cells: each block emitted its local
     # top-min(cap_m, block) with exact cosines, and the global top-m is
     # a subset of the union of block top-ms (top-k merges
     # associatively), so one windowed rank over the union — ordered
     # exactly like the in-block stable argsort, cos desc then id —
-    # reproduces the unsplit semantics bit-for-bit
+    # reproduces the unsplit semantics bit-for-bit; the threshold then
+    # prunes a suffix of each ranking (rows above any passing row pass
+    # too), so rank-then-threshold here equals the oracle's replay
     wm = Window.partitionBy("ccid", "fid", "qid").orderBy(
         F.desc("cos"), F.asc("nid")
     )
     merged = (
         scored.filter(F.col("ncand") > 1)
         .withColumn("_rn", F.row_number().over(wm))
-        .filter(F.col("_rn") <= cap_m)
+        .filter((F.col("_rn") <= cap_m) & (F.col("cos") >= threshold))
         .select(
             F.least("qid", "nid").alias("d1"),
             F.greatest("qid", "nid").alias("d2"),
+            "cos",
         )
     )
-    cand = direct.unionByName(merged).distinct()
-    return _verify_pairs(cand, base, threshold)
+    # a pair seen from both endpoints (or in several shared cells)
+    # carries the identical double both times — keep one
+    return direct.unionByName(merged).dropDuplicates(["d1", "d2"])
 
 
 #: query rows per within-cell scoring task: a chunk's work is
