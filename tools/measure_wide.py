@@ -69,7 +69,17 @@ def main() -> int:
 
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count()}]")
-        .config("spark.sql.shuffle.partitions", "64")
+        # 256, not 64: the capped leg's grouped-map exchange is
+        # ~rows × dims × 4 B (~30 GB at 2 M × 768) and the reduce-side
+        # group sort spills its WHOLE partition once a partition
+        # outgrows task execution memory — at 64 partitions (~470 MB
+        # each) the spill doubled peak scratch and filled the disk;
+        # at 256 (~120 MB) the sorts stay in memory and peak disk is
+        # the exchange alone
+        .config("spark.sql.shuffle.partitions", "256")
+        # zstd beats lz4 ~10% on float-array shuffle blocks — margin,
+        # not the fix
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.driver.memory", args.driver_mem)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
