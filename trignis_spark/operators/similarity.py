@@ -777,7 +777,28 @@ def cosine_near_dup_pairs_clustered_capped(
     # (~50 GB → ~25 GB at 2 M × 768 dims with 4 blocking slots)
     slots = asg.join(embeddings.select("vec_id", "embedding"), "vec_id")
     chunked = _chunk_slots(slots)
-    scored = chunked.groupBy(
+    # Size the grouped-map exchange so reduce-side group sorts never
+    # spill: the exchange carries ~n·slots rows × dims floats (~30 GB
+    # at 2 M × 768), and a reduce partition that outgrows task
+    # execution memory sorts by SPILLING ITS WHOLE INPUT — at the
+    # 64-partition default that doubled peak scratch and filled a
+    # 54 GB disk before any output (round 8, combined-regime leg).
+    # An explicit hash repartition on the group keys satisfies
+    # applyInPandas' clustered-distribution requirement (no second
+    # exchange) and pins ~SCORE_PARTITION_BYTES per partition; AQE
+    # leaves explicit repartition counts alone. Row count and width
+    # come from the frame already at hand — one row for dims, the
+    # n_vectors hint (or one count) for rows.
+    n_vec = embeddings.count() if n_vectors is None else n_vectors
+    dims = _vec_dims(embeddings, "embedding")
+    ex_bytes = n_vec * (assign_n * assign_n) * (dims * 4 + 64)
+    n_part = int(min(32768, max(
+        embeddings.sparkSession.sparkContext.defaultParallelism,
+        -(-ex_bytes // SCORE_PARTITION_BYTES),
+    )))
+    scored = chunked.repartition(
+        n_part, "ccid", "fid", "_qchunk", "_cchunk"
+    ).groupBy(
         "ccid", "fid", "_qchunk", "_cchunk"
     ).applyInPandas(
         _topm_cellmates_fn(cap_m),
@@ -793,29 +814,27 @@ def cosine_near_dup_pairs_clustered_capped(
     # pair×vector intermediate measured its way to a filled 54 GB
     # scratch disk at 2 M × 768 before this was fused (round 8).
     #
-    # single-candidate-block cells (every cell at or under
-    # CELL_TASK_CANDS occupancy — all of them on a typical corpus): the
-    # group-local top-m IS the per-slot top-m, no merge needed
-    direct = scored.filter(
-        (F.col("ncand") == 1) & (F.col("cos") >= threshold)
-    ).select(
-        F.least("qid", "nid").alias("d1"),
-        F.greatest("qid", "nid").alias("d2"),
-        "cos",
-    )
-    # candidate-split mega-cells: each block emitted its local
-    # top-min(cap_m, block) with exact cosines, and the global top-m is
-    # a subset of the union of block top-ms (top-k merges
-    # associatively), so one windowed rank over the union — ordered
-    # exactly like the in-block stable argsort, cos desc then id —
-    # reproduces the unsplit semantics bit-for-bit; the threshold then
-    # prunes a suffix of each ranking (rows above any passing row pass
-    # too), so rank-then-threshold here equals the oracle's replay
+    # ONE windowed pass over the fn's output — deliberately not a
+    # direct(ncand==1)/merged(ncand>1) split: two consumers of
+    # ``scored`` re-execute the Python scoring stage per branch (Spark
+    # reuses the exchange below a grouped map, never the grouped map
+    # itself — measured as a second full 25-minute stage at 2 M × 768).
+    # For single-candidate-block cells (every cell on a typical
+    # corpus) the window is a no-op by construction: the fn emitted at
+    # most ``cap_m`` rows per (cell, qid), already its global top-m.
+    # For candidate-split mega-cells each block emitted its local
+    # top-min(cap_m, block) with exact cosines, and the global top-m
+    # is a subset of their union (top-k merges associatively), so the
+    # rank — ordered exactly like the in-block stable argsort, cos
+    # desc then id — reproduces the unsplit semantics bit-for-bit.
+    # The threshold then prunes a suffix of each ranking (rows above
+    # any passing row pass too), matching the oracle's
+    # rank-then-threshold replay.
     wm = Window.partitionBy("ccid", "fid", "qid").orderBy(
         F.desc("cos"), F.asc("nid")
     )
-    merged = (
-        scored.filter(F.col("ncand") > 1)
+    pairs = (
+        scored
         .withColumn("_rn", F.row_number().over(wm))
         .filter((F.col("_rn") <= cap_m) & (F.col("cos") >= threshold))
         .select(
@@ -826,8 +845,16 @@ def cosine_near_dup_pairs_clustered_capped(
     )
     # a pair seen from both endpoints (or in several shared cells)
     # carries the identical double both times — keep one
-    return direct.unionByName(merged).dropDuplicates(["d1", "d2"])
+    return pairs.dropDuplicates(["d1", "d2"])
 
+
+#: target bytes per grouped-map reduce partition in the capped sweep
+#: (raw float32 vector payload). Sized so a partition's group sort
+#: stays within task execution memory on ~1 GB-per-task executors —
+#: a partition that outgrows it spills its WHOLE input, doubling the
+#: operator's peak scratch footprint (measured: the 2 M × 768 leg
+#: filled 54 GB of scratch at 64 partitions and ran disk-flat at 256).
+SCORE_PARTITION_BYTES = 128 * 1024 * 1024
 
 #: query rows per within-cell scoring task: a chunk's work is
 #: CELL_TASK_QUERIES × candidates × dims element-ops, so this bounds
