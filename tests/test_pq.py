@@ -100,3 +100,83 @@ def test_ivfpq_rerank_recovers_adc_ordering_loss(spark):
     }
     assert len(cascade & exact_cell) >= len(adc10 & exact_cell)
     assert len(cascade & exact_cell) / len(exact_cell) >= 0.5
+
+
+def _force_encode(val):
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        orig = pq.VECTORIZED_ENCODE_MIN_SCORE
+        pq.VECTORIZED_ENCODE_MIN_SCORE = val
+        try:
+            yield
+        finally:
+            pq.VECTORIZED_ENCODE_MIN_SCORE = orig
+
+    return cm()
+
+
+def _tie_corpus(spark):
+    # duplicate vectors seed duplicate centroids (first-k init), so
+    # assignments hit exact d2 ties that only the lowest-cid rule breaks
+    rows = [
+        (1, [1.0, 0.0, 2.0, -1.0]),
+        (2, [1.0, 0.0, 2.0, -1.0]),
+        (3, [0.0, 1.0, -2.0, 1.0]),
+        (4, [0.5, 0.5, 0.0, 0.0]),
+        (5, [-1.0, 2.0, 1.0, 1.0]),
+        (6, [1.0, 0.0, 2.0, -1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_arrow_encode_matches_hof(spark):
+    """Round 8: past ``VECTORIZED_ENCODE_MIN_SCORE`` the PQ encode
+    dispatches to the Arrow twin — codes (and codebooks trained through
+    the dispatched assignment) must match the HOF projection
+    BIT-IDENTICALLY on a tie-laden corpus."""
+    emb = _tie_corpus(spark)
+    with _force_encode(10**9):  # force HOF
+        cb_h = pq.train_pq(emb, m=2, k=3, iters=2)
+        want_cb = sorted(
+            (r.sub, r.cid, tuple(r.cvec)) for r in cb_h.collect()
+        )
+        want = sorted(
+            (r.vec_id, r.sub, r.code)
+            for r in pq.encode_pq(emb, cb_h, m=2).collect()
+        )
+    with _force_encode(0):  # force Arrow
+        cb_a = pq.train_pq(emb, m=2, k=3, iters=2)
+        got_cb = sorted(
+            (r.sub, r.cid, tuple(r.cvec)) for r in cb_a.collect()
+        )
+        got = sorted(
+            (r.vec_id, r.sub, r.code)
+            for r in pq.encode_pq(emb, cb_a, m=2).collect()
+        )
+    assert got_cb == want_cb
+    assert got == want and got
+
+
+def test_arrow_encode_matches_hof_wide(spark):
+    """Same lock for the wide one-row-per-vector codes layout
+    (``ivfpq_index._wide_codes``): the numpy fold over slice views must
+    reproduce the per-candidate slice expression's codes exactly,
+    bucket carried through."""
+    from trignis_spark.operators import ivfpq_index as ipq
+
+    emb = _tie_corpus(spark)
+    cb = pq.train_pq(emb, m=2, k=3, iters=1)
+    rows = ipq._bucketed(emb, 4)
+    with _force_encode(10**9):
+        want = sorted(
+            (r.vec_id, tuple(r.codes), r.bucket)
+            for r in ipq._wide_codes(rows, cb, 2).collect()
+        )
+    with _force_encode(0):
+        got = sorted(
+            (r.vec_id, tuple(r.codes), r.bucket)
+            for r in ipq._wide_codes(rows, cb, 2).collect()
+        )
+    assert got == want and got

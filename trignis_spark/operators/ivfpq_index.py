@@ -189,6 +189,67 @@ def _wide_codes(rows: DataFrame, codebook: DataFrame, m: int) -> DataFrame:
     left-fold squared-L2, and the tie-break the same struct-min
     (lowest d2, then lowest cid) — locked by
     tests/test_ivfpq_index.py::test_wide_codes_match_assign_codes."""
+    from trignis_spark.operators.pq import (
+        VECTORIZED_ENCODE_MIN_SCORE,
+        _codebook_matrices,
+    )
+
+    cb_rows = codebook.select("sub", "cid", "cvec").collect()
+    sub_dims = len(cb_rows[0]["cvec"]) if cb_rows else 0
+    k_max = max(
+        (sum(1 for r in cb_rows if r["sub"] == s)
+         for s in {r["sub"] for r in cb_rows}),
+        default=0,
+    )
+    if k_max * sub_dims >= VECTORIZED_ENCODE_MIN_SCORE:
+        # Arrow twin (round 8): the expression form below evaluates
+        # ``slice(v, ...)`` once per CANDIDATE — interpreted Slice
+        # builds a boxed Scala Vector each time (m·k = 128 per row at
+        # the defaults), and at 2 M × 768 two straggler encode tasks
+        # were killed after 45 minutes. The numpy fold is the same
+        # component-ascending (x−y)² tree over views of the SAME
+        # slice boundaries, argmin over cid-ascending columns = the
+        # struct-min tie-break — bit-identical codes
+        # (tests/test_pq.py::test_arrow_encode_matches_hof_wide).
+        import numpy as np
+
+        from trignis_spark.operators.kmeans import _fold_sqdist
+
+        mats = _codebook_matrices(cb_rows)
+        from pyspark.sql.types import (
+            ArrayType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        src = rows.select("vec_id", "bucket", "v")
+        schema = StructType([
+            src.schema["vec_id"],
+            StructField("codes", ArrayType(IntegerType()), True),
+            src.schema["bucket"],
+        ])
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["v"].to_numpy()).astype(
+                    np.float64, copy=False
+                )
+                d = X.shape[1] // m
+                codes = np.empty((len(pdf), m), np.int32)
+                for s in range(m):
+                    cids, C = mats[s]
+                    acc = np.empty((len(pdf), len(cids)))
+                    _fold_sqdist(X[:, s * d:(s + 1) * d], C, acc)
+                    codes[:, s] = cids[np.argmin(acc, axis=1)]
+                out = pdf[["vec_id"]].copy()
+                out["codes"] = list(codes)
+                out["bucket"] = pdf["bucket"].to_numpy()
+                yield out
+
+        return src.mapInPandas(gen, schema)
     packed = codebook.agg(
         F.array_sort(
             F.collect_list(F.struct("sub", "cid", "cvec"))

@@ -39,6 +39,85 @@ _SUBDOT = (
     "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 )
 
+#: per-subspace fold elements (k × sub_dims) above which PQ encoding
+#: dispatches to the Arrow twin (round 8). Spark evaluates HOF lambdas
+#: interpreted (never codegen'd) at ~0.1 µs/element, and the wide
+#: encode's per-CANDIDATE ``slice(v, ...)`` is worse still — each
+#: interpreted Slice builds a boxed Scala Vector, and at 2 M × 768
+#: (m=8, k=16: 128 slices/row) two straggler encode tasks were killed
+#: after 45 minutes where the numpy fold does the identical arithmetic
+#: in seconds. The floor keeps every pinned oracle fixture (64-dim,
+#: m=8, k=16 ⇒ 128 elements/subspace) on the expression path the
+#: DuckDB replays were written against; both paths are locked
+#: bit-identical by tests/test_pq.py::test_arrow_encode_matches_hof*.
+VECTORIZED_ENCODE_MIN_SCORE = 1024
+
+
+def _codebook_matrices(rows):
+    """Collected (sub, cid, cvec) rows → {sub: (cids int32 ascending,
+    C float64 k×sub_dims)}; ascending cid order makes ``argmin``'s
+    first-minimum the lowest-cid tie-break — exactly
+    ``_nearest_expr``'s array_min over (d2, cid) structs."""
+    import numpy as np
+
+    by_sub: dict = {}
+    for r in rows:
+        by_sub.setdefault(r["sub"], []).append((r["cid"], list(r["cvec"])))
+    out = {}
+    for s, pairs in by_sub.items():
+        pairs.sort()
+        out[s] = (
+            np.asarray([c for c, _ in pairs], np.int32),
+            np.asarray([v for _, v in pairs], np.float64),
+        )
+    return out
+
+
+def _assign_codes_arrow(subvecs: DataFrame, cb_rows: list,
+                        carry: tuple) -> DataFrame:
+    """Arrow-vectorized twin of ``assign_codes``' projection: each
+    batch's rows group by ``sub`` and score that subspace's codebook
+    with ``kmeans._fold_sqdist`` — the exact ``_SQDIST`` expression
+    tree (component-ascending (x−y)² accumulation, every step one
+    correctly-rounded IEEE double op), so codes match the HOF path
+    bit-for-bit. Same map-side, zero-shuffle projection shape."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from trignis_spark.operators.kmeans import _fold_sqdist
+
+    mats = _codebook_matrices(cb_rows)
+    src = subvecs.select(
+        "vec_id", "sub", *carry, *([] if "subv" in carry else ["subv"])
+    )
+    keep = ["vec_id", "sub", *carry]
+    schema = StructType(
+        [src.schema["vec_id"], src.schema["sub"],
+         *(src.schema[c] for c in carry),
+         StructField("cid", IntegerType(), True)]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            parts = []
+            for s, g in pdf.groupby("sub", sort=False):
+                cids, C = mats[int(s)]
+                X = np.stack(g["subv"].to_numpy()).astype(
+                    np.float64, copy=False
+                )
+                acc = np.empty((len(g), len(cids)))
+                _fold_sqdist(X, C, acc)
+                out = g[keep].copy()
+                out["cid"] = cids[np.argmin(acc, axis=1)]
+                parts.append(out)
+            yield pd.concat(parts)
+
+    return src.mapInPandas(gen, schema)
+
 
 def split_v(vecs: DataFrame, m: int, carry: tuple = ()) -> DataFrame:
     """(vec_id, *carry, sub, subv) from already-prepped (vec_id, v)
@@ -107,9 +186,21 @@ def assign_codes(subvecs: DataFrame, codebook: DataFrame,
     the row-preserving projection output so consumers never join back
     to the subvector table — at 20 M vectors (160 M subvector rows)
     that join-back shuffled both 160 M-row sides every Lloyd round and
-    filled 67 GB of scratch disk before it died."""
+    filled 67 GB of scratch disk before it died.
+
+    Past ``VECTORIZED_ENCODE_MIN_SCORE`` fold elements per subspace the
+    projection dispatches to the bit-identical Arrow twin (the collect
+    below is k·m rows — the broadcast payload either path ships)."""
     from trignis_spark.operators.kmeans import _nearest_expr, _pack
 
+    cb_rows = codebook.select("sub", "cid", "cvec").collect()
+    if cb_rows:
+        k_max = max(
+            sum(1 for r in cb_rows if r["sub"] == s)
+            for s in {r["sub"] for r in cb_rows}
+        )
+        if k_max * len(cb_rows[0]["cvec"]) >= VECTORIZED_ENCODE_MIN_SCORE:
+            return _assign_codes_arrow(subvecs, cb_rows, carry)
     packed = _pack(codebook, ["sub"], "cid")
     return subvecs.join(F.broadcast(packed), "sub").select(
         "vec_id",
