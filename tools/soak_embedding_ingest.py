@@ -41,6 +41,12 @@ def main() -> int:
     ap.add_argument("--accepted", default=".localdata/soak2m_accepted")
     ap.add_argument("--skip-build", action="store_true",
                     help="reuse an existing index of the same name")
+    ap.add_argument("--run-salt", type=int, default=0,
+                    help="offsets the synthetic fresh/dup id ranges so "
+                         "a --skip-build rerun against an index that "
+                         "already absorbed a previous soak's accepts "
+                         "still exercises accept+extend (same-salt "
+                         "reruns dedup everything to already_known)")
     ap.add_argument("--driver-mem", default="56g",
                     help="JVM heap; leave headroom for Arrow/netty "
                          "direct buffers + Python workers (see "
@@ -67,6 +73,7 @@ def main() -> int:
         "vec_id", "embedding"
     )
     n = emb.count()
+    dims = len(emb.select("embedding").first()[0])
     if not args.skip_build:
         from trignis_spark.operators.similarity import auto_two_level_k
 
@@ -75,6 +82,10 @@ def main() -> int:
         ai.build_ann_index_2level(spark, emb, args.name, k, k)
         print(json.dumps({"leg": "build_2level", "n": n, "cells": k * k,
                           "sec": round(time.time() - t0, 1)}), flush=True)
+    elif not spark.catalog.tableExists(args.name):
+        # a fresh session's in-memory catalog forgot the persisted
+        # index — re-register it (no-op under a shared metastore)
+        ai.attach_ann_index(spark, args.name)
     base_ids = spark.table(ai._ids_table(args.name)).count()
     shutil.rmtree(args.accepted, ignore_errors=True)
 
@@ -87,8 +98,9 @@ def main() -> int:
     b = args.batch
     n_replay, n_dup = int(b * 0.4), int(b * 0.3)
     n_fresh = b - n_replay - n_dup
-    fresh_base = 10 ** 12  # ids disjoint from the corpus and plants
-    dup_base = 2 * 10 ** 12
+    salt = args.run_salt * 10 ** 11
+    fresh_base = 10 ** 12 + salt  # ids disjoint from corpus and plants
+    dup_base = 2 * 10 ** 12 + salt
     expected_accept = 0
     times = []
     for c in range(args.cycles):
@@ -111,9 +123,9 @@ def main() -> int:
             (F.col("id") + F.lit(fresh_base + c * 10 ** 9))
             .alias("vec_id"),
             F.expr(
-                "transform(sequence(1, 64), i -> CAST("
+                "transform(sequence(1, %d), i -> CAST("
                 "sin(CAST(hash(id, i, %d) AS DOUBLE)) * 3.0 AS FLOAT))"
-                % c
+                % (dims, c)
             ).alias("embedding"),
         )
         batch = replay.unionByName(dup).unionByName(fresh)

@@ -10,8 +10,10 @@ file once and makes each search a bucket probe, mirroring
   v ARRAY<DOUBLE>, n2 DOUBLE), *bucketed by the IVF cell id*, so
   probing a cell is a bucket-pruned scan, never a full-corpus pass.
   Norms are precomputed: scoring a candidate is one dot product.
-- **membership sidecar** ``<name>_ids`` — (vec_id BIGINT), bucketed by
-  vec_id, for O(lookup) idempotent extends.
+- **membership sidecar** ``<name>_ids`` — (vec_id BIGINT), plain
+  parquet: every dedup against it is a broadcast anti-join
+  (``batch_anti_join``), so a bucket spec buys nothing while forcing
+  one file per present bucket on every poll-cycle append.
 
 The coarse quantizer is the same deterministic sign-pattern of the
 leading components as ``ivf_topk`` (a k-means-free stand-in the
@@ -121,7 +123,16 @@ def _write_rows(
     ``n_buckets``. At the 2 M soak the extend's 1 444 near-empty write
     tasks (plus their commit protocol) were the cycle's single largest
     term: 22.8 s of a 48.7 s cycle, measured via
-    ``EmbeddingIngestStats.timings``."""
+    ``EmbeddingIngestStats.timings``.
+
+    The ids sidecar is deliberately NOT bucketed (round 8): every
+    consumer is a broadcast-shaped anti-join (``batch_anti_join``),
+    which never uses a bucket spec — while bucketBy forced every
+    append to cut one file per present bucket (~740/cycle at the 2 M
+    soak), so per-cycle membership scans degraded linearly with poll
+    count. A plain append is ONE file per cycle and the scan cost
+    stays flat; a 100 TB deployment compacts on the same cadence it
+    already compacts the index table."""
     sc = rows.sparkSession.sparkContext
     n_part = min(n_buckets, 4 * sc.defaultParallelism) if small \
         else n_buckets
@@ -133,9 +144,9 @@ def _write_rows(
         .saveAsTable(table)
     )
     (
-        rows.select("vec_id").repartition(n_part, "vec_id")
+        rows.select("vec_id")
+        .repartition(1 if small else sc.defaultParallelism)
         .write.mode(mode)
-        .bucketBy(n_buckets, "vec_id")
         .format("parquet")
         .saveAsTable(_ids_table(table))
     )
@@ -287,8 +298,11 @@ def build_ann_index_2level(
 def attach_ann_index(spark: SparkSession, table: str) -> None:
     """Re-register a persisted ANN index's tables in a fresh session's
     catalog (see ``ivfpq_index.attach_ivfpq_index`` — same in-memory-
-    catalog restart story). The float and ids tables re-declare their
-    bucket specs from the meta row so bucketed extends still append.
+    catalog restart story). The float table re-declares its bucket
+    spec from the meta row so bucketed extends still append; the ids
+    sidecar attaches plain (it is unbucketed by design — see
+    ``_write_rows`` — and an index built before that change reads
+    identically, its bucketed files being ordinary parquet).
     Covers both the flat and two-level layouts; the quantizer tables
     only exist for trained/two-level indexes, so those attach
     best-effort."""
@@ -297,8 +311,7 @@ def attach_ann_index(spark: SparkSession, table: str) -> None:
     attach_table(spark, _meta_table(table))
     nb = int(spark.table(_meta_table(table)).first()["n_buckets"])
     attach_table(spark, table, bucket_cols=["bucket"], n_buckets=nb)
-    attach_table(spark, _ids_table(table), bucket_cols=["vec_id"],
-                 n_buckets=nb)
+    attach_table(spark, _ids_table(table))
     for name in (_centroids_table(table), _coarse_table(table)):
         try:
             attach_table(spark, name)
@@ -311,21 +324,34 @@ def extend_ann_index(
     embeddings: DataFrame,
     table: str,
     n_buckets: int = DEFAULT_BUCKETS,
+    assume_fresh: bool = False,
 ) -> int:
     """Append vectors not already present (idempotent under replay);
     returns the number actually added. The bucket count comes from the
     index's own meta sidecar — ``n_buckets`` is a fallback for
     pre-sidecar indexes only. Indexes built by ``build_ann_index_2level``
     assign their extends through the stored hierarchy (k_coarse + k_fine
-    evaluations per vector, not cells)."""
+    evaluations per vector, not cells).
+
+    ``assume_fresh=True`` skips the internal ids anti-join — for a
+    caller that JUST ran the same anti-join against the same ids table
+    in the same epoch (the embedding ingest gate), re-running it here
+    is a second full membership scan per poll cycle that protects
+    nothing: both scans read the same table, so any crash window one
+    catches the other does too (the probe's replay-duplicate dedup
+    covers the index-rows-appended/ids-not window either way)."""
     known = spark.table(_ids_table(table))
+
+    def _dedup(df: DataFrame) -> DataFrame:
+        return df if assume_fresh else batch_anti_join(df, known, "vec_id")
+
     hier = _hier_quantizer(spark, table)
     if hier is not None:
         from trignis_spark.operators import kmeans as km
 
         coarse, fine, k_fine = hier
         n_buckets = _stored_n_buckets(spark, table, n_buckets)
-        fresh_src = batch_anti_join(embeddings, known, "vec_id")
+        fresh_src = _dedup(embeddings)
         # spread=False: an extend batch is poll-cycle-sized — the
         # corpus-parallelism repartition would be pure overhead here
         assigned = km.assign_clusters_2level(
@@ -348,7 +374,7 @@ def extend_ann_index(
     if cents is not None:
         n_buckets = max(1, cents.count())  # layout follows the quantizer
     fresh = _rows(
-        batch_anti_join(embeddings, known, "vec_id"),
+        _dedup(embeddings),
         n_buckets,
         cents,
         spread=False,  # batch-sized input — skip the corpus repartition

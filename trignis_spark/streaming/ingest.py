@@ -339,7 +339,11 @@ def make_embedding_ingest_fn(
             )
             t["write"] = time.time() - t0
             t0 = time.time()
-            ai.extend_ann_index(spark, accepted, ann_table, **kw)
+            # assume_fresh: `accepted` is this epoch's survivor set of
+            # the SAME ids anti-join extend would re-run — skipping it
+            # saves a second full membership scan per poll cycle
+            ai.extend_ann_index(spark, accepted, ann_table,
+                                assume_fresh=True, **kw)
             t["extend"] = time.time() - t0
 
         if stats is not None:
