@@ -325,7 +325,10 @@ def build_ivfpq_index(
         .saveAsTable(_codes_table(table))
     )
     (
-        rows.select("vec_id")
+        # co-partition on vec_id: one file per bucket instead of
+        # tasks × buckets (the decade-4 build's ids directory cut
+        # ~10⁵ files from 47 corpus partitions before this)
+        rows.select("vec_id").repartition(n_buckets, "vec_id")
         .write.mode("overwrite")
         .bucketBy(n_buckets, "vec_id")
         .format("parquet")
@@ -415,7 +418,17 @@ def extend_ivfpq_index(
                 .saveAsTable(name)
             )
     (
+        # co-partition on vec_id first: a bucketed append cuts one file
+        # per (task, bucket) pair, so an un-partitioned batch-sized
+        # append wrote tasks × buckets files per poll cycle (the
+        # decade-4 ids directory grew to ~10⁵ files); hashed to one
+        # task per bucket the append writes exactly buckets-present
         rows.select("vec_id")
+        .repartition(
+            min(int(meta["n_buckets"]),
+                4 * spark.sparkContext.defaultParallelism),
+            "vec_id",
+        )
         .write.mode("append")
         .bucketBy(meta["n_buckets"], "vec_id")
         .format("parquet")
