@@ -167,9 +167,12 @@ def assign_clusters_topn(embeddings: DataFrame, centroids: DataFrame,
 #: arithmetic ~100× faster. Both paths are locked bit-identical
 #: (tests/test_kmeans.py::test_arrow_assignment_matches_hof*), so the
 #: dispatch is purely a performance decision; the floor keeps every
-#: pinned oracle fixture (64-dim, k ≤ ~100) on the expression path
-#: the DuckDB replay was written against.
-VECTORIZED_ASSIGN_MIN_SCORE = 32_768
+#: pinned oracle fixture (64-dim, k ≤ ~100 ⇒ score ≤ ~6 400) on the
+#: expression path the DuckDB replay was written against. 16 384, not
+#: the original 32 768: the 2 M × 768 ingest-gate build (k=38 ⇒ score
+#: 29 184) sat just under the old floor and ground its training
+#: assignments interpreted.
+VECTORIZED_ASSIGN_MIN_SCORE = 16_384
 
 
 def _fold_sqdist(X, C, acc_out):
