@@ -322,3 +322,54 @@ def test_gate_works_over_prefix_index(spark, pindex, tmp_path):
     members = {r["doc_id"]
                for r in spark.table(di._docs_table(pindex)).collect()}
     assert members == {1, 2, 11, 15}
+
+
+def test_embedding_gate_over_ivfpq_index(spark, tmp_path):
+    """The gate auto-detects an IVF-PQ index (the width-regime family:
+    ADC candidates cost m code reads instead of dims floats) and keeps
+    the same decision semantics — the PQ probe's re-rank cosine is
+    exact, so threshold/replay behavior matches the float-index gate."""
+    from trignis_spark.operators import ivfpq_index as ipq
+
+    def vframe(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    for t in ("", "_ids", "_codes", "_codebook", "_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS emb_gate_pq{t}")
+    try:
+        corpus = vframe([
+            (1, [1.0, 0.5, -0.25, 2.0]),
+            (2, [-1.0, 1.5, 0.75, -0.5]),
+            (3, [0.3, -0.8, 1.1, 0.2]),
+        ])
+        ipq.build_ivfpq_index(spark, corpus, "emb_gate_pq", m=2, k=2,
+                              n_buckets=4)
+        accepted_path = str(tmp_path / "acc_pq")
+        stats: list[ingest.EmbeddingIngestStats] = []
+        fn = ingest.make_embedding_ingest_fn(
+            spark, "emb_gate_pq", accepted_path,
+            cos_threshold=0.99, nprobe=4, stats=stats,
+        )
+        batch = vframe([
+            (10, [2.0, 1.0, -0.5, 4.0]),    # scaled copy of vec 1: cos=1
+            (11, [0.1, -2.0, 1.0, 0.3]),    # genuinely new direction
+            (1, [1.0, 0.5, -0.25, 2.0]),    # replay of an indexed id
+        ])
+        fn(batch, epoch_id=0)
+        s = stats[-1]
+        assert (s.arrived, s.already_known, s.near_dup, s.accepted) == \
+            (3, 1, 1, 1)
+        got = {r["vec_id"]
+               for r in spark.read.parquet(accepted_path).collect()}
+        assert got == {11}
+        ids = {r["vec_id"] for r in spark.table("emb_gate_pq_ids").collect()}
+        assert ids == {1, 2, 3, 11}
+        # replay: exactly-once growth through the PQ extend path
+        fn(batch, epoch_id=0)
+        assert stats[-1].accepted == 0
+        assert spark.table("emb_gate_pq_ids").count() == 4
+    finally:
+        for t in ("", "_ids", "_codes", "_codebook", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS emb_gate_pq{t}")

@@ -374,14 +374,18 @@ def attach_ivfpq_index(spark: SparkSession, table: str) -> None:
 
 
 def extend_ivfpq_index(
-    spark: SparkSession, embeddings: DataFrame, table: str
+    spark: SparkSession, embeddings: DataFrame, table: str,
+    assume_fresh: bool = False,
 ) -> int:
     """Append vectors not already present, encoded through the *frozen*
     persisted codebook (idempotent under replay); returns the number
-    actually added."""
+    actually added. ``assume_fresh=True`` skips the internal ids
+    anti-join for callers that just ran the identical one (the
+    embedding ingest gate — see ``extend_ann_index``)."""
     meta = spark.table(_meta_table(table)).first()
     known = spark.table(_ids_table(table))
-    fresh_src = batch_anti_join(embeddings, known, "vec_id")
+    fresh_src = embeddings if assume_fresh \
+        else batch_anti_join(embeddings, known, "vec_id")
     rows = _bucketed(fresh_src, meta["n_buckets"]).localCheckpoint(eager=True)
     added = rows.count()
     if added == 0:
@@ -445,6 +449,7 @@ def ivfpq_probe(
     k: int = 10,
     nprobe: int = 1,
     shortlist: int = 30,
+    include_score: bool = False,
 ) -> DataFrame:
     """Probe-only IVF-PQ search: (query_id, neighbor_id, rank) — no
     training, no corpus encode; every corpus-side input is a persisted
@@ -628,10 +633,17 @@ def ivfpq_probe(
     wk = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
     )
+    cols = ["query_id", "neighbor_id", "rank"]
+    if include_score:
+        # the re-rank stage's cosine is EXACT (float-table dot), so a
+        # caller thresholding on it — the embedding ingest gate — gets
+        # the same decision semantics as the float-index probe, at ADC
+        # candidate cost (reads m codes per candidate, not dims floats)
+        cols.append("cos")
     return (
         exact.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+        .select(*cols)
     )
 
 

@@ -287,10 +287,22 @@ def make_embedding_ingest_fn(
     batch, bucket-pruned index probe, corpus never shuffled per epoch.
     The cosine gate is approximate exactly like IVF search is — a
     near-dup hiding in an unprobed cell survives; raise ``nprobe`` to
-    trade cost for strictness."""
+    trade cost for strictness.
+
+    ``ann_table`` may name either index family — a flat/two-level ANN
+    index (``operators/ann_index.py``) or an IVF-PQ index
+    (``operators/ivfpq_index.py``, detected by its ``_codes`` sidecar
+    being registered). The decision semantics are identical (both
+    probes threshold an EXACT cosine — IVF-PQ's re-rank stage computes
+    it from the float table), but the candidate scan differs by a
+    factor of dims/m: at 2 M × 768 the float probe measured 86 s/cycle
+    where ADC candidates cost m=8 code reads each — the width regime
+    belongs to IVF-PQ (BASELINE.md round 8)."""
     from trignis_spark.operators import ann_index as ai
+    from trignis_spark.operators import ivfpq_index as ipq
 
     kw = {} if n_buckets is None else {"n_buckets": n_buckets}
+    is_pq = spark.catalog.tableExists(f"{ann_table}_codes")
 
     import time
 
@@ -314,11 +326,19 @@ def make_embedding_ingest_fn(
             accepted, n_acc = None, 0
         else:
             t0 = time.time()
-            hits = (
-                ai.probe_ann_index(
+            probed = (
+                ipq.ivfpq_probe(
+                    spark, ann_table, fresh, k=1, nprobe=nprobe,
+                    include_score=True,
+                )
+                if is_pq
+                else ai.probe_ann_index(
                     spark, ann_table, fresh, k=1, nprobe=nprobe,
                     include_score=True, **kw,
                 )
+            )
+            hits = (
+                probed
                 .filter(F.col("cos") >= cos_threshold)
                 .select(F.col("query_id").alias("vec_id"))
                 .distinct()
@@ -342,8 +362,12 @@ def make_embedding_ingest_fn(
             # assume_fresh: `accepted` is this epoch's survivor set of
             # the SAME ids anti-join extend would re-run — skipping it
             # saves a second full membership scan per poll cycle
-            ai.extend_ann_index(spark, accepted, ann_table,
-                                assume_fresh=True, **kw)
+            if is_pq:
+                ipq.extend_ivfpq_index(spark, accepted, ann_table,
+                                       assume_fresh=True)
+            else:
+                ai.extend_ann_index(spark, accepted, ann_table,
+                                    assume_fresh=True, **kw)
             t["extend"] = time.time() - t0
 
         if stats is not None:
