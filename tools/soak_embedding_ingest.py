@@ -84,8 +84,16 @@ def main() -> int:
                           "sec": round(time.time() - t0, 1)}), flush=True)
     elif not spark.catalog.tableExists(args.name):
         # a fresh session's in-memory catalog forgot the persisted
-        # index — re-register it (no-op under a shared metastore)
-        ai.attach_ann_index(spark, args.name)
+        # index — re-register it (no-op under a shared metastore);
+        # family-aware: an IVF-PQ index carries a _codes sidecar
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh = wh.removeprefix("file:")
+        if os.path.isdir(os.path.join(wh, f"{args.name}_codes".lower())):
+            from trignis_spark.operators import ivfpq_index as ipq
+
+            ipq.attach_ivfpq_index(spark, args.name)
+        else:
+            ai.attach_ann_index(spark, args.name)
     base_ids = spark.table(ai._ids_table(args.name)).count()
     shutil.rmtree(args.accepted, ignore_errors=True)
 
