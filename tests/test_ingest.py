@@ -373,3 +373,87 @@ def test_embedding_gate_over_ivfpq_index(spark, tmp_path):
     finally:
         for t in ("", "_ids", "_codes", "_codebook", "_meta"):
             spark.sql(f"DROP TABLE IF EXISTS emb_gate_pq{t}")
+
+
+def test_embedding_gate_adc_precision(spark, tmp_path):
+    """``precision="adc"``: the gate thresholds the quantized cosine at
+    (θ − certified margin) and never scans the float table — the fix
+    for the width-regime poll cycle, where the exact re-rank's
+    "pruned" scan at poll-batch query counts IS the whole corpus
+    (BASELINE.md round 8). Decisions here must match the exact gate on
+    a corpus the codebook represents well."""
+    from trignis_spark.operators import ivfpq_index as ipq
+
+    P, Q = [1.0, 1.0, 1.0, 1.0], [1.0, -1.0, -1.0, 1.0]
+
+    def vframe(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    for t in ("", "_ids", "_codes", "_codebook", "_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS emb_gate_adc{t}")
+    try:
+        corpus = vframe(
+            [(i, [x * (1.0 + 0.01 * i) for x in P]) for i in range(6)]
+            + [(100 + i, [x * (1.0 + 0.01 * i) for x in Q])
+               for i in range(6)]
+        )
+        ipq.build_ivfpq_index(spark, corpus, "emb_gate_adc", m=2, k=2,
+                              n_buckets=4)
+        margin = ipq.stored_adc_margin(spark, "emb_gate_adc")
+        assert margin is not None and margin < 0.1  # clustered fixture
+        accepted_path = str(tmp_path / "acc_adc")
+        stats: list[ingest.EmbeddingIngestStats] = []
+        fn = ingest.make_embedding_ingest_fn(
+            spark, "emb_gate_adc", accepted_path,
+            cos_threshold=0.9, nprobe=4, stats=stats, precision="adc",
+        )
+        batch = vframe([
+            (10, [2.0 * x for x in P]),       # scaled copy: true cos 1
+            (11, [1.0, 0.0, 0.0, -1.0]),      # orthogonal to P and Q
+            (0, [x * 1.0 for x in P]),        # replay of indexed id
+        ])
+        fn(batch, epoch_id=0)
+        s = stats[-1]
+        assert (s.arrived, s.already_known, s.near_dup, s.accepted) == \
+            (3, 1, 1, 1)
+        assert {r["vec_id"] for r in
+                spark.read.parquet(accepted_path).collect()} == {11}
+        # replay: exactly-once through the same adc path
+        fn(batch, epoch_id=0)
+        assert stats[-1].accepted == 0
+        assert spark.table("emb_gate_adc_ids").count() == 13
+    finally:
+        for t in ("", "_ids", "_codes", "_codebook", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS emb_gate_adc{t}")
+
+
+def test_embedding_gate_adc_requires_certified_pq_index(spark, tmp_path):
+    from trignis_spark.operators import ann_index as ai
+
+    def vframe(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    for t in ("", "_ids", "_meta", "_coarse"):
+        spark.sql(f"DROP TABLE IF EXISTS emb_gate_adc_f{t}")
+    try:
+        ai.build_ann_index(
+            spark, vframe([(1, [1.0, 0.5, -0.25, 2.0])]),
+            "emb_gate_adc_f", n_buckets=2,
+        )
+        with pytest.raises(ValueError, match="requires an IVF-PQ"):
+            ingest.make_embedding_ingest_fn(
+                spark, "emb_gate_adc_f", str(tmp_path / "x"),
+                precision="adc",
+            )
+        with pytest.raises(ValueError, match="precision"):
+            ingest.make_embedding_ingest_fn(
+                spark, "emb_gate_adc_f", str(tmp_path / "x"),
+                precision="bogus",
+            )
+    finally:
+        for t in ("", "_ids", "_meta", "_coarse"):
+            spark.sql(f"DROP TABLE IF EXISTS emb_gate_adc_f{t}")

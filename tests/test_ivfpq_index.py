@@ -327,3 +327,123 @@ def test_probe_correct_with_short_codebook(spark):
 
         for t in _all_tables(table):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sampled_training_builds_dense_codebook(spark, index):
+    """``train_rows`` bounds the PQ training set (the full m×N spread
+    is corpus-sized scratch — what walls the build a decade past 20 M)
+    while encoding still covers every row: the codebook stays m×k
+    dense, every vector gets codes, and the probe still re-ranks to
+    exact cosines on the full corpus."""
+    emb = load(spark, SF, "embeddings")  # 500 vectors
+    ipq.build_ivfpq_index(spark, emb, index, m=M, k=K, train_rows=100)
+    cb = spark.table(ipq._codebook_table(index))
+    # dense m×k codebook even though training saw ~1/5 of the corpus
+    assert cb.count() == M * K
+    assert cb.select("sub", "cid").distinct().count() == M * K
+    # every corpus row is encoded and probeable
+    assert spark.table(ipq._codes_table(index)).count() == emb.count()
+    # copies of corpus vectors under fresh ids (the probe excludes
+    # true self-matches): each must find its original at cos == 1 —
+    # the exact re-rank is training-sample-independent
+    queries = emb.filter(F.expr(QUERY_PRED)).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    got = ipq.ivfpq_probe(spark, index, queries, k=1, nprobe=1,
+                          include_score=True)
+    hits = got.filter(
+        "neighbor_id = query_id - 10000 AND abs(cos - 1.0) < 1e-9"
+    )
+    assert hits.count() == queries.count()
+
+
+def test_sampled_training_is_deterministic_and_bounded(spark, index):
+    """The sample is a pmod(hash) filter — partitioning-independent:
+    two builds over differently-partitioned inputs train identical
+    codebooks."""
+    emb = load(spark, SF, "embeddings")
+    ipq.build_ivfpq_index(spark, emb, index, m=M, k=K, train_rows=100)
+    cb1 = {(r["sub"], r["cid"], tuple(r["cvec"]))
+           for r in spark.table(ipq._codebook_table(index)).collect()}
+    ipq.build_ivfpq_index(spark, emb.repartition(13), index, m=M, k=K,
+                          train_rows=100)
+    cb2 = {(r["sub"], r["cid"], tuple(r["cvec"]))
+           for r in spark.table(ipq._codebook_table(index)).collect()}
+    assert cb1 == cb2
+    # train_rows >= corpus is the identity (no filter applied)
+    ipq.build_ivfpq_index(spark, emb, index, m=M, k=K, train_rows=10**6)
+    cb3 = {(r["sub"], r["cid"], tuple(r["cvec"]))
+           for r in spark.table(ipq._codebook_table(index)).collect()}
+    ipq.build_ivfpq_index(spark, emb, index, m=M, k=K)
+    cb4 = {(r["sub"], r["cid"], tuple(r["cvec"]))
+           for r in spark.table(ipq._codebook_table(index)).collect()}
+    assert cb3 == cb4
+
+
+def _clustered_vframe(spark, n_per=6):
+    """Two orthogonal prototypes with tiny deterministic perturbations:
+    a corpus a k=2/m=2 codebook reconstructs well, so the certified
+    ADC margin is small and the rerank-free mode is actually usable."""
+    P, Q = [1.0, 1.0, 1.0, 1.0], [1.0, -1.0, -1.0, 1.0]
+    rows = []
+    for i in range(n_per):
+        e = 1.0 + 0.01 * i
+        rows.append((i, [x * e for x in P]))
+        rows.append((100 + i, [x * e for x in Q]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_rerank_free_probe_never_reads_floats_and_bounds_error(
+    spark, index
+):
+    """``rerank=False``: the plan must not scan the float table, the
+    returned score is the quantized cosine, and |quantized − exact| ≤
+    the certified ``meta.adc_margin`` on every overlapping pair."""
+    emb = _clustered_vframe(spark)
+    ipq.build_ivfpq_index(spark, emb, index, m=2, k=2, n_buckets=4)
+    margin = ipq.stored_adc_margin(spark, index)
+    assert margin is not None and 0.0 <= margin < 0.5
+    queries = emb
+    adc = ipq.ivfpq_probe(spark, index, queries, k=10, nprobe=4,
+                          include_score=True, rerank=False)
+    plan = adc._jdf.queryExecution().executedPlan().toString()
+    assert f"default.{index}[" not in plan  # float table never scanned
+    assert f"default.{index}_codes" in plan
+    exact = ipq.ivfpq_probe(spark, index, queries, k=10, nprobe=4,
+                            include_score=True, rerank=True)
+    a = {(r["query_id"], r["neighbor_id"]): r["cos"]
+         for r in adc.collect()}
+    e = {(r["query_id"], r["neighbor_id"]): r["cos"]
+         for r in exact.collect()}
+    both = set(a) & set(e)
+    assert both
+    for pair in both:
+        assert abs(a[pair] - e[pair]) <= margin + 1e-9
+
+
+def test_extend_warns_on_adc_margin_drift_and_remeasure_raises(
+    spark, index
+):
+    """A drifted extend batch quantizes worse than the certified
+    bound: extend warns (never silently degrades) and
+    ``remeasure_adc_margin`` re-certifies over the grown corpus."""
+    import warnings
+
+    emb = _clustered_vframe(spark)
+    ipq.build_ivfpq_index(spark, emb, index, m=2, k=2, n_buckets=4)
+    before = ipq.stored_adc_margin(spark, index)
+    # a direction between the two prototypes' codewords — poorly
+    # representable by either, so its residual exceeds the bound
+    drift = spark.createDataFrame(
+        [(500, [1.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ipq.extend_ivfpq_index(spark, drift, index)
+    assert any("adc_margin" in str(x.message) for x in w)
+    # the stored bound is unchanged until maintenance re-certifies
+    assert ipq.stored_adc_margin(spark, index) == before
+    after = ipq.remeasure_adc_margin(spark, index)
+    assert after > before
+    assert ipq.stored_adc_margin(spark, index) == pytest.approx(after)

@@ -41,12 +41,27 @@ def main() -> int:
     ap.add_argument("--accepted", default=".localdata/soak2m_accepted")
     ap.add_argument("--skip-build", action="store_true",
                     help="reuse an existing index of the same name")
+    ap.add_argument("--family", choices=("ann", "ivfpq"), default="ann",
+                    help="index family to build behind the gate; the "
+                         "gate itself auto-detects which it got. At "
+                         "wide dims the float probe is the cycle "
+                         "(86 s of 95 s at 2 M x 768) while the ADC "
+                         "probe reads m codes per candidate instead "
+                         "of `dims` floats — BASELINE.md width-regime "
+                         "note")
     ap.add_argument("--run-salt", type=int, default=0,
                     help="offsets the synthetic fresh/dup id ranges so "
                          "a --skip-build rerun against an index that "
                          "already absorbed a previous soak's accepts "
                          "still exercises accept+extend (same-salt "
                          "reruns dedup everything to already_known)")
+    ap.add_argument("--precision", choices=("exact", "adc"),
+                    default="exact",
+                    help="gate scoring: exact re-ranked cosine, or "
+                         "the quantized ADC cosine thresholded at "
+                         "(threshold - certified margin) — IVF-PQ "
+                         "indexes only; kills the per-cycle corpus-"
+                         "float re-rank scan")
     ap.add_argument("--driver-mem", default="56g",
                     help="JVM heap; leave headroom for Arrow/netty "
                          "direct buffers + Python workers (see "
@@ -75,13 +90,23 @@ def main() -> int:
     n = emb.count()
     dims = len(emb.select("embedding").first()[0])
     if not args.skip_build:
-        from trignis_spark.operators.similarity import auto_two_level_k
-
-        k = auto_two_level_k(n)  # the r6 third-decade sizing (38x38 at 2M)
         t0 = time.time()
-        ai.build_ann_index_2level(spark, emb, args.name, k, k)
-        print(json.dumps({"leg": "build_2level", "n": n, "cells": k * k,
-                          "sec": round(time.time() - t0, 1)}), flush=True)
+        if args.family == "ivfpq":
+            from trignis_spark.operators import ivfpq_index as ipq
+
+            ipq.build_ivfpq_index(spark, emb, args.name)
+            print(json.dumps({"leg": "build_ivfpq", "n": n,
+                              "sec": round(time.time() - t0, 1)}),
+                  flush=True)
+        else:
+            from trignis_spark.operators.similarity import auto_two_level_k
+
+            k = auto_two_level_k(n)  # r6 third-decade sizing (38x38 at 2M)
+            ai.build_ann_index_2level(spark, emb, args.name, k, k)
+            print(json.dumps({"leg": "build_2level", "n": n,
+                              "cells": k * k,
+                              "sec": round(time.time() - t0, 1)}),
+                  flush=True)
     elif not spark.catalog.tableExists(args.name):
         # a fresh session's in-memory catalog forgot the persisted
         # index — re-register it (no-op under a shared metastore);
@@ -100,7 +125,7 @@ def main() -> int:
     stats: list[EmbeddingIngestStats] = []
     gate = make_embedding_ingest_fn(
         spark, args.name, args.accepted, cos_threshold=0.95, nprobe=2,
-        stats=stats,
+        stats=stats, precision=args.precision,
     )
 
     b = args.batch

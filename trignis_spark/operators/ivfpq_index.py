@@ -271,6 +271,105 @@ def _wide_codes(rows: DataFrame, codebook: DataFrame, m: int) -> DataFrame:
     )
 
 
+#: rows sampled for the build-time ADC-margin certification — large
+#: enough that the sample max tracks the corpus tail, small enough that
+#: the reconstruction pass is free relative to the build
+_MARGIN_SAMPLE = 65536
+
+
+def _unit_residual_max(rows: DataFrame, codebook: DataFrame, m: int,
+                       codes: DataFrame | None = None) -> float:
+    """Max unit-sphere quantization residual ‖x/|x| − x̂/|x̂|‖ over
+    ``rows`` (vec_id, v, n2, …): the certified ADC-cosine error bound
+    — for any query q, |cos(q, x) − cos(q, x̂)| = |⟨q̂, x/|x| − x̂/|x̂|⟩|
+    ≤ this, by Cauchy-Schwarz. Derived via ‖a − b‖² = 2 − 2·cos(a, b)
+    for unit a, b. ``codes`` may pass pre-computed wide codes (an
+    extend batch's); otherwise they are encoded here. Returns 0.0 for
+    empty input. The reconstruction looks codes up by (sub, cid)
+    filter, not stride, so a short (min(N, k)) codebook is handled."""
+    if codes is None:
+        codes = _wide_codes(rows, codebook, m)
+    packed = codebook.agg(
+        F.array_sort(F.collect_list(F.struct("sub", "cid", "cvec")))
+        .alias("_cb")
+    )
+    xhat = (
+        f"flatten(transform(sequence(0, {m - 1}), s -> "
+        "element_at(filter(_cb, c -> c.sub = s AND "
+        "c.cid = element_at(codes, s + 1)), 1).cvec))"
+    )
+    r = (
+        rows.select("vec_id", "v", "n2")
+        .join(codes.select("vec_id", "codes"), "vec_id")
+        .crossJoin(F.broadcast(packed))
+        .select(
+            "v", "n2", F.expr(xhat).alias("xh")
+        )
+        .select(
+            (
+                F.expr(DOT.format(a="v", b="xh"))
+                / F.sqrt(
+                    F.col("n2")
+                    * F.expr(
+                        "aggregate(xh, CAST(0.0 AS DOUBLE), "
+                        "(acc, x) -> acc + x * x)"
+                    )
+                )
+            ).alias("cosr")
+        )
+        .agg(
+            F.max(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0), F.lit(2.0) - F.lit(2.0) * F.col("cosr")
+                    )
+                )
+            ).alias("mx")
+        )
+        .first()
+    )
+    return float(r["mx"]) if r["mx"] is not None else 0.0
+
+
+def stored_adc_margin(spark: SparkSession, table: str) -> float | None:
+    """The index's certified ADC error bound, or ``None`` for indexes
+    persisted before the bound existed (rebuild to certify)."""
+    meta = spark.table(_meta_table(table)).first()
+    if "adc_margin" not in meta.__fields__:
+        return None
+    v = meta["adc_margin"]
+    return float(v) if v is not None else None
+
+
+def remeasure_adc_margin(
+    spark: SparkSession, table: str, sample_rows: int = _MARGIN_SAMPLE
+) -> float:
+    """Recompute the certified ADC bound over the CURRENT corpus
+    (build + every extend since) and rewrite the meta row — the
+    maintenance-cadence counterpart to ``extend_ivfpq_index``'s
+    drift warning. Returns the new margin. The rewrite is a one-row
+    overwrite (not atomic across a crash mid-write; the row is
+    reconstructible — m·k from the codebook, n_buckets from the
+    partition directories — and a fresh call re-certifies)."""
+    meta = spark.table(_meta_table(table)).first()
+    rows = spark.table(table)
+    ratio = max(1, rows.count() // sample_rows)
+    sample = rows.filter(F.pmod(F.hash("vec_id"), F.lit(ratio)) == 0)
+    margin = _unit_residual_max(
+        sample, spark.table(_codebook_table(table)), int(meta["m"])
+    )
+    new = spark.createDataFrame(
+        [(int(meta["m"]), int(meta["k"]), int(meta["n_buckets"]),
+          margin)],
+        "m int, k int, n_buckets int, adc_margin double",
+    )
+    new.write.mode("overwrite").format("parquet").saveAsTable(
+        _meta_table(table)
+    )
+    _refresh(spark, table)
+    return margin
+
+
 def build_ivfpq_index(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -279,6 +378,7 @@ def build_ivfpq_index(
     k: int = 16,
     n_buckets: int | None = None,
     iters: int = 2,
+    train_rows: int | None = None,
 ) -> None:
     """Train the PQ codebook and materialize all five tables
     (overwrites any prior index of the same name). The default
@@ -286,11 +386,30 @@ def build_ivfpq_index(
     (``auto_n_buckets`` — √N, measured 3.5× faster probes than a fixed
     16 cells at the sf10 corpus, BASELINE.md); pass an explicit count
     only when the caller must pin the layout (the registry query pins
-    16 so its DuckDB oracle can replay the bucket expression)."""
+    16 so its DuckDB oracle can replay the bucket expression).
+
+    ``train_rows`` bounds the PQ *training* set: ``train_pq`` local-
+    checkpoints the full m×N subvector spread, which is corpus-sized
+    scratch (~72 GB at 100 M × 64-dim — it is what walls the build a
+    decade past 20 M), while codebook quality saturates at a fixed
+    sample long before that (the standard practice: FAISS trains PQ on
+    ~10⁴–10⁶ vectors regardless of corpus size). When set and the
+    corpus is larger, training reads only rows with
+    ``pmod(hash(vec_id), n div train_rows) = 0`` — a deterministic,
+    partitioning-independent sample of ≈``train_rows`` — and encoding/
+    bucketing still cover every row. Default ``None`` trains on the
+    full corpus (every pinned oracle fixture's path, unchanged)."""
+    n = embeddings.count()
     if n_buckets is None:
-        n_buckets = auto_n_buckets(embeddings.count())
+        n_buckets = auto_n_buckets(n)
+    train_src = embeddings
+    if train_rows is not None and n > train_rows:
+        ratio = n // train_rows
+        train_src = embeddings.filter(
+            F.pmod(F.hash("vec_id"), F.lit(ratio)) == 0
+        )
     _drop_stale(spark, table)
-    codebook = train_pq(embeddings, m=m, k=k, iters=iters).localCheckpoint(
+    codebook = train_pq(train_src, m=m, k=k, iters=iters).localCheckpoint(
         eager=True
     )
     (
@@ -334,8 +453,19 @@ def build_ivfpq_index(
         .format("parquet")
         .saveAsTable(_ids_table(table))
     )
+    # certify the ADC error bound for rerank-free probes: the max
+    # unit-sphere quantization residual over a deterministic corpus
+    # sample (pmod(hash) — partitioning-independent). |cos(q,x) −
+    # cos(q,x̂)| ≤ this for ANY query q (Cauchy-Schwarz), so a caller
+    # thresholding the quantized cosine at (θ − adc_margin) cannot
+    # miss a θ-neighbor that ADC scored (the ingest gate's
+    # ``precision="adc"`` mode).
+    ratio = max(1, n // _MARGIN_SAMPLE)
+    sample = rows.filter(F.pmod(F.hash("vec_id"), F.lit(ratio)) == 0)
+    margin = _unit_residual_max(sample, codebook, m)
     meta = spark.createDataFrame(
-        [(m, k, n_buckets)], "m int, k int, n_buckets int"
+        [(m, k, n_buckets, margin)],
+        "m int, k int, n_buckets int, adc_margin double",
     )
     meta.write.mode("overwrite").format("parquet").saveAsTable(
         _meta_table(table)
@@ -402,6 +532,28 @@ def extend_ivfpq_index(
         ).select("vec_id", "sub", F.col("cid").alias("code"), "bucket")
     else:
         codes = _wide_codes(rows, codebook, meta["m"])
+        # the build certified adc_margin on ITS corpus sample; a batch
+        # from a drifted distribution can quantize worse, silently
+        # widening the true ADC error past the stored bound — check the
+        # batch (batch-sized reconstruction, free next to the appends)
+        # and warn rather than degrade silently, matching every other
+        # binding-cap contract in this module
+        cert = (meta["adc_margin"]
+                if "adc_margin" in meta.__fields__ else None)
+        if cert is not None:
+            got = _unit_residual_max(rows, codebook, meta["m"],
+                                     codes=codes)
+            if got > cert:
+                import warnings
+
+                warnings.warn(
+                    f"extend_ivfpq_index({table}): batch residual "
+                    f"{got:.4f} exceeds the certified adc_margin "
+                    f"{cert:.4f} — ADC-gated callers (precision='adc')"
+                    " can now miss true near-duplicates; rebuild the "
+                    "index or raise the margin via "
+                    "remeasure_adc_margin()"
+                )
     for df, name in ((rows, table), (codes, _codes_table(table))):
         if _cell_partitioned(spark, name):
             (
@@ -450,6 +602,7 @@ def ivfpq_probe(
     nprobe: int = 1,
     shortlist: int = 30,
     include_score: bool = False,
+    rerank: bool = True,
 ) -> DataFrame:
     """Probe-only IVF-PQ search: (query_id, neighbor_id, rank) — no
     training, no corpus encode; every corpus-side input is a persisted
@@ -467,6 +620,24 @@ def ivfpq_probe(
        join the float index for exact cosine and the final top ``k`` —
        again partition-pruned to the shortlist cells.
 
+    ``rerank=False`` skips stage 3 entirely — the probe never touches
+    the float table, and its ``cos`` is the *quantized* cosine
+    ``cos(q, x̂)`` (the ADC dot normalized by the reconstruction's norm,
+    which comes from the same broadcast codebook — still zero
+    corpus-float reads). Rationale: stage 3's scan prunes to the
+    shortlist's cells, and once a query batch is more than a few
+    hundred rows those cells ARE the table — the 2 M × 768 ingest-gate
+    cycle measured the re-rank at ~50–95 s of corpus-float scan per
+    poll while the codes scan is ~50 MB (BASELINE.md round 8). The
+    error is bounded: |cos(q,x) − cos(q,x̂)| ≤ ‖x/|x| − x̂/|x̂|‖ by
+    Cauchy-Schwarz, and the build measures that unit-sphere residual's
+    max over a training-distribution sample into ``meta.adc_margin``
+    (extends re-check their batches and warn if the stored bound is
+    exceeded — see ``extend_ivfpq_index``). Callers thresholding on
+    ``cos`` subtract the margin (the embedding ingest gate's
+    ``precision="adc"`` mode): every true neighbor with
+    cos ≥ θ in a probed cell then still surfaces.
+
     ``queries`` needs (vec_id, embedding); query vectors need not be in
     the index (self-matches are excluded when they are)."""
     meta = spark.table(_meta_table(table)).first()
@@ -482,7 +653,7 @@ def ivfpq_probe(
         for i in range(max(0, nprobe - 1))
     ]
     qb = base.withColumn("qbucket", F.explode(F.array(*flips))).select(
-        "query_id", "qbucket"
+        "query_id", "qbucket", *([] if rerank else ["qn2"])
     )
     codebook = spark.table(_codebook_table(table))
     lut = (
@@ -545,6 +716,27 @@ def ivfpq_probe(
             ).alias("lut")
         )
         qbl = qb.join(lut_flat, "query_id")
+        if not rerank:
+            # query-independent reconstruction-norm LUT (same flat
+            # (sub, code) order as ``lut``): |x̂|² = Σ_s |cvec_{s,c_s}|²
+            # — the denominator of the quantized cosine comes from the
+            # broadcast codebook, never the float table
+            nlut_flat = (
+                codebook.select(
+                    "sub", "cid",
+                    F.expr(
+                        "aggregate(cvec, CAST(0.0 AS DOUBLE), "
+                        "(acc, x) -> acc + x * x)"
+                    ).alias("nrm"),
+                )
+                .agg(
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "struct(sub, cid, nrm))), t -> t.nrm)"
+                    ).alias("nlut")
+                )
+            )
+            qbl = qbl.crossJoin(F.broadcast(nlut_flat))
         # the merge must return the accumulator's exact type, and the
         # sum type must never hit the precision-38 cap (Spark then
         # REDUCES SCALE, rounding the 12th decimal away). A (32,12)
@@ -558,6 +750,11 @@ def ivfpq_probe(
             f"CAST(0 AS DECIMAL(32,12)), "
             f"(acc, p) -> CAST(acc + CAST(p AS {_ACC}) AS DECIMAL(32,12)))"
             " AS DOUBLE)"
+        )
+        xq2 = (
+            f"aggregate(zip_with(codes, sequence(0, {m - 1}), "
+            f"(cd, s) -> element_at(nlut, s * {kk} + cd + 1)), "
+            "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
         )
         adc = (
             # broadcast cell join on the *partition* column → dynamic
@@ -576,10 +773,34 @@ def ivfpq_probe(
                 # a vector lives in exactly one cell; carrying it lets
                 # the exact re-rank prune the float table's partitions
                 F.col("bucket").alias("nbucket"),
+                *(
+                    []
+                    if rerank
+                    else ["qn2", F.expr(xq2).alias("xq2")]
+                ),
             )
         )
+        if not rerank:
+            adc = adc.withColumn(
+                "cos", F.col("adot") / F.sqrt(F.col("qn2") * F.col("xq2"))
+            )
     else:
         # narrow legacy layout: (vec_id, sub, code, bucket) rows
+        if not rerank:
+            # per-(sub, code) reconstruction norms ride the broadcast
+            # LUT; their sum per candidate is |x̂|²
+            lut = lut.join(
+                F.broadcast(
+                    codebook.select(
+                        "sub", F.col("cid").alias("code"),
+                        F.expr(
+                            "aggregate(cvec, CAST(0.0 AS DOUBLE), "
+                            "(acc, x) -> acc + x * x)"
+                        ).alias("pn"),
+                    )
+                ),
+                ["sub", "code"],
+            )
         adc = (
             codes.join(F.broadcast(qb), codes["bucket"] == qb["qbucket"])
             .filter(F.col("vec_id") != F.col("query_id"))
@@ -592,7 +813,32 @@ def ivfpq_probe(
                 F.sum(F.col("pdot").cast(_ACC)).cast("double")
                 .alias("adot"),
                 F.max("bucket").alias("nbucket"),
+                *(
+                    []
+                    if rerank
+                    else [F.sum("pn").alias("xq2"),
+                          F.max("qn2").alias("qn2")]
+                ),
             )
+        )
+        if not rerank:
+            adc = adc.withColumn(
+                "cos", F.col("adot") / F.sqrt(F.col("qn2") * F.col("xq2"))
+            )
+    if not rerank:
+        wq = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        cols = ["query_id", "neighbor_id", "rank"]
+        if include_score:
+            # the score is the QUANTIZED cosine cos(q, x̂):
+            # |cos − cos(q, x)| ≤ meta.adc_margin for vectors from the
+            # certified distribution — threshold at (θ − margin)
+            cols.append("cos")
+        return (
+            adc.withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= k)
+            .select(*cols)
         )
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("adot"), F.asc("neighbor_id")

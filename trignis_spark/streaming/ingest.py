@@ -276,6 +276,7 @@ def make_embedding_ingest_fn(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     stats: list[EmbeddingIngestStats] | None = None,
+    precision: str = "exact",
 ):
     """``foreachBatch`` body curating an embedding stream against the
     persistent IVF index (``operators/ann_index.py``): vectors already
@@ -303,6 +304,37 @@ def make_embedding_ingest_fn(
 
     kw = {} if n_buckets is None else {"n_buckets": n_buckets}
     is_pq = spark.catalog.tableExists(f"{ann_table}_codes")
+    if precision not in ("exact", "adc"):
+        raise ValueError(
+            f"precision must be 'exact' or 'adc', got {precision!r}"
+        )
+    # precision="adc": gate on the QUANTIZED cosine at (θ − certified
+    # margin) and never touch the float table. The exact re-rank's
+    # partition pruning is worthless at poll-batch query counts — a
+    # 1 200-query probe's shortlist cells ARE the table, so every
+    # cycle re-scanned the corpus-sized floats (~50–95 s of the 2 M ×
+    # 768 cycle, BASELINE.md round 8) while the codes scan is ~50 MB.
+    # One-sided by construction: |cos − adc_cos| ≤ margin means no
+    # θ-near-dup that ADC scored can slip through; vectors with true
+    # cos in [θ − 2·margin, θ) may be over-rejected — the same
+    # direction of approximation the gate already accepts from IVF
+    # cell probing (an unprobed cell's dup survives; here nothing new
+    # survives, some borderline uniques don't).
+    eff_threshold = cos_threshold
+    if precision == "adc":
+        if not is_pq:
+            raise ValueError(
+                "precision='adc' requires an IVF-PQ index "
+                f"({ann_table} has no _codes sidecar)"
+            )
+        margin = ipq.stored_adc_margin(spark, ann_table)
+        if margin is None:
+            raise ValueError(
+                f"precision='adc': {ann_table} predates the certified "
+                "adc_margin — rebuild the index or run "
+                "remeasure_adc_margin()"
+            )
+        eff_threshold = cos_threshold - margin
 
     import time
 
@@ -330,6 +362,7 @@ def make_embedding_ingest_fn(
                 ipq.ivfpq_probe(
                     spark, ann_table, fresh, k=1, nprobe=nprobe,
                     include_score=True,
+                    rerank=(precision == "exact"),
                 )
                 if is_pq
                 else ai.probe_ann_index(
@@ -339,7 +372,7 @@ def make_embedding_ingest_fn(
             )
             hits = (
                 probed
-                .filter(F.col("cos") >= cos_threshold)
+                .filter(F.col("cos") >= eff_threshold)
                 .select(F.col("query_id").alias("vec_id"))
                 .distinct()
             )
