@@ -16,7 +16,10 @@ M, K = 2, 4  # match the oracle-scale cascade params (queries_ext)
 @pytest.fixture
 def index(spark):
     yield "ivfpq_idx_t"
-    for t in ipq._all_tables("ivfpq_idx_t"):
+    for t in ipq._all_tables("ivfpq_idx_t") + [
+        ipq._tail_table("ivfpq_idx_t"),
+        ipq._tail_codes_table("ivfpq_idx_t"),
+    ]:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -95,6 +98,19 @@ def test_extend_is_idempotent_and_uses_frozen_codebook(spark, index):
     want_codes = {
         (vid, tuple(d[s] for s in sorted(d))) for vid, d in per_vec.items()
     }
+    # extended codes land in the write-optimized tail sidecar (r8);
+    # the probe-visible code set is base ∪ tail
+    stored = spark.table(ipq._codes_table(index)).unionByName(
+        spark.table(ipq._tail_codes_table(index))
+    )
+    got_codes = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in stored.filter("vec_id >= 400").collect()
+    }
+    assert got_codes == want_codes
+    # after compaction the tail folds into the base and the same set
+    # answers from the cell-partitioned table alone
+    ipq.compact_ivfpq_index(spark, index)
     got_codes = {
         (r["vec_id"], tuple(r["codes"]))
         for r in spark.table(ipq._codes_table(index))
@@ -265,7 +281,8 @@ def test_attach_restores_catalog_registration(spark, index):
         assert ipq.extend_ivfpq_index(spark, fresh, twin) == 5
         assert ipq.extend_ivfpq_index(spark, fresh, twin) == 0  # replay
     finally:
-        for t in ipq._all_tables(twin):
+        for t in ipq._all_tables(twin) + [ipq._tail_table(twin),
+                                          ipq._tail_codes_table(twin)]:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             if os.path.isdir(os.path.join(wh, t)):
                 shutil.rmtree(os.path.join(wh, t))
@@ -447,3 +464,48 @@ def test_extend_warns_on_adc_margin_drift_and_remeasure_raises(
     after = ipq.remeasure_adc_margin(spark, index)
     assert after > before
     assert ipq.stored_adc_margin(spark, index) == pytest.approx(after)
+
+
+def test_extend_appends_one_tail_file_per_cycle(spark, index):
+    """The LSM tail contract: a poll-cycle extend costs ONE plain file
+    (one commit) per sidecar — never ~cells partition-dir commits —
+    and probes see tail vectors immediately; compaction folds the
+    tail away and drops the sidecars."""
+    import os
+    from urllib.parse import urlparse
+
+    from trignis_spark.maintenance import table_data_files
+
+    emb = load(spark, SF, "embeddings")
+    ipq.build_ivfpq_index(spark, emb.filter("vec_id < 300"), index,
+                          m=M, k=K)
+    for cycle in range(3):
+        batch = emb.filter(
+            f"vec_id >= {300 + cycle * 50} AND vec_id < {350 + cycle * 50}"
+        )
+        assert ipq.extend_ivfpq_index(spark, batch, index) == batch.count()
+    for t in (ipq._tail_table(index), ipq._tail_codes_table(index)):
+        assert len(table_data_files(spark, t)) == 3  # one per cycle
+    # ids sidecar: plain, one file per cycle on top of the build's
+    build_ids = spark.sparkContext.defaultParallelism
+    assert len(
+        table_data_files(spark, ipq._ids_table(index))
+    ) <= build_ids + 3
+    # probe sees tail vectors (fresh-id copies must find originals)
+    queries = emb.filter("vec_id >= 400 AND vec_id < 450").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    got = ipq.ivfpq_probe(spark, index, queries, k=1, nprobe=1,
+                          include_score=True)
+    hits = got.filter("neighbor_id = query_id - 10000 "
+                      "AND abs(cos - 1.0) < 1e-9")
+    assert hits.count() == queries.count()
+    want = _pairs(ipq.ivfpq_probe(spark, index, queries, k=5, nprobe=2))
+    ipq.compact_ivfpq_index(spark, index)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (ipq._tail_table(index), ipq._tail_codes_table(index)):
+        assert not spark.catalog.tableExists(t)
+        assert not os.path.isdir(os.path.join(wh, t))
+    assert _pairs(
+        ipq.ivfpq_probe(spark, index, queries, k=5, nprobe=2)
+    ) == want

@@ -211,6 +211,34 @@ def compact_bucketed_table(
     return len(table_data_files(spark, table))
 
 
+def compact_plain_table(
+    spark: SparkSession, table: str, n_files: int | None = None
+) -> int:
+    """``compact_bucketed_table`` for an UNbucketed managed table (the
+    membership-ids sidecars, which append one plain file per poll
+    cycle by design): rewrite into ``n_files`` (default: the session's
+    core count) via the same same-spec-sidecar + two-catalog-renames
+    swap. Same contract: one maintenance writer, appends quiesced
+    during the swap. Returns the post-compaction file count."""
+    tmp, old = f"{table}__compacting", f"{table}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    if n_files is None:
+        n_files = spark.sparkContext.defaultParallelism
+    raw = spark.read.parquet(*table_data_files(spark, table))
+    (
+        raw.repartition(n_files)
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(tmp)
+    )
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {old}")
+    spark.catalog.refreshTable(table)
+    return len(table_data_files(spark, table))
+
+
 def _data_files(path: str) -> list[str]:
     out = []
     for root, dirs, files in os.walk(path):

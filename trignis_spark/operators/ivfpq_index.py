@@ -29,10 +29,19 @@ search touches only persisted, bucket-pruned tables, mirroring
   broadcast cell join — so probe I/O is O(probed cells) at the scan,
   not just after the join (same DPP pattern as ``dedup_index`` v2's
   verify table, asserted in tests/test_plans.py).
-- ``<name>_ids``       — (vec_id BIGINT) membership sidecar, bucketed
-  by vec_id, for O(lookup) idempotent extends.
-- ``<name>_meta``      — one row (m, k, n_buckets): probe calls need no
-  out-of-band parameters.
+- ``<name>_ids``       — (vec_id BIGINT) membership sidecar, plain
+  parquet (consumers are broadcast anti-joins; round 8 unbucketed it —
+  see ``ann_index._write_rows``), for idempotent extends.
+- ``<name>_meta``      — one row (m, k, n_buckets, adc_margin): probe
+  calls need no out-of-band parameters; ``adc_margin`` certifies the
+  rerank-free quantized-cosine error bound.
+- ``<name>__tail`` / ``<name>__tail_codes`` — write-optimized LSM
+  tails (round 8): a poll-cycle extend appends ONE plain file here
+  instead of scattering ~cells partition-dir commits across the two
+  cell-partitioned tables (measured 5.5 s/table of pure metadata per
+  600-row append at 2 M × 768 vs 0.3 s plain); probes read
+  base ∪ tail, ``compact_ivfpq_index`` folds the tail in on the
+  maintenance cadence.
 
 The coarse quantizer is the deterministic sign-pattern of the leading
 components (same as ``ann_index``) and PQ training is ``pq.train_pq``'s
@@ -77,6 +86,14 @@ def _ids_table(table: str) -> str:
     return f"{table}_ids"
 
 
+def _tail_table(table: str) -> str:
+    return f"{table}__tail"
+
+
+def _tail_codes_table(table: str) -> str:
+    return f"{table}__tail_codes"
+
+
 def _meta_table(table: str) -> str:
     return f"{table}_meta"
 
@@ -96,6 +113,16 @@ def _refresh(spark: SparkSession, table: str) -> None:
     # the probing session's cached file listing (see dedup_index)
     for t in _all_tables(table):
         spark.catalog.refreshTable(t)
+    for t in (_tail_table(table), _tail_codes_table(table)):
+        if spark.catalog.tableExists(t):
+            spark.catalog.refreshTable(t)
+
+
+def _is_bucketed(spark: SparkSession, name: str) -> bool:
+    """True when the catalog declares a bucket spec for ``name`` — the
+    legacy ids-sidecar layout; appends must then keep the spec (Spark
+    rejects a plain append into a bucketed table)."""
+    return any(c.isBucket for c in spark.catalog.listColumns(name))
 
 
 def index_exists(spark: SparkSession, table: str) -> bool:
@@ -122,7 +149,8 @@ def _drop_stale(spark: SparkSession, table: str) -> None:
     ``maintenance.drop_table_and_location``)."""
     from trignis_spark.maintenance import drop_table_and_location
 
-    for t in _all_tables(table):
+    for t in _all_tables(table) + [_tail_table(table),
+                                   _tail_codes_table(table)]:
         drop_table_and_location(spark, t)
 
 
@@ -353,6 +381,9 @@ def remeasure_adc_margin(
     partition directories — and a fresh call re-certifies)."""
     meta = spark.table(_meta_table(table)).first()
     rows = spark.table(table)
+    if spark.catalog.tableExists(_tail_table(table)):
+        # vectors extended since the last compaction live in the tail
+        rows = rows.unionByName(spark.table(_tail_table(table)))
     ratio = max(1, rows.count() // sample_rows)
     sample = rows.filter(F.pmod(F.hash("vec_id"), F.lit(ratio)) == 0)
     margin = _unit_residual_max(
@@ -363,6 +394,11 @@ def remeasure_adc_margin(
           margin)],
         "m int, k int, n_buckets int, adc_margin double",
     )
+    # a re-attached meta table's managed location survives a plain
+    # overwrite's drop (LOCATION_ALREADY_EXISTS) — clear both first
+    from trignis_spark.maintenance import drop_table_and_location
+
+    drop_table_and_location(spark, _meta_table(table))
     new.write.mode("overwrite").format("parquet").saveAsTable(
         _meta_table(table)
     )
@@ -444,12 +480,14 @@ def build_ivfpq_index(
         .saveAsTable(_codes_table(table))
     )
     (
-        # co-partition on vec_id: one file per bucket instead of
-        # tasks × buckets (the decade-4 build's ids directory cut
-        # ~10⁵ files from 47 corpus partitions before this)
-        rows.select("vec_id").repartition(n_buckets, "vec_id")
+        # plain, unbucketed (round 8, same reasoning as ann_index's
+        # ids sidecar): every consumer is a broadcast-shaped anti-join
+        # that never reads a bucket spec, while bucketBy forced every
+        # poll-cycle append to cut one file per present bucket —
+        # membership-scan cost then grew linearly with poll count
+        rows.select("vec_id")
+        .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite")
-        .bucketBy(n_buckets, "vec_id")
         .format("parquet")
         .saveAsTable(_ids_table(table))
     )
@@ -493,14 +531,22 @@ def attach_ivfpq_index(spark: SparkSession, table: str) -> None:
     attach_table(spark, _meta_table(table))
     nb = int(spark.table(_meta_table(table)).first()["n_buckets"])
     attach_table(spark, _codebook_table(table))
-    attach_table(spark, _ids_table(table), bucket_cols=["vec_id"],
-                 n_buckets=nb)
+    # the ids sidecar attaches PLAIN (unbucketed by design since round
+    # 8 — consumers are broadcast anti-joins that never read a spec; a
+    # legacy bucketed sidecar's files are ordinary parquet and read
+    # identically, and later appends/compactions then migrate it)
+    attach_table(spark, _ids_table(table))
     for name in (table, _codes_table(table)):
         if warehouse_dir_partitioned(spark, name, "bucket"):
             attach_table(spark, name)
         else:
             attach_table(spark, name, bucket_cols=["bucket"],
                          n_buckets=nb)
+    for name in (_tail_table(table), _tail_codes_table(table)):
+        try:
+            attach_table(spark, name)
+        except FileNotFoundError:
+            pass  # no un-folded tail — nothing extended since compact
 
 
 def extend_ivfpq_index(
@@ -525,7 +571,8 @@ def extend_ivfpq_index(
     # repartition — an extend batch is poll-cycle-sized); the layout
     # must follow the stored table: wide (current) or narrow (legacy
     # persisted indexes, whose appends must keep the stored schema)
-    if "sub" in spark.table(_codes_table(table)).columns:
+    wide = "sub" not in spark.table(_codes_table(table)).columns
+    if not wide:
         codes = assign_codes(
             split_v(rows, meta["m"], carry=("bucket",)), codebook,
             carry=("bucket",),
@@ -554,42 +601,69 @@ def extend_ivfpq_index(
                     "index or raise the margin via "
                     "remeasure_adc_margin()"
                 )
-    for df, name in ((rows, table), (codes, _codes_table(table))):
-        if _cell_partitioned(spark, name):
+    if wide and _cell_partitioned(spark, table):
+        # current layout: append to the write-optimized TAIL sidecars
+        # — ONE plain file and ONE commit per table per poll cycle. A
+        # direct append to the cell-partitioned tables is metadata-
+        # bound, not data-bound: a 600-row batch scatters over ~515
+        # cells and each partitionBy append costs ~5.5 s of per-
+        # partition-dir commit work against 0.3 s for a plain file
+        # (measured at the 2 M × 768 index, round 8) — ~11 s/cycle of
+        # pure commit tax a 30 s poll loop pays forever. Probes read
+        # base ∪ tail (the tail is cycle-sized); compact_ivfpq_index
+        # folds the tail into the partitioned layout on the
+        # maintenance cadence, amortizing the metadata cost over many
+        # cycles — the LSM shape: write-optimized tail, read-optimized
+        # base.
+        for df, name in ((rows, _tail_table(table)),
+                         (codes, _tail_codes_table(table))):
             (
-                df.repartition("bucket")
+                df.coalesce(1)
                 .write.mode("append")
-                .partitionBy("bucket")
                 .format("parquet")
                 .saveAsTable(name)
             )
-        else:
-            # pre-partitioned-layout index: append with its own spec —
-            # a partitionBy append onto a bucketed table is rejected
-            (
-                df.repartition(meta["n_buckets"], "bucket")
-                .write.mode("append")
-                .bucketBy(meta["n_buckets"], "bucket")
-                .format("parquet")
-                .saveAsTable(name)
+    else:
+        # legacy layouts (narrow codes and/or bucketed cells): append
+        # directly with each table's own stored spec — a partitionBy
+        # append onto a bucketed table is rejected and vice versa
+        for df, name in ((rows, table), (codes, _codes_table(table))):
+            if _cell_partitioned(spark, name):
+                (
+                    df.repartition("bucket")
+                    .write.mode("append")
+                    .partitionBy("bucket")
+                    .format("parquet")
+                    .saveAsTable(name)
+                )
+            else:
+                (
+                    df.repartition(meta["n_buckets"], "bucket")
+                    .write.mode("append")
+                    .bucketBy(meta["n_buckets"], "bucket")
+                    .format("parquet")
+                    .saveAsTable(name)
+                )
+    ids = rows.select("vec_id")
+    if _is_bucketed(spark, _ids_table(table)):
+        # legacy bucketed ids sidecar: keep its spec, co-partitioned
+        # so the append cuts one file per present bucket, not
+        # tasks × buckets
+        (
+            ids.repartition(
+                min(int(meta["n_buckets"]),
+                    4 * spark.sparkContext.defaultParallelism),
+                "vec_id",
             )
-    (
-        # co-partition on vec_id first: a bucketed append cuts one file
-        # per (task, bucket) pair, so an un-partitioned batch-sized
-        # append wrote tasks × buckets files per poll cycle (the
-        # decade-4 ids directory grew to ~10⁵ files); hashed to one
-        # task per bucket the append writes exactly buckets-present
-        rows.select("vec_id")
-        .repartition(
-            min(int(meta["n_buckets"]),
-                4 * spark.sparkContext.defaultParallelism),
-            "vec_id",
+            .write.mode("append")
+            .bucketBy(meta["n_buckets"], "vec_id")
+            .format("parquet")
+            .saveAsTable(_ids_table(table))
         )
-        .write.mode("append")
-        .bucketBy(meta["n_buckets"], "vec_id")
-        .format("parquet")
-        .saveAsTable(_ids_table(table))
-    )
+    else:
+        # plain ids sidecar (current): one file per cycle
+        ids.coalesce(1).write.mode("append").format("parquet") \
+            .saveAsTable(_ids_table(table))
     _refresh(spark, table)
     return added
 
@@ -756,15 +830,30 @@ def ivfpq_probe(
             f"(cd, s) -> element_at(nlut, s * {kk} + cd + 1)), "
             "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
         )
-        adc = (
+        def _cand(src: DataFrame) -> DataFrame:
             # broadcast cell join on the *partition* column → dynamic
-            # partition pruning (asserted in tests/test_plans.py)
-            codes.join(F.broadcast(qbl),
-                       codes["bucket"] == qbl["qbucket"])
-            .filter(F.col("vec_id") != F.col("query_id"))
-            # replayed extend appends duplicate whole rows; a vector
-            # must not surface at two shortlist ranks (same guard as
-            # dedup_index — which row survives is immaterial)
+            # partition pruning at the base scan (asserted in
+            # tests/test_plans.py); the tail source is cycle-sized and
+            # scans whole
+            return (
+                src.join(F.broadcast(qbl),
+                         src["bucket"] == qbl["qbucket"])
+                .filter(F.col("vec_id") != F.col("query_id"))
+            )
+
+        cand = _cand(codes)
+        tl = _tail_codes_table(table)
+        if spark.catalog.tableExists(tl):
+            # per-source join then union (not union-then-join): DPP is
+            # planned per scan, and a union under the join could lose
+            # the base side's pruning
+            cand = cand.unionByName(_cand(spark.table(tl)))
+        adc = (
+            cand
+            # replayed extend appends duplicate whole rows — within
+            # the tail or across a compaction-crash fold window; a
+            # vector must not surface at two shortlist ranks (same
+            # guard as dedup_index — which row survives is immaterial)
             .dropDuplicates(["query_id", "vec_id"])
             .select(
                 "query_id",
@@ -848,19 +937,30 @@ def ivfpq_probe(
         .filter(F.col("_srn") <= shortlist)
         .select("query_id", "neighbor_id", "nbucket")
     )
-    fidx = spark.table(table)
+    def _floats(src: DataFrame) -> DataFrame:
+        return (
+            src.join(
+                F.broadcast(short),
+                (src["vec_id"] == short["neighbor_id"])
+                & (src["bucket"] == short["nbucket"]),
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("v").alias("xv"),
+                F.col("n2").alias("xn2"),
+            )
+        )
+
+    flo = _floats(spark.table(table))
+    tf = _tail_table(table)
+    if spark.catalog.tableExists(tf):
+        # vectors accepted since the last compaction live in the tail
+        # sidecar — the re-rank must see them (a near-dup of a vector
+        # admitted one cycle ago must still gate as a near-dup)
+        flo = flo.unionByName(_floats(spark.table(tf)))
     exact = (
-        fidx.join(
-            F.broadcast(short),
-            (fidx["vec_id"] == short["neighbor_id"])
-            & (fidx["bucket"] == short["nbucket"]),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("v").alias("xv"),
-            F.col("n2").alias("xn2"),
-        )
+        flo
         .join(
             F.broadcast(base.select("query_id", "qv", "qn2")), "query_id"
         )
@@ -895,25 +995,54 @@ def ivfpq_probe(
 
 def compact_ivfpq_index(spark: SparkSession, table: str) -> int:
     """Same housekeeping as ``dedup_index.compact_prefix_index`` for
-    the IVF-PQ tables: per-cycle extends accrete one file set per cell
-    per call; rewrite the two cell-partitioned tables (float index,
-    codes) and the bucketed ids sidecar to ~one file per
-    cell/bucket. The codebook and meta tables are one small file each
-    and never grow — left untouched. Returns the post-compaction file
-    count across the rewritten tables."""
+    the IVF-PQ tables: FOLD the write-optimized tail sidecars into the
+    cell-partitioned base (paying the per-partition-dir append
+    metadata cost ONCE per maintenance cycle instead of every poll —
+    the LSM fold), then rewrite the two cell-partitioned tables (float
+    index, codes) and the ids sidecar to ~one file per cell /
+    right-sized files. The codebook and meta tables are one small file
+    each and never grow — left untouched. Returns the post-compaction
+    file count across the rewritten tables.
+
+    Crash window: a failure between the fold's append and the tail
+    drop leaves the folded rows in BOTH base and tail; probes stay
+    correct (the replay-duplicate ``dropDuplicates`` guard), and the
+    next compaction's rewrite… re-folds them, so the duplicate float
+    rows persist as storage overhead only — the same tolerated state
+    a replayed extend already creates (see
+    ``test_probe_immune_to_replayed_extend_duplicates``)."""
     from trignis_spark.maintenance import (
         compact_bucketed_table,
         compact_partitioned_table,
+        compact_plain_table,
     )
 
     meta = spark.table(_meta_table(table)).first()
     nb = meta["n_buckets"]
+    for tail, target in ((_tail_table(table), table),
+                         (_tail_codes_table(table), _codes_table(table))):
+        if not spark.catalog.tableExists(tail):
+            continue
+        (
+            spark.table(tail)
+            .repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .format("parquet")
+            .saveAsTable(target)
+        )
+        from trignis_spark.maintenance import drop_table_and_location
+
+        drop_table_and_location(spark, tail)
     n = 0
     for name in (table, _codes_table(table)):
         if _cell_partitioned(spark, name):
             n += compact_partitioned_table(spark, name, "bucket")
         else:  # pre-partitioned-layout index — rewrite with its own spec
             n += compact_bucketed_table(spark, name, "bucket", nb)
-    n += compact_bucketed_table(spark, _ids_table(table), "vec_id", nb)
+    if _is_bucketed(spark, _ids_table(table)):
+        n += compact_bucketed_table(spark, _ids_table(table), "vec_id", nb)
+    else:
+        n += compact_plain_table(spark, _ids_table(table))
     _refresh(spark, table)
     return n

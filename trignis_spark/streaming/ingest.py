@@ -335,6 +335,20 @@ def make_embedding_ingest_fn(
                 "remeasure_adc_margin()"
             )
         eff_threshold = cos_threshold - margin
+        if eff_threshold <= 0:
+            # a margin this wide means the quantized cosine carries no
+            # usable signal at θ — every vector would gate as a near-
+            # dup. Measured: a 2 M × 768 *random gaussian* corpus
+            # certifies margin ≈ 1.32 at m=8/k=16 (random data is the
+            # PQ worst case; real embedding manifolds quantize far
+            # better). Fail at construction, not one vector at a time.
+            raise ValueError(
+                f"precision='adc': certified margin {margin:.3f} "
+                f"swallows cos_threshold {cos_threshold} — the "
+                "codebook cannot represent this corpus tightly enough "
+                "to gate on quantized cosines; use precision='exact' "
+                "or rebuild with finer PQ (higher m/k)"
+            )
 
     import time
 
