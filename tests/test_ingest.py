@@ -457,3 +457,54 @@ def test_embedding_gate_adc_requires_certified_pq_index(spark, tmp_path):
     finally:
         for t in ("", "_ids", "_meta", "_coarse"):
             spark.sql(f"DROP TABLE IF EXISTS emb_gate_adc_f{t}")
+
+
+def test_embedding_gate_cache_index_stays_correct_across_extends(
+    spark, tmp_path
+):
+    """``cache_index=True`` pins the base serving tables in storage
+    cache; the r8 tail design makes that sound (extends refresh only
+    the tail sidecars, never the immutable base). Decisions must be
+    identical across cycles — in particular a vector accepted in cycle
+    N must near-dup-reject its copy in cycle N+1 even though the base
+    cache was never invalidated (the probe reads base ∪ tail)."""
+    from trignis_spark.operators import ivfpq_index as ipq
+
+    P, Q = [1.0, 1.0, 1.0, 1.0], [1.0, -1.0, -1.0, 1.0]
+
+    def vframe(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    for t in ("", "_ids", "_codes", "_codebook", "_meta", "__tail",
+              "__tail_codes"):
+        spark.sql(f"DROP TABLE IF EXISTS emb_gate_ci{t}")
+    try:
+        corpus = vframe(
+            [(i, [x * (1.0 + 0.01 * i) for x in P]) for i in range(6)]
+        )
+        ipq.build_ivfpq_index(spark, corpus, "emb_gate_ci", m=2, k=2,
+                              n_buckets=4)
+        stats: list[ingest.EmbeddingIngestStats] = []
+        fn = ingest.make_embedding_ingest_fn(
+            spark, "emb_gate_ci", str(tmp_path / "acc_ci"),
+            cos_threshold=0.99, nprobe=4, stats=stats,
+            cache_index=True,
+        )
+        fn(vframe([(50, Q)]), epoch_id=0)           # new direction
+        assert stats[-1].accepted == 1
+        fn(vframe([(51, [2.0 * x for x in Q])]), epoch_id=1)
+        # the scaled copy of the JUST-extended vector must reject via
+        # the tail, with the base cache untouched
+        assert stats[-1].near_dup == 1 and stats[-1].accepted == 0
+        assert spark.catalog.isCached("emb_gate_ci")
+    finally:
+        for t in ("", "_codes"):
+            try:
+                spark.catalog.uncacheTable(f"emb_gate_ci{t}")
+            except Exception:
+                pass
+        for t in ("", "_ids", "_codes", "_codebook", "_meta", "__tail",
+                  "__tail_codes"):
+            spark.sql(f"DROP TABLE IF EXISTS emb_gate_ci{t}")

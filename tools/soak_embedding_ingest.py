@@ -62,6 +62,11 @@ def main() -> int:
                          "(threshold - certified margin) — IVF-PQ "
                          "indexes only; kills the per-cycle corpus-"
                          "float re-rank scan")
+    ap.add_argument("--cache-index", action="store_true",
+                    help="pin the index's serving tables in Spark "
+                         "storage cache across cycles (sound under "
+                         "the r8 tail design: extends never refresh "
+                         "the base tables)")
     ap.add_argument("--driver-mem", default="56g",
                     help="JVM heap; leave headroom for Arrow/netty "
                          "direct buffers + Python workers (see "
@@ -126,6 +131,7 @@ def main() -> int:
     gate = make_embedding_ingest_fn(
         spark, args.name, args.accepted, cos_threshold=0.95, nprobe=2,
         stats=stats, precision=args.precision,
+        cache_index=args.cache_index,
     )
 
     b = args.batch
@@ -152,16 +158,28 @@ def main() -> int:
         )
         # 30% genuinely fresh: deterministic pseudo-random vectors far
         # from everything (hash-derived components, unit-scale)
+        # the salt must reach the CONTENT hash, not just the ids: a
+        # re-run whose fresh vectors repeat a previous run's values is
+        # (correctly) rejected by the cosine gate as all near-dups once
+        # the index absorbed that run's accepts
         fresh = spark.range(n_fresh).select(
             (F.col("id") + F.lit(fresh_base + c * 10 ** 9))
             .alias("vec_id"),
             F.expr(
                 "transform(sequence(1, %d), i -> CAST("
-                "sin(CAST(hash(id, i, %d) AS DOUBLE)) * 3.0 AS FLOAT))"
-                % (dims, c)
+                "sin(CAST(hash(id, i, %d, %d) AS DOUBLE)) * 3.0 AS FLOAT))"
+                % (dims, c, args.run_salt)
             ).alias("embedding"),
         )
-        batch = replay.unionByName(dup).unionByName(fresh)
+        # materialize the synthetic batch BEFORE the timed call: the
+        # replay/dup legs each scan the corpus parquet, and lazy
+        # evaluation used to bill those driver-side scans to the
+        # gate's first stage (~13 s/cycle at the 6.2 GB 768-dim
+        # corpus, and >100 s when the page cache was cold — round 8's
+        # first soak read misleadingly slow because of it)
+        batch = replay.unionByName(dup).unionByName(fresh) \
+            .localCheckpoint(eager=True)
+        batch.count()
         t0 = time.time()
         gate(batch, epoch_id=c)
         dt = time.time() - t0

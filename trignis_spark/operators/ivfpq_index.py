@@ -578,7 +578,14 @@ def extend_ivfpq_index(
             carry=("bucket",),
         ).select("vec_id", "sub", F.col("cid").alias("code"), "bucket")
     else:
-        codes = _wide_codes(rows, codebook, meta["m"])
+        # checkpoint the encoded batch: the consumers below (margin
+        # check, tail append) would otherwise EACH re-run the Arrow
+        # encode — and the tail's coalesce(1) would re-run it on a
+        # single task (measured 8 s of the extend at 2 M × 768 for a
+        # 600-row batch vs 0.5 s writing materialized rows)
+        codes = _wide_codes(rows, codebook, meta["m"]).localCheckpoint(
+            eager=True
+        )
         # the build certified adc_margin on ITS corpus sample; a batch
         # from a drifted distribution can quantize worse, silently
         # widening the true ADC error past the stored bound — check the
@@ -601,7 +608,8 @@ def extend_ivfpq_index(
                     "index or raise the margin via "
                     "remeasure_adc_margin()"
                 )
-    if wide and _cell_partitioned(spark, table):
+    tail_route = wide and _cell_partitioned(spark, table)
+    if tail_route:
         # current layout: append to the write-optimized TAIL sidecars
         # — ONE plain file and ONE commit per table per poll cycle. A
         # direct append to the cell-partitioned tables is metadata-
@@ -664,7 +672,18 @@ def extend_ivfpq_index(
         # plain ids sidecar (current): one file per cycle
         ids.coalesce(1).write.mode("append").format("parquet") \
             .saveAsTable(_ids_table(table))
-    _refresh(spark, table)
+    # refresh ONLY what this extend touched: on the tail route the
+    # cell-partitioned base tables did not change, and invalidating
+    # them would evict a `cache_index`-pinned serving cache (the
+    # ingest gate) and void the probing session's file listings for
+    # nothing — the point of the tail is that the base stays immutable
+    # between compactions
+    if tail_route:
+        changed = [_tail_table(table), _tail_codes_table(table)]
+    else:
+        changed = [table, _codes_table(table)]
+    for t in changed + [_ids_table(table)]:
+        spark.catalog.refreshTable(t)
     return added
 
 
