@@ -508,3 +508,28 @@ def test_embedding_gate_cache_index_stays_correct_across_extends(
         for t in ("", "_ids", "_codes", "_codebook", "_meta", "__tail",
                   "__tail_codes"):
             spark.sql(f"DROP TABLE IF EXISTS emb_gate_ci{t}")
+
+
+def test_cache_index_rejects_float_ann_family(spark, tmp_path):
+    """cache_index with the float-ANN family would evict and rebuild
+    the cache every cycle (its extends mutate the base tables) — fail
+    at construction."""
+    from trignis_spark.operators import ann_index as ai
+
+    for t in ("", "_ids", "_meta", "_coarse"):
+        spark.sql(f"DROP TABLE IF EXISTS emb_gate_cif{t}")
+    try:
+        ai.build_ann_index(
+            spark,
+            spark.createDataFrame([(1, [1.0, 0.5, -0.25, 2.0])],
+                                  "vec_id long, embedding array<float>"),
+            "emb_gate_cif", n_buckets=2,
+        )
+        with pytest.raises(ValueError, match="cache_index"):
+            ingest.make_embedding_ingest_fn(
+                spark, "emb_gate_cif", str(tmp_path / "x"),
+                cache_index=True,
+            )
+    finally:
+        for t in ("", "_ids", "_meta", "_coarse"):
+            spark.sql(f"DROP TABLE IF EXISTS emb_gate_cif{t}")

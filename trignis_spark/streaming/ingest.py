@@ -350,6 +350,17 @@ def make_embedding_ingest_fn(
                 "to gate on quantized cosines; use precision='exact' "
                 "or rebuild with finer PQ (higher m/k)"
             )
+    if cache_index and not is_pq:
+        # the float-ANN family's extends append into the base tables
+        # themselves, so every cycle would evict and rebuild the
+        # cache — strictly worse than no cache. Only the IVF-PQ
+        # family's tail design keeps the base immutable between
+        # compactions.
+        raise ValueError(
+            "cache_index=True requires an IVF-PQ index (tail-design "
+            f"extends); {ann_table} is a float-ANN index whose "
+            "extends mutate the cached base every cycle"
+        )
     if cache_index:
         # pin the serving-side corpus tables in Spark's storage cache:
         # a long-lived poller's probe re-reads them EVERY cycle, and
@@ -362,8 +373,7 @@ def make_embedding_ingest_fn(
         # cache is LRU per executor — a corpus larger than aggregate
         # storage memory degrades to partial caching, never to error.
         spark.catalog.cacheTable(ann_table)
-        if is_pq:
-            spark.catalog.cacheTable(f"{ann_table}_codes")
+        spark.catalog.cacheTable(f"{ann_table}_codes")
 
     import time
 
