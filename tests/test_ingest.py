@@ -336,7 +336,8 @@ def test_embedding_gate_over_ivfpq_index(spark, tmp_path):
             rows, "vec_id long, embedding array<float>"
         )
 
-    for t in ("", "_ids", "_codes", "_codebook", "_meta"):
+    for t in ("", "_ids", "_codes", "_codebook", "_meta", "__tail",
+              "__tail_codes"):
         spark.sql(f"DROP TABLE IF EXISTS emb_gate_pq{t}")
     try:
         corpus = vframe([
@@ -371,7 +372,8 @@ def test_embedding_gate_over_ivfpq_index(spark, tmp_path):
         assert stats[-1].accepted == 0
         assert spark.table("emb_gate_pq_ids").count() == 4
     finally:
-        for t in ("", "_ids", "_codes", "_codebook", "_meta"):
+        for t in ("", "_ids", "_codes", "_codebook", "_meta", "__tail",
+                  "__tail_codes"):
             spark.sql(f"DROP TABLE IF EXISTS emb_gate_pq{t}")
 
 
@@ -391,7 +393,8 @@ def test_embedding_gate_adc_precision(spark, tmp_path):
             rows, "vec_id long, embedding array<float>"
         )
 
-    for t in ("", "_ids", "_codes", "_codebook", "_meta"):
+    for t in ("", "_ids", "_codes", "_codebook", "_meta", "__tail",
+              "__tail_codes"):
         spark.sql(f"DROP TABLE IF EXISTS emb_gate_adc{t}")
     try:
         corpus = vframe(
@@ -425,7 +428,8 @@ def test_embedding_gate_adc_precision(spark, tmp_path):
         assert stats[-1].accepted == 0
         assert spark.table("emb_gate_adc_ids").count() == 13
     finally:
-        for t in ("", "_ids", "_codes", "_codebook", "_meta"):
+        for t in ("", "_ids", "_codes", "_codebook", "_meta", "__tail",
+                  "__tail_codes"):
             spark.sql(f"DROP TABLE IF EXISTS emb_gate_adc{t}")
 
 

@@ -509,3 +509,25 @@ def test_extend_appends_one_tail_file_per_cycle(spark, index):
     assert _pairs(
         ipq.ivfpq_probe(spark, index, queries, k=5, nprobe=2)
     ) == want
+
+
+def test_wide_encode_dispatches_on_total_work(spark):
+    """The Arrow-encode dispatch considers TOTAL work (rows × k ×
+    sub_dims), not only per-row score: the decade-5 build's 50 M-row
+    encode at the narrow 64-dim layout (128 elements/row) sat on the
+    interpreted path for 10+ minutes. Small fixtures (the pinned
+    oracle scale) stay on the expression path."""
+    emb = load(spark, SF, "embeddings")
+    from trignis_spark.operators.ivfpq_index import _bucketed, _wide_codes
+    from trignis_spark.operators.pq import train_pq
+
+    rows = _bucketed(emb, 16)
+    cb = train_pq(emb, m=M, k=K, iters=1)
+    # fixture scale, no hint: expression path (no Python stage)
+    plan_small = _wide_codes(rows, cb, M)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "MapInPandas" not in plan_small
+    # same layout, corpus-scale hint: Arrow path
+    plan_big = _wide_codes(rows, cb, M, n_rows=50_000_000) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_big

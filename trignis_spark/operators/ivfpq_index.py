@@ -200,7 +200,21 @@ def auto_n_buckets(n_vectors: int, dims: int = 64) -> int:
     return capped
 
 
-def _wide_codes(rows: DataFrame, codebook: DataFrame, m: int) -> DataFrame:
+#: total interpreted fold elements (rows × k × sub_dims) above which
+#: the wide encode dispatches to the Arrow twin even when the
+#: per-subspace score sits under ``VECTORIZED_ENCODE_MIN_SCORE``. The
+#: per-row floor catches WIDE layouts (768-dim: boxed slices killed two
+#: straggler tasks); this catches LARGE corpora at narrow layouts — the
+#: 50 M × 64-dim decade-5 build's encode stage (m=8, k=16 ⇒ 128
+#: elements/row, expression path) completed 0 of 64 tasks in 10
+#: minutes, ~6.4e9 interpreted fold elements. Both paths are locked
+#: bit-identical (tests/test_pq.py), so dispatch is pure economics;
+#: the pinned oracle fixtures (≤ 10⁴ rows) stay far under this bound.
+VECTORIZED_ENCODE_MIN_WORK = 100_000_000
+
+
+def _wide_codes(rows: DataFrame, codebook: DataFrame, m: int,
+                n_rows: int | None = None) -> DataFrame:
     """(vec_id, codes ARRAY<INT> ordered by sub, bucket) — the PQ codes
     table in its *wide* layout, one row per vector, computed in a single
     map-side projection (full codebook broadcast as one packed array;
@@ -229,7 +243,10 @@ def _wide_codes(rows: DataFrame, codebook: DataFrame, m: int) -> DataFrame:
          for s in {r["sub"] for r in cb_rows}),
         default=0,
     )
-    if k_max * sub_dims >= VECTORIZED_ENCODE_MIN_SCORE:
+    if k_max * sub_dims >= VECTORIZED_ENCODE_MIN_SCORE or (
+        n_rows is not None
+        and n_rows * k_max * sub_dims >= VECTORIZED_ENCODE_MIN_WORK
+    ):
         # Arrow twin (round 8): the expression form below evaluates
         # ``slice(v, ...)`` once per CANDIDATE — interpreted Slice
         # builds a boxed Scala Vector each time (m·k = 128 per row at
@@ -470,8 +487,9 @@ def build_ivfpq_index(
     # vector layout, all map-side (no encode→bucket join — the former
     # join shuffled the m×N-row code table on vec_id; 160 M rows at
     # 20 M vectors, and with train_pq's old join-back it filled the
-    # 67 GB scratch disk before the build completed)
-    codes = _wide_codes(rows, codebook, m)
+    # 67 GB scratch disk before the build completed); n_rows lets the
+    # encode dispatch on TOTAL work, not just per-row score
+    codes = _wide_codes(rows, codebook, m, n_rows=n)
     (
         codes.repartition("bucket")
         .write.mode("overwrite")
@@ -844,10 +862,16 @@ def ivfpq_probe(
             f"(acc, p) -> CAST(acc + CAST(p AS {_ACC}) AS DECIMAL(32,12)))"
             " AS DOUBLE)"
         )
+        # decimal accumulation like ``adot``: order-independent, so
+        # the DuckDB oracle's SUM(DECIMAL) over the same per-(sub,
+        # code) norms replays the reconstruction norm bit-for-bit
+        # (``ann_ivfpq_probe_adc``)
         xq2 = (
-            f"aggregate(zip_with(codes, sequence(0, {m - 1}), "
+            f"CAST(aggregate(zip_with(codes, sequence(0, {m - 1}), "
             f"(cd, s) -> element_at(nlut, s * {kk} + cd + 1)), "
-            "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+            f"CAST(0 AS DECIMAL(32,12)), "
+            f"(acc, p) -> CAST(acc + CAST(p AS {_ACC}) AS DECIMAL(32,12)))"
+            " AS DOUBLE)"
         )
         def _cand(src: DataFrame) -> DataFrame:
             # broadcast cell join on the *partition* column → dynamic
@@ -924,7 +948,8 @@ def ivfpq_probe(
                 *(
                     []
                     if rerank
-                    else [F.sum("pn").alias("xq2"),
+                    else [F.sum(F.col("pn").cast(_ACC)).cast("double")
+                          .alias("xq2"),
                           F.max("qn2").alias("qn2")]
                 ),
             )

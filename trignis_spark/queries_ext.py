@@ -1892,6 +1892,85 @@ def ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rank", F.col("rank").cast("long"))
 
 
+_IVFPQ_ADC_SQL = f"""
+    WITH {_PQ_TRAIN_CTES},
+    codes AS ({_pq_assign_sql('sv', 'c2')}),
+    n AS (SELECT vec_id, v, {_DNORM2.format(a='v')} AS n2,
+                 {_IVF_BUCKET.format(v='v')} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2, bucket AS qbucket
+          FROM n WHERE vec_id % 100 = 0),
+    cand AS (
+      SELECT q.query_id, n.vec_id
+      FROM q JOIN n ON n.bucket = q.qbucket AND n.vec_id <> q.query_id),
+    qsub AS (
+      SELECT q.query_id, sv.sub, sv.subv
+      FROM sv JOIN q ON sv.vec_id = q.query_id),
+    lut AS (
+      SELECT qsub.query_id, qsub.sub, c2.cid AS code,
+             {_DDOT.format(a='qsub.subv', b='c2.cvec')} AS pdot
+      FROM qsub JOIN c2 ON c2.sub = qsub.sub),
+    nrm AS (SELECT sub, cid, {_DNORM2.format(a='cvec')} AS pn FROM c2),
+    adc AS (
+      SELECT c.query_id, c.vec_id AS neighbor_id,
+             CAST(sum(CAST(l.pdot AS DECIMAL(30,12))) AS DOUBLE) AS adot,
+             CAST(sum(CAST(nrm.pn AS DECIMAL(30,12))) AS DOUBLE) AS xq2
+      FROM cand c
+      JOIN codes ON codes.vec_id = c.vec_id
+      JOIN lut l ON l.query_id = c.query_id AND l.sub = codes.sub
+                AND l.code = codes.cid
+      JOIN nrm ON nrm.sub = codes.sub AND nrm.cid = codes.cid
+      GROUP BY c.query_id, c.vec_id),
+    scored AS (
+      SELECT adc.query_id, adc.neighbor_id,
+             adc.adot / sqrt(q.qn2 * adc.xq2) AS cos
+      FROM adc JOIN q ON q.query_id = adc.query_id)
+    SELECT query_id, neighbor_id, rank, round(cos, 9) AS adc_cos FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 10
+    """
+
+
+@register("ann_ivfpq_probe_adc", _IVFPQ_ADC_SQL)
+def ann_ivfpq_probe_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rerank-free IVF-PQ probe (round 8): ranks and scores come from
+    the QUANTIZED cosine cos(q, x̂) = adot / √(qn2 · |x̂|²), computed
+    entirely from the codes scan + broadcast codebook — the float
+    table is never read (the plan is asserted float-free in
+    tests/test_ivfpq_index.py). This is the serving path whose error
+    the build certifies into ``meta.adc_margin`` and the ingest
+    gate's ``precision='adc'`` mode thresholds at (θ − margin). Both
+    ADC partial-dot and reconstruction-norm sums accumulate in
+    fixed-point decimal (order-independent), and the per-(sub, code)
+    norms are the same component-ascending double folds in both
+    engines — so the oracle re-derives training, codes, norms, and
+    the full ranking bit-for-bit."""
+    import hashlib
+
+    from trignis_spark.operators import ivfpq_index as ipq
+
+    emb = load(spark, sf_dir, "embeddings")
+    # shares the persisted index (and its one-time build) with
+    # ann_ivfpq_probe — same name scheme, same pinned 16-cell layout
+    name = "ivfpq_q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if not ipq.index_exists(spark, name):
+        ipq.build_ivfpq_index(
+            spark, emb, name, m=_PQ_M, k=_PQ_K, n_buckets=16, iters=2
+        )
+    queries = emb.filter("vec_id % 100 = 0")
+    topk = ipq.ivfpq_probe(
+        spark, name, queries, k=10, nprobe=1, include_score=True,
+        rerank=False,
+    )
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 9).alias("adc_cos"),
+    )
+
+
 @register(
     "corpus_mix_weights",
     """
