@@ -63,6 +63,7 @@ OPTIONAL = [
     "corpus_pack_sequences_scaled",
     "ann_ivfpq_topk",
     "ann_ivfpq_probe",
+    "ann_ivfpq_probe_adc",
     "text_bm25_topk",
     "agg_exact_percentiles",
     "dedup_index_probe",
