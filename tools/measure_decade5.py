@@ -58,6 +58,13 @@ def main() -> int:
     ap.add_argument("--shortlist", type=int, default=30)
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--skip-equiv", action="store_true")
+    ap.add_argument("--skip-probe", action="store_true")
+    ap.add_argument("--gate-cycles", type=int, default=0,
+                    help="run N embedding-ingest-gate poll cycles "
+                         "against the index (2000-row batches: 40%% "
+                         "replay / 30%% ε-near-dup / 30%% fresh, the "
+                         "soak mix) with cache_index=True — the "
+                         "decade-5 poll-cycle cost")
     ap.add_argument("--driver-mem", default="56g")
     args = ap.parse_args()
 
@@ -147,8 +154,9 @@ def main() -> int:
             "twin_recall_at_10": round(hits / nq, 4),
         }), flush=True)
 
-    probe_leg("probe", args.nprobe)
-    if not args.skip_equiv:
+    if not args.skip_probe:
+        probe_leg("probe", args.nprobe)
+    if not args.skip_equiv and not args.skip_probe:
         # scanned-codes parity with the capped-4096 layout at this
         # corpus: occupancy_capped = n_total/4096, so nprobe_eq =
         # nprobe * (n_buckets/4096) scans the same codes/query
@@ -167,6 +175,53 @@ def main() -> int:
         "leg": "extend", "batch": 10_000, "added": added,
         "sec": round(time.time() - t0, 1),
     }), flush=True)
+
+    if args.gate_cycles:
+        from trignis_spark.streaming.ingest import (
+            EmbeddingIngestStats, make_embedding_ingest_fn,
+        )
+
+        stats: list[EmbeddingIngestStats] = []
+        gate = make_embedding_ingest_fn(
+            spark, args.name, ".localdata/d5_gate_accepted",
+            cos_threshold=0.95, nprobe=args.nprobe, stats=stats,
+            cache_index=True,
+        )
+        b = 2000
+        n_rep, n_dup = int(b * 0.4), int(b * 0.3)
+        for c in range(args.gate_cycles):
+            rep = computed(
+                spark.range(c * 10_000, c * 10_000 + n_rep * 29, 29)
+                .limit(n_rep)
+            )
+            dup = computed(
+                spark.range(c * 7_000, c * 7_000 + n_dup * 31, 31)
+                .limit(n_dup), shift=EPS,
+            ).select(
+                (F.col("vec_id") + F.lit(5 * stride + c * 10**7))
+                .alias("vec_id"), "embedding",
+            )
+            fr = spark.range(n_fresh := b - n_rep - n_dup).select(
+                (F.col("id") + F.lit(7 * stride + c * 10**7))
+                .alias("vec_id"),
+                F.expr(
+                    f"transform(sequence(1, {dims}), i -> CAST("
+                    f"sin(CAST(hash(id, i, {c}, 777) AS DOUBLE)) * 3.0"
+                    " AS FLOAT))"
+                ).alias("embedding"),
+            )
+            bdf = rep.unionByName(dup).unionByName(fr) \
+                .localCheckpoint(eager=True)
+            bdf.count()
+            t0 = time.time()
+            gate(bdf, epoch_id=c)
+            s = stats[-1]
+            print(json.dumps({
+                "leg": "gate_cycle", "cycle": c,
+                "sec": round(time.time() - t0, 2),
+                "already_known": s.already_known, "near_dup": s.near_dup,
+                "accepted": s.accepted, "timings": s.timings,
+            }), flush=True)
     spark.stop()
     return 0
 
