@@ -531,3 +531,23 @@ def test_wide_encode_dispatches_on_total_work(spark):
     plan_big = _wide_codes(rows, cb, M, n_rows=50_000_000) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan_big
+
+
+def test_fold_tail_alone_preserves_probe_and_drops_sidecars(spark, index):
+    """``fold_ivfpq_tail``: the cheap maintenance half — folds the
+    cycle tails into the base (results unchanged) without the full
+    rewrite's 2×-table-size disk requirement; idempotent no-op when
+    no tail exists."""
+    emb = load(spark, SF, "embeddings")
+    ipq.build_ivfpq_index(spark, emb.filter("vec_id < 300"), index,
+                          m=M, k=K)
+    ipq.extend_ivfpq_index(spark, emb.filter("vec_id >= 300"), index)
+    queries = emb.filter(F.expr(QUERY_PRED))
+    want = _pairs(ipq.ivfpq_probe(spark, index, queries, k=5, nprobe=2))
+    folded = ipq.fold_ivfpq_tail(spark, index)
+    assert folded == 2 * emb.filter("vec_id >= 300").count()  # rows+codes
+    assert not spark.catalog.tableExists(ipq._tail_table(index))
+    assert _pairs(
+        ipq.ivfpq_probe(spark, index, queries, k=5, nprobe=2)
+    ) == want
+    assert ipq.fold_ivfpq_tail(spark, index) == 0  # no-op re-run

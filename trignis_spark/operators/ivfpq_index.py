@@ -1037,6 +1037,45 @@ def ivfpq_probe(
     )
 
 
+def fold_ivfpq_tail(spark: SparkSession, table: str) -> int:
+    """Fold the write-optimized tail sidecars into the cell-partitioned
+    base and drop them — the cheap half of maintenance, separated from
+    ``compact_ivfpq_index``'s full rewrite because their costs differ
+    by orders of magnitude: the fold is one partitioned append of
+    cycle-sized data (paying the per-partition-dir commit metadata
+    once per maintenance run instead of every poll), while the rewrite
+    copies the WHOLE table and needs ~2× its size in free disk (the
+    50 M-vector leg's 19 GB rewrite died on a 35 GB-free box while its
+    fold had already completed safely — BASELINE.md round 8). Fold on
+    every maintenance cycle; rewrite on the rarer cadence file-count
+    growth actually demands (each fold adds at most one file per
+    touched cell). Returns rows folded. Crash between append and drop
+    leaves rows in both base and tail — probes stay correct (the
+    replay-duplicate guard); the next fold re-appends them as storage
+    overhead only, the same tolerated state a replayed extend creates
+    (``test_probe_immune_to_replayed_extend_duplicates``)."""
+    from trignis_spark.maintenance import drop_table_and_location
+
+    folded = 0
+    for tail, target in ((_tail_table(table), table),
+                         (_tail_codes_table(table), _codes_table(table))):
+        if not spark.catalog.tableExists(tail):
+            continue
+        src = spark.table(tail)
+        folded += src.count()
+        (
+            src.repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .format("parquet")
+            .saveAsTable(target)
+        )
+        drop_table_and_location(spark, tail)
+    if folded:
+        _refresh(spark, table)
+    return folded
+
+
 def compact_ivfpq_index(spark: SparkSession, table: str) -> int:
     """Same housekeeping as ``dedup_index.compact_prefix_index`` for
     the IVF-PQ tables: FOLD the write-optimized tail sidecars into the
@@ -1048,13 +1087,10 @@ def compact_ivfpq_index(spark: SparkSession, table: str) -> int:
     each and never grow — left untouched. Returns the post-compaction
     file count across the rewritten tables.
 
-    Crash window: a failure between the fold's append and the tail
-    drop leaves the folded rows in BOTH base and tail; probes stay
-    correct (the replay-duplicate ``dropDuplicates`` guard), and the
-    next compaction's rewrite… re-folds them, so the duplicate float
-    rows persist as storage overhead only — the same tolerated state
-    a replayed extend already creates (see
-    ``test_probe_immune_to_replayed_extend_duplicates``)."""
+    The rewrite copies the whole table (needs ~2× its size free on
+    disk); call ``fold_ivfpq_tail`` alone on the frequent maintenance
+    cadence and reserve this for when per-cell file counts have
+    actually grown (crash-window semantics documented there)."""
     from trignis_spark.maintenance import (
         compact_bucketed_table,
         compact_partitioned_table,
@@ -1063,21 +1099,7 @@ def compact_ivfpq_index(spark: SparkSession, table: str) -> int:
 
     meta = spark.table(_meta_table(table)).first()
     nb = meta["n_buckets"]
-    for tail, target in ((_tail_table(table), table),
-                         (_tail_codes_table(table), _codes_table(table))):
-        if not spark.catalog.tableExists(tail):
-            continue
-        (
-            spark.table(tail)
-            .repartition("bucket")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .format("parquet")
-            .saveAsTable(target)
-        )
-        from trignis_spark.maintenance import drop_table_and_location
-
-        drop_table_and_location(spark, tail)
+    fold_ivfpq_tail(spark, table)
     n = 0
     for name in (table, _codes_table(table)):
         if _cell_partitioned(spark, name):
