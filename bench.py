@@ -89,6 +89,15 @@ def main() -> int:
         "headline set (for scale-point runs over a subset, e.g. the "
         "scaled/production shapes at sf10)",
     )
+    ap.add_argument(
+        "--compare",
+        default=None,
+        metavar="BENCH_rN.json",
+        help="after the run, print (to stderr) the shared-query-set "
+        "total ratio vs a prior round's recorded bench JSON plus the "
+        "worst per-query drifts — run as the round's LAST act so "
+        "BASELINE.md records end-of-round numbers, not mid-round ones",
+    )
     args = ap.parse_args()
     sf_dir = (
         args.sf
@@ -141,7 +150,47 @@ def main() -> int:
             }
         )
     )
+    if args.compare:
+        _compare(timings, args.compare)
     return 0
+
+
+def _compare(timings: dict[str, float], ref_path: str) -> None:
+    """Shared-query-set drift report vs a prior round's bench JSON —
+    written to STDERR (stdout stays the driver's one-JSON-line
+    contract). Round 8's regression shipped because the shared-set
+    check ran mid-round and perf-touching commits followed; this makes
+    the check one command to run as the round's last act."""
+    with open(ref_path) as f:
+        ref = json.load(f)["queries"]
+    shared = sorted(set(timings) & set(ref))
+    if not shared:
+        print(f"--compare: no shared queries with {ref_path}",
+              file=sys.stderr)
+        return
+    now_t = sum(timings[n] for n in shared)
+    ref_t = sum(ref[n] for n in shared)
+    drifts = sorted(
+        ((timings[n] - ref[n], n) for n in shared), reverse=True
+    )
+    print(
+        f"--compare vs {ref_path}: shared {len(shared)} queries, "
+        f"{ref_t:.1f}s -> {now_t:.1f}s = {now_t / ref_t:.2f}x",
+        file=sys.stderr,
+    )
+    for d, n in drifts[:5]:
+        print(
+            f"  worst drift: {n} {ref[n]:.2f}s -> {timings[n]:.2f}s "
+            f"({d:+.2f}s, {timings[n] / ref[n]:.2f}x)",
+            file=sys.stderr,
+        )
+    for d, n in drifts[-3:]:
+        if d < 0:
+            print(
+                f"  best gain:  {n} {ref[n]:.2f}s -> {timings[n]:.2f}s "
+                f"({d:+.2f}s)",
+                file=sys.stderr,
+            )
 
 
 if __name__ == "__main__":

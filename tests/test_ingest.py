@@ -179,6 +179,7 @@ def test_embedding_gate_rejects_near_dups_and_extends(spark, tmp_path):
                 if k != "timings"} == {
             "epoch_id": 0, "arrived": 2, "already_known": 0,
             "near_dup": 1, "accepted": 1,
+            "adc_margin": None, "folded": 0,  # exact mode, no policy
         }
         # stage telemetry: every stage ran on an accepting epoch
         assert set(stats[-1].timings) == {"dedup", "probe", "write",

@@ -442,8 +442,10 @@ def test_extend_warns_on_adc_margin_drift_and_remeasure_raises(
     spark, index
 ):
     """A drifted extend batch quantizes worse than the certified
-    bound: extend warns (never silently degrades) and
-    ``remeasure_adc_margin`` re-certifies over the grown corpus."""
+    bound: extend warns AND widens the stored margin to cover the
+    batch (round 9 — a warning alone left adc-gated callers holding
+    the stale narrower bound), and ``remeasure_adc_margin``
+    re-certifies over the grown corpus."""
     import warnings
 
     emb = _clustered_vframe(spark)
@@ -459,8 +461,15 @@ def test_extend_warns_on_adc_margin_drift_and_remeasure_raises(
         warnings.simplefilter("always")
         ipq.extend_ivfpq_index(spark, drift, index)
     assert any("adc_margin" in str(x.message) for x in w)
-    # the stored bound is unchanged until maintenance re-certifies
-    assert ipq.stored_adc_margin(spark, index) == before
+    # the stored bound now COVERS the drifted batch — adc-gated
+    # callers re-reading it per cycle stay one-sided-sound
+    widened = ipq.stored_adc_margin(spark, index)
+    assert widened > before
+    # a fresh session (empty state cache) reads the same widened row
+    ipq._drop_state(spark, index)
+    assert ipq.stored_adc_margin(spark, index) == pytest.approx(widened)
+    # maintenance re-certifies over the grown corpus: full-corpus max,
+    # so it equals the widened bound here (the drift vector IS the max)
     after = ipq.remeasure_adc_margin(spark, index)
     assert after > before
     assert ipq.stored_adc_margin(spark, index) == pytest.approx(after)
@@ -551,3 +560,154 @@ def test_fold_tail_alone_preserves_probe_and_drops_sidecars(spark, index):
         ipq.ivfpq_probe(spark, index, queries, k=5, nprobe=2)
     ) == want
     assert ipq.fold_ivfpq_tail(spark, index) == 0  # no-op re-run
+
+
+def test_fold_keeps_base_duplicate_free_and_probe_skips_guard(
+    spark, index
+):
+    """Round 9: the fold dedups/anti-joins before appending, so the
+    cell-partitioned base stays one-row-per-vec_id for the index's
+    lifetime (``meta.base_distinct``) — the invariant that lets probes
+    drop their two replay-guard shuffles once no tail exists. Replayed
+    extends (whole duplicate tail rows) and fold re-runs must both
+    leave the base clean."""
+    emb = load(spark, SF, "embeddings")
+    ipq.build_ivfpq_index(spark, emb.filter("vec_id < 300"), index,
+                          m=M, k=K, n_buckets=16)
+    assert spark.table(ipq._meta_table(index)).first()["base_distinct"]
+    batch = emb.filter("vec_id >= 300 AND vec_id < 400")
+    ipq.extend_ivfpq_index(spark, batch, index)
+    # replay crash window: the SAME rows land in the tail a second time
+    for name in (ipq._tail_table(index), ipq._tail_codes_table(index)):
+        dup = spark.table(name).localCheckpoint(eager=True)
+        dup.coalesce(1).write.mode("append").format("parquet") \
+            .saveAsTable(name)
+        spark.catalog.refreshTable(name)
+    queries = emb.filter(F.expr(QUERY_PRED))
+    want = _pairs(ipq.ivfpq_probe(spark, index, queries, k=5, nprobe=2))
+    assert ipq.fold_ivfpq_tail(spark, index) == 2 * batch.count()
+    for name in (index, ipq._codes_table(index)):
+        n = spark.table(name).count()
+        nd = spark.table(name).select("vec_id").distinct().count()
+        assert n == nd  # base is duplicate-free after the dup'd fold
+    # guard-free probe (no tail, base_distinct): identical results
+    st = ipq._probe_state(spark, index)
+    assert st["base_distinct"] and not st["has_tail"]
+    assert _pairs(
+        ipq.ivfpq_probe(spark, index, queries, k=5, nprobe=2)
+    ) == want
+    # interrupted fold: rows already appended to base, tail not yet
+    # dropped — the next fold's anti-join must append NOTHING
+    batch2 = emb.filter("vec_id >= 400 AND vec_id < 450")
+    ipq.extend_ivfpq_index(spark, batch2, index)
+    ipq.fold_ivfpq_tail(spark, index)
+    # re-create the tail as if the drop never happened
+    spark.table(index).filter("vec_id >= 400 AND vec_id < 450") \
+        .localCheckpoint(eager=True).coalesce(1).write \
+        .format("parquet").saveAsTable(ipq._tail_table(index))
+    ipq._refresh(spark, index)
+    assert ipq.fold_ivfpq_tail(spark, index) == 0  # anti-join pruned all
+    n = spark.table(index).count()
+    assert n == spark.table(index).select("vec_id").distinct().count()
+
+
+def test_probe_plan_drops_guard_shuffles_when_base_distinct(
+    spark, index
+):
+    """The guard skip is a PLAN property, not just a result property:
+    a fresh never-extended round-9 index probes without the two
+    candidate/float dropDuplicates exchanges; the moment a tail exists
+    the guards come back."""
+    emb = load(spark, SF, "embeddings")
+    ipq.build_ivfpq_index(spark, emb.filter("vec_id < 300"), index,
+                          m=M, k=K, n_buckets=16)
+    queries = emb.filter(F.expr(QUERY_PRED))
+
+    def n_dedup_exchanges(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("Deduplicate")
+
+    guard_free = n_dedup_exchanges(
+        ipq.ivfpq_probe(spark, index, queries, k=5, nprobe=2)
+    )
+    assert guard_free == 0
+    ipq.extend_ivfpq_index(
+        spark, emb.filter("vec_id >= 300 AND vec_id < 350"), index
+    )
+    guarded = n_dedup_exchanges(
+        ipq.ivfpq_probe(spark, index, queries, k=5, nprobe=2)
+    )
+    assert guarded >= 2  # candidate + float guards are back
+    ipq.fold_ivfpq_tail(spark, index)
+    assert n_dedup_exchanges(
+        ipq.ivfpq_probe(spark, index, queries, k=5, nprobe=2)
+    ) == 0  # fold restores the guard-free serving path
+
+
+def test_meta_rewrite_crash_recovery(spark, index):
+    """ADVICE r8: ``remeasure_adc_margin`` dropped the meta table
+    before writing the replacement — a crash in between left the index
+    headless. Round 9 stages the new row in a ``__staged`` sidecar
+    first; every crash point is recoverable and recovery completes the
+    INTERRUPTED rewrite (the sidecar holds the new row)."""
+    from trignis_spark.maintenance import drop_table_and_location
+
+    emb = _clustered_vframe(spark)
+    ipq.build_ivfpq_index(spark, emb, index, m=2, k=2, n_buckets=4)
+    mt = ipq._meta_table(index)
+    live = spark.table(mt).first()
+
+    # crash AFTER staging, BEFORE the drop: sidecar is stale (live row
+    # present) — recovery is a no-op that clears the sidecar
+    spark.table(mt).write.format("parquet").saveAsTable(f"{mt}__staged")
+    assert ipq._recover_meta(spark, index) is False
+    assert not spark.catalog.tableExists(f"{mt}__staged")
+    assert spark.table(mt).first() == live
+
+    # crash AFTER the drop, BEFORE the rewrite: only the sidecar
+    # (holding a NEW margin) survives — recovery installs it
+    new_margin = float(live["adc_margin"]) + 0.25
+    spark.createDataFrame(
+        [(live["m"], live["k"], live["n_buckets"], new_margin, True)],
+        ipq._META_SCHEMA,
+    ).write.format("parquet").saveAsTable(f"{mt}__staged")
+    drop_table_and_location(spark, mt)
+    ipq._drop_state(spark, index)
+    assert ipq._recover_meta(spark, index) is True
+    assert ipq.stored_adc_margin(spark, index) == pytest.approx(
+        new_margin
+    )
+    # attach from a headless-catalog state heals through the same path
+    spark.createDataFrame(
+        [(live["m"], live["k"], live["n_buckets"], new_margin, True)],
+        ipq._META_SCHEMA,
+    ).write.format("parquet").saveAsTable(f"{mt}__staged")
+    drop_table_and_location(spark, mt)
+    ipq.attach_ivfpq_index(spark, index)
+    assert ipq.stored_adc_margin(spark, index) == pytest.approx(
+        new_margin
+    )
+    # probes still answer after both recoveries
+    assert ipq.ivfpq_probe(spark, index, emb, k=1, nprobe=1).count() > 0
+
+
+def test_remeasure_full_corpus_is_true_bound(spark, index):
+    """ADVICE r8: the build's sampled margin is statistical — a vector
+    outside the hash sample can exceed it. ``remeasure_adc_margin``'s
+    default (``sample_rows=None``) measures EVERY indexed vector, so
+    the rewritten bound is a true max; an explicit cap stays a
+    ceil-division sample (≤ the cap, never ~2× it)."""
+    emb = _clustered_vframe(spark)
+    ipq.build_ivfpq_index(spark, emb, index, m=2, k=2, n_buckets=4)
+    full = ipq.remeasure_adc_margin(spark, index)
+    # full-corpus bound: no indexed vector's residual exceeds it
+    from trignis_spark.operators.ivfpq_index import _unit_residual_max
+
+    true_max = _unit_residual_max(
+        spark.table(index),
+        spark.table(ipq._codebook_table(index)), 2,
+    )
+    assert full == pytest.approx(true_max)
+    # sampled mode still works and can only see a subset (≤ full)
+    sampled = ipq.remeasure_adc_margin(spark, index, sample_rows=4)
+    assert sampled <= full + 1e-9

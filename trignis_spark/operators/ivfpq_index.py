@@ -108,6 +108,64 @@ def _all_tables(table: str) -> list[str]:
     ]
 
 
+#: per-(warehouse, table) serving-state cache: the meta row, the stored
+#: layout flags, the codebook's validated code density, and whether an
+#: un-folded tail exists. Round 8 re-derived all of these on EVERY
+#: probe — one meta action + one codebook density action + two catalog
+#: existence RPCs per call, ~0.25 s of pure fixed overhead at sf0.1 and
+#: a per-poll-cycle tax on the ingest gate. All of it is immutable
+#: between *mutations of the index*, and every mutator lives in this
+#: module, so each one updates or drops the entry (``_drop_state``).
+#: Cross-process writers were already invisible to a reader session's
+#: cached file listings — such readers must call
+#: ``attach_ivfpq_index``/``_refresh`` (which reset this cache) before
+#: probing, the same contract as before.
+_STATE_CACHE: dict = {}
+
+
+def _state_key(spark: SparkSession, table: str):
+    return (spark.conf.get("spark.sql.warehouse.dir", ""), table)
+
+
+def _drop_state(spark: SparkSession, table: str) -> None:
+    _STATE_CACHE.pop(_state_key(spark, table), None)
+
+
+def _probe_state(spark: SparkSession, table: str) -> dict:
+    """Cached serving state (see ``_STATE_CACHE``). ``kk`` (validated
+    dense code count) is filled lazily by the first wide probe."""
+    key = _state_key(spark, table)
+    st = _STATE_CACHE.get(key)
+    if st is None:
+        meta = spark.table(_meta_table(table)).first()
+        fields = meta.__fields__
+        margin = (
+            float(meta["adc_margin"])
+            if "adc_margin" in fields and meta["adc_margin"] is not None
+            else None
+        )
+        st = {
+            "m": int(meta["m"]),
+            "k": int(meta["k"]),
+            "n_buckets": int(meta["n_buckets"]),
+            "adc_margin": margin,
+            # indexes persisted before the duplicate-safe fold (round
+            # 9) may hold base duplicates from a crashed fold window —
+            # absent the marker, probes keep their replay guards on
+            "base_distinct": bool(meta["base_distinct"])
+            if "base_distinct" in fields and meta["base_distinct"] is not None
+            else False,
+            "wide": "sub" not in spark.table(_codes_table(table)).columns,
+            "cell_partitioned": _cell_partitioned(spark, table),
+            "ids_bucketed": _is_bucketed(spark, _ids_table(table)),
+            "has_tail": spark.catalog.tableExists(_tail_codes_table(table))
+            or spark.catalog.tableExists(_tail_table(table)),
+            "kk": None,
+        }
+        _STATE_CACHE[key] = st
+    return st
+
+
 def _refresh(spark: SparkSession, table: str) -> None:
     # writes may come from a cloned (foreachBatch) session — invalidate
     # the probing session's cached file listing (see dedup_index)
@@ -116,6 +174,7 @@ def _refresh(spark: SparkSession, table: str) -> None:
     for t in (_tail_table(table), _tail_codes_table(table)):
         if spark.catalog.tableExists(t):
             spark.catalog.refreshTable(t)
+    _drop_state(spark, table)
 
 
 def _is_bucketed(spark: SparkSession, name: str) -> bool:
@@ -152,6 +211,7 @@ def _drop_stale(spark: SparkSession, table: str) -> None:
     for t in _all_tables(table) + [_tail_table(table),
                                    _tail_codes_table(table)]:
         drop_table_and_location(spark, t)
+    _drop_state(spark, table)
 
 
 def _bucketed(embeddings: DataFrame, n_buckets: int) -> DataFrame:
@@ -321,6 +381,16 @@ def _wide_codes(rows: DataFrame, codebook: DataFrame, m: int,
 #: the reconstruction pass is free relative to the build
 _MARGIN_SAMPLE = 65536
 
+#: the meta row's schema (one row per index). ``adc_margin`` is the
+#: ADC-cosine error bound; ``base_distinct`` marks an index whose
+#: cell-partitioned base tables are guaranteed duplicate-free (fresh
+#: round-9+ builds — see ``build_ivfpq_index``), letting probes skip
+#: their replay-duplicate guards when no tail exists.
+_META_SCHEMA = (
+    "m int, k int, n_buckets int, adc_margin double, "
+    "base_distinct boolean"
+)
+
 
 def _unit_residual_max(rows: DataFrame, codebook: DataFrame, m: int,
                        codes: DataFrame | None = None) -> float:
@@ -378,47 +448,105 @@ def _unit_residual_max(rows: DataFrame, codebook: DataFrame, m: int,
 
 def stored_adc_margin(spark: SparkSession, table: str) -> float | None:
     """The index's certified ADC error bound, or ``None`` for indexes
-    persisted before the bound existed (rebuild to certify)."""
-    meta = spark.table(_meta_table(table)).first()
-    if "adc_margin" not in meta.__fields__:
-        return None
-    v = meta["adc_margin"]
-    return float(v) if v is not None else None
+    persisted before the bound existed (rebuild to certify). Served
+    from the per-table state cache — in-process mutators (extend's
+    drift widening, ``remeasure_adc_margin``) update it, so a
+    long-lived gate re-reading per cycle pays no per-cycle action."""
+    return _probe_state(spark, table)["adc_margin"]
+
+
+def _rewrite_meta(spark: SparkSession, table: str, m: int, k: int,
+                  n_buckets: int, adc_margin: float | None,
+                  base_distinct: bool) -> None:
+    """Replace the one-row meta table, crash-safe (ADVICE r8): the new
+    row is durably written to a ``__staged`` sidecar BEFORE the live
+    table is dropped, so no crash point loses the metadata — a crash
+    between the drop and the rewrite leaves the index meta-less until
+    ``_recover_meta`` (run by remeasure/attach) restores it from the
+    sidecar. A catalog-rename swap would be narrower still, but a
+    re-attached meta table is EXTERNAL at the standard warehouse path,
+    where renaming the managed replacement onto it collides."""
+    from trignis_spark.maintenance import drop_table_and_location
+
+    mt = _meta_table(table)
+    staged = f"{mt}__staged"
+    drop_table_and_location(spark, staged)
+    spark.createDataFrame(
+        [(m, k, n_buckets, adc_margin, base_distinct)], _META_SCHEMA
+    ).write.format("parquet").saveAsTable(staged)
+    drop_table_and_location(spark, mt)
+    spark.table(staged).write.format("parquet").saveAsTable(mt)
+    drop_table_and_location(spark, staged)
+    _drop_state(spark, table)
+
+
+def _recover_meta(spark: SparkSession, table: str) -> bool:
+    """Restore the meta row from a ``__staged`` sidecar a crashed
+    ``_rewrite_meta`` left behind (the sidecar holds the NEW row, so
+    recovery completes the interrupted rewrite). Returns True when a
+    recovery happened."""
+    from trignis_spark.maintenance import (
+        _managed_table_dir,
+        attach_table,
+        drop_table_and_location,
+    )
+
+    mt = _meta_table(table)
+    staged = f"{mt}__staged"
+    import os
+
+    if not spark.catalog.tableExists(staged):
+        if not os.path.isdir(_managed_table_dir(spark, staged)):
+            return False
+        attach_table(spark, staged)  # fresh session: files, no catalog
+    if spark.catalog.tableExists(mt) or os.path.isdir(
+        _managed_table_dir(spark, mt)
+    ):
+        # rewrite completed (or was never started) — sidecar is stale
+        drop_table_and_location(spark, staged)
+        return False
+    spark.table(staged).write.format("parquet").saveAsTable(mt)
+    drop_table_and_location(spark, staged)
+    _drop_state(spark, table)
+    return True
 
 
 def remeasure_adc_margin(
-    spark: SparkSession, table: str, sample_rows: int = _MARGIN_SAMPLE
+    spark: SparkSession, table: str, sample_rows: int | None = None
 ) -> float:
     """Recompute the certified ADC bound over the CURRENT corpus
     (build + every extend since) and rewrite the meta row — the
     maintenance-cadence counterpart to ``extend_ivfpq_index``'s
-    drift warning. Returns the new margin. The rewrite is a one-row
-    overwrite (not atomic across a crash mid-write; the row is
-    reconstructible — m·k from the codebook, n_buckets from the
-    partition directories — and a fresh call re-certifies)."""
+    drift handling. Returns the new margin.
+
+    ``sample_rows=None`` (default) measures the full corpus — the max
+    is then a true bound for every indexed vector. An integer measures
+    a deterministic ~``sample_rows`` hash-sample: cheaper, but the
+    bound becomes statistical (unsampled vectors can exceed it) —
+    extend's per-batch check and drift widening keep such a margin
+    honest over time. The rewrite is crash-safe via a staged sidecar
+    (``_rewrite_meta``); a crash mid-rewrite is healed here or at
+    attach time (``_recover_meta``)."""
+    _recover_meta(spark, table)
     meta = spark.table(_meta_table(table)).first()
     rows = spark.table(table)
     if spark.catalog.tableExists(_tail_table(table)):
         # vectors extended since the last compaction live in the tail
         rows = rows.unionByName(spark.table(_tail_table(table)))
-    ratio = max(1, rows.count() // sample_rows)
-    sample = rows.filter(F.pmod(F.hash("vec_id"), F.lit(ratio)) == 0)
+    if sample_rows is not None:
+        ratio = max(1, -(rows.count() // -sample_rows))  # ceil: ≤ cap
+        rows = rows.filter(F.pmod(F.hash("vec_id"), F.lit(ratio)) == 0)
     margin = _unit_residual_max(
-        sample, spark.table(_codebook_table(table)), int(meta["m"])
+        rows, spark.table(_codebook_table(table)), int(meta["m"])
     )
-    new = spark.createDataFrame(
-        [(int(meta["m"]), int(meta["k"]), int(meta["n_buckets"]),
-          margin)],
-        "m int, k int, n_buckets int, adc_margin double",
+    base_distinct = (
+        bool(meta["base_distinct"])
+        if "base_distinct" in meta.__fields__
+        and meta["base_distinct"] is not None
+        else False
     )
-    # a re-attached meta table's managed location survives a plain
-    # overwrite's drop (LOCATION_ALREADY_EXISTS) — clear both first
-    from trignis_spark.maintenance import drop_table_and_location
-
-    drop_table_and_location(spark, _meta_table(table))
-    new.write.mode("overwrite").format("parquet").saveAsTable(
-        _meta_table(table)
-    )
+    _rewrite_meta(spark, table, int(meta["m"]), int(meta["k"]),
+                  int(meta["n_buckets"]), margin, base_distinct)
     _refresh(spark, table)
     return margin
 
@@ -519,9 +647,15 @@ def build_ivfpq_index(
     ratio = max(1, n // _MARGIN_SAMPLE)
     sample = rows.filter(F.pmod(F.hash("vec_id"), F.lit(ratio)) == 0)
     margin = _unit_residual_max(sample, codebook, m)
+    # base_distinct: a fresh build writes exactly one row per vec_id to
+    # the cell-partitioned base, extends go to the tail sidecars, and
+    # the round-9 fold anti-joins before appending — so the base STAYS
+    # duplicate-free for the index's lifetime and probes can skip their
+    # replay-duplicate guards whenever no tail exists. Indexes persisted
+    # before this marker keep the guards (see ``_probe_state``).
     meta = spark.createDataFrame(
-        [(m, k, n_buckets, margin)],
-        "m int, k int, n_buckets int, adc_margin double",
+        [(m, k, n_buckets, margin, True)],
+        _META_SCHEMA,
     )
     meta.write.mode("overwrite").format("parquet").saveAsTable(
         _meta_table(table)
@@ -546,7 +680,13 @@ def attach_ivfpq_index(spark: SparkSession, table: str) -> None:
         warehouse_dir_partitioned,
     )
 
-    attach_table(spark, _meta_table(table))
+    _drop_state(spark, table)
+    try:
+        attach_table(spark, _meta_table(table))
+    except FileNotFoundError:
+        # a crashed meta rewrite may have left only the staged sidecar
+        if not _recover_meta(spark, table):
+            raise
     nb = int(spark.table(_meta_table(table)).first()["n_buckets"])
     attach_table(spark, _codebook_table(table))
     # the ids sidecar attaches PLAIN (unbucketed by design since round
@@ -576,11 +716,11 @@ def extend_ivfpq_index(
     actually added. ``assume_fresh=True`` skips the internal ids
     anti-join for callers that just ran the identical one (the
     embedding ingest gate — see ``extend_ann_index``)."""
-    meta = spark.table(_meta_table(table)).first()
+    st = _probe_state(spark, table)
     known = spark.table(_ids_table(table))
     fresh_src = embeddings if assume_fresh \
         else batch_anti_join(embeddings, known, "vec_id")
-    rows = _bucketed(fresh_src, meta["n_buckets"]).localCheckpoint(eager=True)
+    rows = _bucketed(fresh_src, st["n_buckets"]).localCheckpoint(eager=True)
     added = rows.count()
     if added == 0:
         return 0
@@ -589,10 +729,10 @@ def extend_ivfpq_index(
     # repartition — an extend batch is poll-cycle-sized); the layout
     # must follow the stored table: wide (current) or narrow (legacy
     # persisted indexes, whose appends must keep the stored schema)
-    wide = "sub" not in spark.table(_codes_table(table)).columns
+    wide = st["wide"]
     if not wide:
         codes = assign_codes(
-            split_v(rows, meta["m"], carry=("bucket",)), codebook,
+            split_v(rows, st["m"], carry=("bucket",)), codebook,
             carry=("bucket",),
         ).select("vec_id", "sub", F.col("cid").alias("code"), "bucket")
     else:
@@ -601,32 +741,38 @@ def extend_ivfpq_index(
         # encode — and the tail's coalesce(1) would re-run it on a
         # single task (measured 8 s of the extend at 2 M × 768 for a
         # 600-row batch vs 0.5 s writing materialized rows)
-        codes = _wide_codes(rows, codebook, meta["m"]).localCheckpoint(
+        codes = _wide_codes(rows, codebook, st["m"]).localCheckpoint(
             eager=True
         )
-        # the build certified adc_margin on ITS corpus sample; a batch
-        # from a drifted distribution can quantize worse, silently
-        # widening the true ADC error past the stored bound — check the
-        # batch (batch-sized reconstruction, free next to the appends)
-        # and warn rather than degrade silently, matching every other
-        # binding-cap contract in this module
-        cert = (meta["adc_margin"]
-                if "adc_margin" in meta.__fields__ else None)
+        # the build certified adc_margin on ITS corpus; a batch from a
+        # drifted distribution can quantize worse, silently widening
+        # the true ADC error past the stored bound — check the batch
+        # (batch-sized reconstruction, free next to the appends) and
+        # WIDEN the stored margin to cover it (ADVICE r8: a warning
+        # alone left adc-gated callers using the stale narrower bound
+        # — silent correctness degradation in the exact mode the
+        # margin protects). The gate re-reads the margin per cycle via
+        # ``stored_adc_margin`` and tightens its threshold to match.
+        cert = st["adc_margin"]
         if cert is not None:
-            got = _unit_residual_max(rows, codebook, meta["m"],
+            got = _unit_residual_max(rows, codebook, st["m"],
                                      codes=codes)
             if got > cert:
                 import warnings
 
+                _rewrite_meta(spark, table, st["m"], st["k"],
+                              st["n_buckets"], got, st["base_distinct"])
+                st = _probe_state(spark, table)
                 warnings.warn(
                     f"extend_ivfpq_index({table}): batch residual "
                     f"{got:.4f} exceeds the certified adc_margin "
-                    f"{cert:.4f} — ADC-gated callers (precision='adc')"
-                    " can now miss true near-duplicates; rebuild the "
-                    "index or raise the margin via "
-                    "remeasure_adc_margin()"
+                    f"{cert:.4f} — stored margin widened to {got:.4f} "
+                    "so ADC-gated callers (precision='adc') stay "
+                    "sound; their effective thresholds tighten "
+                    "accordingly (rebuild with finer PQ to restore "
+                    "the old bound)"
                 )
-    tail_route = wide and _cell_partitioned(spark, table)
+    tail_route = wide and st["cell_partitioned"]
     if tail_route:
         # current layout: append to the write-optimized TAIL sidecars
         # — ONE plain file and ONE commit per table per poll cycle. A
@@ -664,25 +810,25 @@ def extend_ivfpq_index(
                 )
             else:
                 (
-                    df.repartition(meta["n_buckets"], "bucket")
+                    df.repartition(st["n_buckets"], "bucket")
                     .write.mode("append")
-                    .bucketBy(meta["n_buckets"], "bucket")
+                    .bucketBy(st["n_buckets"], "bucket")
                     .format("parquet")
                     .saveAsTable(name)
                 )
     ids = rows.select("vec_id")
-    if _is_bucketed(spark, _ids_table(table)):
+    if st["ids_bucketed"]:
         # legacy bucketed ids sidecar: keep its spec, co-partitioned
         # so the append cuts one file per present bucket, not
         # tasks × buckets
         (
             ids.repartition(
-                min(int(meta["n_buckets"]),
+                min(st["n_buckets"],
                     4 * spark.sparkContext.defaultParallelism),
                 "vec_id",
             )
             .write.mode("append")
-            .bucketBy(meta["n_buckets"], "vec_id")
+            .bucketBy(st["n_buckets"], "vec_id")
             .format("parquet")
             .saveAsTable(_ids_table(table))
         )
@@ -698,6 +844,7 @@ def extend_ivfpq_index(
     # between compactions
     if tail_route:
         changed = [_tail_table(table), _tail_codes_table(table)]
+        st["has_tail"] = True  # probes must union the tail from now on
     else:
         changed = [table, _codes_table(table)]
     for t in changed + [_ids_table(table)]:
@@ -750,9 +897,22 @@ def ivfpq_probe(
     cos ≥ θ in a probed cell then still surfaces.
 
     ``queries`` needs (vec_id, embedding); query vectors need not be in
-    the index (self-matches are excluded when they are)."""
-    meta = spark.table(_meta_table(table)).first()
-    m, n_buckets = meta["m"], meta["n_buckets"]
+    the index (self-matches are excluded when they are). Serving state
+    (meta row, layout, code density, tail existence) comes from the
+    per-table cache (``_probe_state``) — round 8 re-derived it with
+    ~0.25 s of driver actions on every probe. The replay-duplicate
+    guards (``dropDuplicates`` below) run only when duplicates are
+    actually possible: an un-folded tail exists (replayed extends
+    append whole duplicate rows there), or the index predates the
+    duplicate-free-base guarantee (``meta.base_distinct`` — see
+    ``build_ivfpq_index``/``fold_ivfpq_tail``); a fresh never-extended
+    index probes guard-free, two shuffles lighter."""
+    st = _probe_state(spark, table)
+    m, n_buckets = st["m"], st["n_buckets"]
+    has_tail = st["has_tail"]
+    needs_guard = has_tail or not (
+        st["wide"] and st["cell_partitioned"] and st["base_distinct"]
+    )
     base = _prep(queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -798,28 +958,32 @@ def ivfpq_probe(
         # short LUT silently misreads other subspaces' partials. Derive
         # it from the codebook (a one-row agg over an m·k-row table)
         # and assert the density the stride arithmetic assumes: every
-        # sub carries the same count of dense codes 0..kk-1.
-        d = (
-            codebook.groupBy("sub")
-            .agg(
-                F.countDistinct("cid").alias("n"),
-                (F.max("cid") + F.lit(1)).alias("span"),
+        # sub carries the same count of dense codes 0..kk-1. Cached
+        # per table — the codebook is frozen after build, so the
+        # validated density never changes.
+        kk = st["kk"]
+        if kk is None:
+            d = (
+                codebook.groupBy("sub")
+                .agg(
+                    F.countDistinct("cid").alias("n"),
+                    (F.max("cid") + F.lit(1)).alias("span"),
+                )
+                .agg(
+                    F.min("n").alias("lo"),
+                    F.max("n").alias("hi"),
+                    F.max("span").alias("span"),
+                )
+                .first()
             )
-            .agg(
-                F.min("n").alias("lo"),
-                F.max("n").alias("hi"),
-                F.max("span").alias("span"),
-            )
-            .first()
-        )
-        if d["lo"] != d["hi"] or d["hi"] != d["span"]:
-            raise ValueError(
-                f"ivfpq_probe: codebook of {table} is not dense — "
-                f"per-sub code counts span [{d['lo']}, {d['hi']}] with "
-                f"max code {d['span'] - 1}; the wide-layout ADC stride "
-                "requires a uniform dense codebook"
-            )
-        kk = int(d["hi"])
+            if d["lo"] != d["hi"] or d["hi"] != d["span"]:
+                raise ValueError(
+                    f"ivfpq_probe: codebook of {table} is not dense — "
+                    f"per-sub code counts span [{d['lo']}, {d['hi']}] "
+                    f"with max code {d['span'] - 1}; the wide-layout "
+                    "ADC stride requires a uniform dense codebook"
+                )
+            st["kk"] = kk = int(d["hi"])
         lut_flat = lut.groupBy("query_id").agg(
             F.expr(
                 "transform(array_sort(collect_list("
@@ -885,19 +1049,24 @@ def ivfpq_probe(
             )
 
         cand = _cand(codes)
-        tl = _tail_codes_table(table)
-        if spark.catalog.tableExists(tl):
+        if has_tail:
             # per-source join then union (not union-then-join): DPP is
             # planned per scan, and a union under the join could lose
             # the base side's pruning
-            cand = cand.unionByName(_cand(spark.table(tl)))
-        adc = (
-            cand
+            cand = cand.unionByName(
+                _cand(spark.table(_tail_codes_table(table)))
+            )
+        if needs_guard:
             # replayed extend appends duplicate whole rows — within
             # the tail or across a compaction-crash fold window; a
             # vector must not surface at two shortlist ranks (same
-            # guard as dedup_index — which row survives is immaterial)
-            .dropDuplicates(["query_id", "vec_id"])
+            # guard as dedup_index — which row survives is immaterial).
+            # Skipped when the base is duplicate-free by construction
+            # and no tail exists (see docstring) — this is a full
+            # candidate-set shuffle otherwise.
+            cand = cand.dropDuplicates(["query_id", "vec_id"])
+        adc = (
+            cand
             .select(
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),
@@ -997,12 +1166,11 @@ def ivfpq_probe(
         )
 
     flo = _floats(spark.table(table))
-    tf = _tail_table(table)
-    if spark.catalog.tableExists(tf):
+    if has_tail:
         # vectors accepted since the last compaction live in the tail
         # sidecar — the re-rank must see them (a near-dup of a vector
         # admitted one cycle ago must still gate as a near-dup)
-        flo = flo.unionByName(_floats(spark.table(tf)))
+        flo = flo.unionByName(_floats(spark.table(_tail_table(table))))
     exact = (
         flo
         .join(
@@ -1017,9 +1185,11 @@ def ivfpq_probe(
             ).alias("cos"),
         )
     )
-    # same replay-duplicate guard for the float table: a duplicated
-    # vector row would put the same neighbor at two consecutive ranks
-    exact = exact.dropDuplicates(["query_id", "neighbor_id"])
+    if needs_guard:
+        # same replay-duplicate guard for the float table: a duplicated
+        # vector row would put the same neighbor at two consecutive
+        # ranks (skipped with the candidate guard — same conditions)
+        exact = exact.dropDuplicates(["query_id", "neighbor_id"])
     wk = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
     )
@@ -1049,30 +1219,51 @@ def fold_ivfpq_tail(spark: SparkSession, table: str) -> int:
     fold had already completed safely — BASELINE.md round 8). Fold on
     every maintenance cycle; rewrite on the rarer cadence file-count
     growth actually demands (each fold adds at most one file per
-    touched cell). Returns rows folded. Crash between append and drop
-    leaves rows in both base and tail — probes stay correct (the
-    replay-duplicate guard); the next fold re-appends them as storage
-    overhead only, the same tolerated state a replayed extend creates
-    (``test_probe_immune_to_replayed_extend_duplicates``)."""
+    touched cell). Returns rows folded (after dedup/anti-join).
+
+    The fold keeps the base DUPLICATE-FREE (round 9 — the invariant
+    that lets probes skip their replay guards when no tail exists,
+    ``meta.base_distinct``): tail rows are deduped by ``vec_id``
+    (replayed extends append whole identical rows) and anti-joined
+    against the base's *tail-cell partitions only* (static partition
+    pruning via the literal cell list — tail-cells-sized I/O, never a
+    corpus scan) before appending. A crash between append and drop
+    leaves rows in both base and tail — probes stay correct (the tail's
+    presence keeps the replay guard on,
+    ``test_probe_immune_to_replayed_extend_duplicates``), and the next
+    fold's anti-join appends nothing twice and just drops the tail."""
     from trignis_spark.maintenance import drop_table_and_location
 
     folded = 0
+    touched = False
     for tail, target in ((_tail_table(table), table),
                          (_tail_codes_table(table), _codes_table(table))):
         if not spark.catalog.tableExists(tail):
             continue
-        src = spark.table(tail)
-        folded += src.count()
-        (
-            src.repartition("bucket")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .format("parquet")
-            .saveAsTable(target)
+        touched = True
+        raw = spark.table(tail)
+        cells = [r[0] for r in raw.select("bucket").distinct().collect()]
+        base_ids = (
+            spark.table(target)
+            .filter(F.col("bucket").isin(cells))
+            .select("vec_id")
         )
+        src = batch_anti_join(
+            raw.dropDuplicates(["vec_id"]), base_ids, "vec_id"
+        ).localCheckpoint(eager=True)  # consumed by count AND append
+        n = src.count()
+        folded += n
+        if n:
+            (
+                src.repartition("bucket")
+                .write.mode("append")
+                .partitionBy("bucket")
+                .format("parquet")
+                .saveAsTable(target)
+            )
         drop_table_and_location(spark, tail)
-    if folded:
-        _refresh(spark, table)
+    if touched:
+        _refresh(spark, table)  # also drops the cached serving state
     return folded
 
 

@@ -263,6 +263,15 @@ class EmbeddingIngestStats:
     near_dup: int
     accepted: int
     timings: dict | None = None
+    #: the certified ADC margin the cycle gated with (``precision=
+    #: 'adc'`` only; None in exact mode). A drifted extend WIDENS the
+    #: stored margin (``extend_ivfpq_index``), and the gate re-reads it
+    #: every cycle — so a growth step here is the gate-visible record
+    #: of the drift event, not just a log warning.
+    adc_margin: float | None = None
+    #: tail rows folded into the base this cycle (0 when the fold
+    #: policy didn't trigger; see ``fold_tail_rows``)
+    folded: int = 0
 
 
 def make_embedding_ingest_fn(
@@ -278,6 +287,7 @@ def make_embedding_ingest_fn(
     stats: list[EmbeddingIngestStats] | None = None,
     precision: str = "exact",
     cache_index: bool = False,
+    fold_tail_rows: int | None = None,
 ):
     """``foreachBatch`` body curating an embedding stream against the
     persistent IVF index (``operators/ann_index.py``): vectors already
@@ -321,7 +331,6 @@ def make_embedding_ingest_fn(
     # direction of approximation the gate already accepts from IVF
     # cell probing (an unprobed cell's dup survives; here nothing new
     # survives, some borderline uniques don't).
-    eff_threshold = cos_threshold
     if precision == "adc":
         if not is_pq:
             raise ValueError(
@@ -371,14 +380,51 @@ def make_embedding_ingest_fn(
         # sidecars, so the cached base stays valid until a compaction
         # folds the tail in (which re-caches lazily). On a cluster the
         # cache is LRU per executor — a corpus larger than aggregate
-        # storage memory degrades to partial caching, never to error.
-        spark.catalog.cacheTable(ann_table)
+        # storage memory degrades to partial caching, never to error
+        # (evicted partitions fall back to the parquet scan). With
+        # cluster memory at a premium, MEMORY_AND_DISK is the dial:
+        # persist(StorageLevel.MEMORY_AND_DISK) on spark.table(...)
+        # instead of cacheTable keeps evictions on local SSD.
+        if precision != "adc":
+            # the rerank-free adc probe never reads the float base —
+            # pinning it (5.9 GB at 2 M × 768) wastes storage memory
+            # and can evict the ~50 MB codes table the probe DOES read
+            spark.catalog.cacheTable(ann_table)
         spark.catalog.cacheTable(f"{ann_table}_codes")
+    if fold_tail_rows is not None and not is_pq:
+        raise ValueError(
+            "fold_tail_rows requires an IVF-PQ index (only its "
+            f"extends write an LSM tail); {ann_table} is a float-ANN "
+            "index"
+        )
 
     import time
 
+    # in-process tail-size tracker for the fold policy: extends are the
+    # ONLY tail writers in a single-poller gate (never-two-pollers is
+    # the lifecycle invariant, reference `JobExecutor.cs`), so summing
+    # accepted counts tracks the tail without a per-cycle count() action
+    tail_rows = [0]
+
     def ingest_batch(batch_df: DataFrame, epoch_id: int) -> None:
         t = {}
+        cycle_margin = None
+        if precision == "adc":
+            # re-read per cycle (a dict lookup — ivfpq's serving-state
+            # cache): a drifted extend WIDENS the stored margin, and
+            # gating with the stale narrower bound would break the
+            # one-sided guarantee the mode exists for (ADVICE r8)
+            cycle_margin = ipq.stored_adc_margin(spark, ann_table)
+            eff = cos_threshold - cycle_margin
+            if eff <= 0:
+                raise ValueError(
+                    f"precision='adc': margin widened to "
+                    f"{cycle_margin:.3f} (drifted extends) and now "
+                    f"swallows cos_threshold {cos_threshold} — rebuild "
+                    "with finer PQ or switch to precision='exact'"
+                )
+        else:
+            eff = cos_threshold
         t0 = time.time()
         vecs = batch_df.select(
             F.col(id_col).cast("long").alias("vec_id"),
@@ -411,7 +457,7 @@ def make_embedding_ingest_fn(
             )
             hits = (
                 probed
-                .filter(F.col("cos") >= eff_threshold)
+                .filter(F.col("cos") >= eff)
                 .select(F.col("query_id").alias("vec_id"))
                 .distinct()
             )
@@ -441,6 +487,30 @@ def make_embedding_ingest_fn(
                 ai.extend_ann_index(spark, accepted, ann_table,
                                     assume_fresh=True, **kw)
             t["extend"] = time.time() - t0
+            tail_rows[0] += n_acc
+
+        folded = 0
+        if fold_tail_rows is not None and tail_rows[0] >= fold_tail_rows:
+            # fold policy (reference analog: retention purge runs on
+            # its own cadence inside the poll loop,
+            # DeadLetterService.cs:146-161): when accumulated tail rows
+            # cross the knob, fold them into the cell-partitioned base
+            # so probe-side tail unions and per-cell file counts stay
+            # flat over an unbounded run. Fold cost is tail-sized
+            # (anti-join prunes to tail cells), so amortized per
+            # accepted row it's a constant; crash-safety is fold's own
+            # contract (duplicates in the crash window stay guarded).
+            t0 = time.time()
+            folded = ipq.fold_ivfpq_tail(spark, ann_table)
+            tail_rows[0] = 0
+            t["fold"] = time.time() - t0
+            if cache_index:
+                # the fold rewrote base partitions — re-pin them (the
+                # cached plan still names the tables; refresh + lazy
+                # re-cache happens on next probe)
+                spark.catalog.cacheTable(f"{ann_table}_codes")
+                if precision != "adc":
+                    spark.catalog.cacheTable(ann_table)
 
         if stats is not None:
             n_all = vecs.count()
@@ -452,6 +522,8 @@ def make_embedding_ingest_fn(
                     near_dup=n_fresh - n_acc,
                     accepted=n_acc,
                     timings={k: round(v, 3) for k, v in t.items()},
+                    adc_margin=cycle_margin,
+                    folded=folded,
                 )
             )
 
