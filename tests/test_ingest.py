@@ -538,3 +538,141 @@ def test_cache_index_rejects_float_ann_family(spark, tmp_path):
     finally:
         for t in ("", "_ids", "_meta", "_coarse"):
             spark.sql(f"DROP TABLE IF EXISTS emb_gate_cif{t}")
+
+
+def test_embedding_gate_fold_policy_keeps_tail_and_files_bounded(
+    spark, tmp_path
+):
+    """``fold_tail_rows``: a long-running gate folds its LSM tail into
+    the cell-partitioned base from within the poll loop once accepted
+    rows cross the knob (reference analog: retention purge runs on its
+    own cadence inside the service loop, ``DeadLetterService.cs:146``).
+    Across ≥3 folds: every fold drops the tail sidecars (probes go back
+    to guard-free base-only scans), per-fold base file growth is
+    bounded by the cells the folded rows touched (never corpus-sized),
+    and decisions stay exactly-once correct — a copy of a vector
+    accepted N cycles ago still rejects whether it sits in tail or
+    base."""
+    from trignis_spark.maintenance import table_data_files
+    from trignis_spark.operators import ivfpq_index as ipq
+
+    def vframe(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    idx = "emb_gate_fold"
+    tails = (ipq._tail_table(idx), ipq._tail_codes_table(idx))
+    for t in ("", "_ids", "_codes", "_codebook", "_meta", "__tail",
+              "__tail_codes"):
+        spark.sql(f"DROP TABLE IF EXISTS {idx}{t}")
+    try:
+        corpus = vframe(
+            [(i, [1.0 + 0.01 * i, 1.0, 1.0, 1.0]) for i in range(6)]
+        )
+        ipq.build_ivfpq_index(spark, corpus, idx, m=2, k=2, n_buckets=4)
+        stats: list[ingest.EmbeddingIngestStats] = []
+        fn = ingest.make_embedding_ingest_fn(
+            spark, idx, str(tmp_path / "acc_fold"),
+            cos_threshold=0.99, nprobe=4, stats=stats,
+            fold_tail_rows=1,  # fold after every accepting cycle
+        )
+        fresh = [
+            (50, [1.0, -1.0, -1.0, 1.0]),
+            (51, [1.0, 0.0, 0.0, -1.0]),
+            (52, [0.0, 1.0, -1.0, 0.0]),
+            (53, [1.0, -1.0, 1.0, -1.0]),
+        ]
+        base_tables = (idx, ipq._codes_table(idx))
+        files_after_fold: list[int] = []
+        folds = 0
+        import warnings
+
+        for ep, (vid, v) in enumerate(fresh):
+            # the fresh directions drift from the seed cluster, so the
+            # extends legitimately widen the certified margin — capture
+            # and check those warnings instead of spraying them
+            with warnings.catch_warnings(record=True) as wlog:
+                warnings.simplefilter("always")
+                fn(vframe([(vid, v)]), epoch_id=ep)
+            # "always" also surfaces py4j socket ResourceWarnings —
+            # only UserWarnings are ours to police
+            assert all(
+                "adc_margin" in str(w.message) for w in wlog
+                if issubclass(w.category, UserWarning)
+            )
+            assert stats[-1].accepted == 1
+            if stats[-1].folded:
+                folds += 1
+                # the cycle's accepted row, counted in BOTH sidecars
+                # (fold_ivfpq_tail sums floats + codes rows folded)
+                assert stats[-1].folded == 2
+                # fold dropped the sidecars: next probe is base-only
+                assert not any(
+                    spark.catalog.tableExists(t) for t in tails
+                )
+                files_after_fold.append(sum(
+                    len(table_data_files(spark, t)) for t in base_tables
+                ))
+            # a scaled copy of the PREVIOUS cycle's accept must reject,
+            # wherever that vector now lives (tail or folded base)
+            fn(vframe([(90 + ep, [2.0 * x for x in v])]), epoch_id=100 + ep)
+            assert stats[-1].near_dup == 1 and stats[-1].accepted == 0
+        assert folds >= 3, f"fold policy fired only {folds} times"
+        # bounded growth: each fold lands ≤1 file per touched cell per
+        # table (one single-row accept → ≤2 files across the two base
+        # tables), never a corpus-shaped rewrite
+        for prev, cur in zip(files_after_fold, files_after_fold[1:]):
+            assert cur - prev <= 2, (
+                f"fold file growth not bounded: {files_after_fold}"
+            )
+    finally:
+        for t in ("", "_ids", "_codes", "_codebook", "_meta", "__tail",
+                  "__tail_codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {idx}{t}")
+
+
+def test_cache_index_storage_level_dial(spark, tmp_path):
+    """Cluster-semantics dial (VERDICT r8 #8): ``cache_storage_level``
+    picks the StorageLevel the serving cache pins at — DISK_ONLY keeps
+    executor memory for co-tenants while still beating remote parquet
+    re-reads; a non-StorageLevel name fails at construction, not at
+    first probe. In adc mode only the codes sidecar is pinned (the
+    rerank-free probe never reads the float base)."""
+    from pyspark import StorageLevel
+
+    from trignis_spark.operators import ivfpq_index as ipq
+
+    idx = "emb_gate_sl"
+    P = [1.0, 1.0, 1.0, 1.0]
+    for t in ("", "_ids", "_codes", "_codebook", "_meta", "__tail",
+              "__tail_codes"):
+        spark.sql(f"DROP TABLE IF EXISTS {idx}{t}")
+    try:
+        corpus = spark.createDataFrame(
+            [(i, [x * (1.0 + 0.01 * i) for x in P]) for i in range(6)],
+            "vec_id long, embedding array<float>",
+        )
+        ipq.build_ivfpq_index(spark, corpus, idx, m=2, k=2, n_buckets=4)
+        with pytest.raises(ValueError, match="StorageLevel"):
+            ingest.make_embedding_ingest_fn(
+                spark, idx, str(tmp_path / "x"), cache_index=True,
+                cache_storage_level="MEMORY_AND_SSD",
+            )
+        ingest.make_embedding_ingest_fn(
+            spark, idx, str(tmp_path / "acc_sl"), cos_threshold=0.9,
+            nprobe=4, precision="adc", cache_index=True,
+            cache_storage_level="DISK_ONLY",
+        )
+        assert spark.catalog.isCached(f"{idx}_codes")
+        assert not spark.catalog.isCached(idx)  # adc: floats unpinned
+        assert spark.table(f"{idx}_codes").storageLevel == \
+            StorageLevel.DISK_ONLY
+    finally:
+        try:
+            spark.catalog.uncacheTable(f"{idx}_codes")
+        except Exception:
+            pass
+        for t in ("", "_ids", "_codes", "_codebook", "_meta", "__tail",
+                  "__tail_codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {idx}{t}")

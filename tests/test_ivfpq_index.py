@@ -624,7 +624,10 @@ def test_probe_plan_drops_guard_shuffles_when_base_distinct(
     queries = emb.filter(F.expr(QUERY_PRED))
 
     def n_dedup_exchanges(df):
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # the ANALYZED plan: the optimizer rewrites Deduplicate into an
+        # Aggregate (ReplaceDeduplicateWithAggregate), so counting it
+        # post-optimization would read 0 on both sides
+        plan = df._jdf.queryExecution().analyzed().toString()
         return plan.count("Deduplicate")
 
     guard_free = n_dedup_exchanges(
@@ -711,3 +714,33 @@ def test_remeasure_full_corpus_is_true_bound(spark, index):
     # sampled mode still works and can only see a subset (≤ full)
     sampled = ipq.remeasure_adc_margin(spark, index, sample_rows=4)
     assert sampled <= full + 1e-9
+
+
+def test_build_margin_is_full_corpus_and_arrow_twin_matches(
+    spark, index, monkeypatch
+):
+    """ADVICE r8 closure: the build default certifies the margin over
+    EVERY indexed vector (no unsampled vector can exceed it), reusing
+    the persisted codes table; the Arrow reconstruction twin (used when
+    total work crosses the encode dispatch threshold) measures the same
+    bound as the HOF form. An explicit ``margin_rows`` opts into the
+    documented statistical sample and stays ≤ the full bound."""
+    from trignis_spark.operators.ivfpq_index import _unit_residual_max
+
+    emb = _clustered_vframe(spark)
+    ipq.build_ivfpq_index(spark, emb, index, m=2, k=2, n_buckets=4)
+    stored = ipq.stored_adc_margin(spark, index)
+    cb = spark.table(ipq._codebook_table(index))
+    hof = _unit_residual_max(spark.table(index), cb, 2)
+    assert stored == pytest.approx(hof)  # full corpus, not a sample
+    monkeypatch.setattr(ipq, "VECTORIZED_ENCODE_MIN_WORK", 1)
+    arrow = _unit_residual_max(
+        spark.table(index), cb, 2,
+        codes=spark.table(ipq._codes_table(index)),
+        n_rows=spark.table(index).count(),
+    )
+    assert arrow == pytest.approx(hof, rel=1e-9)
+    # sampled opt-in: a subset's max can only be ≤ the certified max
+    ipq.build_ivfpq_index(spark, emb, index, m=2, k=2, n_buckets=4,
+                          margin_rows=4)
+    assert ipq.stored_adc_margin(spark, index) <= stored + 1e-12

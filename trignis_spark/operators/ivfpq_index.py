@@ -376,9 +376,11 @@ def _wide_codes(rows: DataFrame, codebook: DataFrame, m: int,
     )
 
 
-#: rows sampled for the build-time ADC-margin certification — large
-#: enough that the sample max tracks the corpus tail, small enough that
-#: the reconstruction pass is free relative to the build
+#: suggested ``margin_rows``/``sample_rows`` for callers opting into a
+#: STATISTICAL (sampled) margin on a huge one-shot build — large enough
+#: that the sample max tracks the corpus tail, small enough that the
+#: reconstruction pass is free relative to the build. The default is a
+#: full-corpus certified max (see ``build_ivfpq_index``).
 _MARGIN_SAMPLE = 65536
 
 #: the meta row's schema (one row per index). ``adc_margin`` is the
@@ -393,15 +395,82 @@ _META_SCHEMA = (
 
 
 def _unit_residual_max(rows: DataFrame, codebook: DataFrame, m: int,
-                       codes: DataFrame | None = None) -> float:
+                       codes: DataFrame | None = None,
+                       n_rows: int | None = None) -> float:
     """Max unit-sphere quantization residual ‖x/|x| − x̂/|x̂|‖ over
     ``rows`` (vec_id, v, n2, …): the certified ADC-cosine error bound
     — for any query q, |cos(q, x) − cos(q, x̂)| = |⟨q̂, x/|x| − x̂/|x̂|⟩|
     ≤ this, by Cauchy-Schwarz. Derived via ‖a − b‖² = 2 − 2·cos(a, b)
     for unit a, b. ``codes`` may pass pre-computed wide codes (an
-    extend batch's); otherwise they are encoded here. Returns 0.0 for
-    empty input. The reconstruction looks codes up by (sub, cid)
-    filter, not stride, so a short (min(N, k)) codebook is handled."""
+    extend batch's, or the persisted codes table at build); otherwise
+    they are encoded here. Returns 0.0 for empty input. The
+    reconstruction looks codes up by (sub, cid) filter, not stride, so
+    a short (min(N, k)) codebook is handled.
+
+    ``n_rows`` (a hint, like ``_wide_codes``'s) dispatches large
+    corpora to an Arrow reconstruction: the HOF form's per-row xhat is
+    an element_at(filter(...)) over the m·k packed codebook per
+    subspace — interpreted m²·k struct scans per row, the same shape
+    that walled the 50 M encode — while the numpy twin is a gather.
+    The margin is a measured bound, not an oracle-pinned value, so the
+    two paths' last-ulp reduction-order differences are immaterial
+    (every pinned fixture stays far under the dispatch threshold and
+    keeps the HOF path regardless)."""
+    if n_rows is not None:
+        cb_rows = codebook.select("sub", "cid", "cvec").collect()
+        sub_dims = len(cb_rows[0]["cvec"]) if cb_rows else 0
+        k_max = max(
+            (sum(1 for r in cb_rows if r["sub"] == s)
+             for s in {r["sub"] for r in cb_rows}),
+            default=0,
+        )
+        if n_rows * k_max * sub_dims >= VECTORIZED_ENCODE_MIN_WORK:
+            import numpy as np
+
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            from trignis_spark.operators.pq import _codebook_matrices
+
+            mats = _codebook_matrices(cb_rows)
+            if codes is None:
+                codes = _wide_codes(rows, codebook, m, n_rows=n_rows)
+            src = (
+                rows.select("vec_id", "v", "n2")
+                .join(codes.select("vec_id", "codes"), "vec_id")
+                .select("v", "n2", "codes")
+            )
+            schema = StructType([StructField("mx", DoubleType(), True)])
+
+            def gen(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    X = np.stack(pdf["v"].to_numpy()).astype(
+                        np.float64, copy=False
+                    )
+                    C = np.stack(pdf["codes"].to_numpy()).astype(
+                        np.int64, copy=False
+                    )
+                    n2 = pdf["n2"].to_numpy(np.float64)
+                    d = X.shape[1] // m
+                    xh = np.empty_like(X)
+                    for s in range(m):
+                        cids, Cm = mats[s]
+                        xh[:, s * d:(s + 1) * d] = Cm[
+                            np.searchsorted(cids, C[:, s])
+                        ]
+                    cosr = (X * xh).sum(axis=1) / np.sqrt(
+                        n2 * (xh * xh).sum(axis=1)
+                    )
+                    res = np.sqrt(np.maximum(0.0, 2.0 - 2.0 * cosr))
+                    yield pd.DataFrame({"mx": [float(res.max())]})
+
+            r = src.mapInPandas(gen, schema).agg(
+                F.max("mx").alias("mx")
+            ).first()
+            return float(r["mx"]) if r["mx"] is not None else 0.0
     if codes is None:
         codes = _wide_codes(rows, codebook, m)
     packed = codebook.agg(
@@ -533,11 +602,14 @@ def remeasure_adc_margin(
     if spark.catalog.tableExists(_tail_table(table)):
         # vectors extended since the last compaction live in the tail
         rows = rows.unionByName(spark.table(_tail_table(table)))
+    n = rows.count()
     if sample_rows is not None:
-        ratio = max(1, -(rows.count() // -sample_rows))  # ceil: ≤ cap
+        ratio = max(1, -(n // -sample_rows))  # ceil: ≤ cap
         rows = rows.filter(F.pmod(F.hash("vec_id"), F.lit(ratio)) == 0)
+        n = min(n, sample_rows)
     margin = _unit_residual_max(
-        rows, spark.table(_codebook_table(table)), int(meta["m"])
+        rows, spark.table(_codebook_table(table)), int(meta["m"]),
+        n_rows=n,
     )
     base_distinct = (
         bool(meta["base_distinct"])
@@ -560,6 +632,7 @@ def build_ivfpq_index(
     n_buckets: int | None = None,
     iters: int = 2,
     train_rows: int | None = None,
+    margin_rows: int | None = None,
 ) -> None:
     """Train the PQ codebook and materialize all five tables
     (overwrites any prior index of the same name). The default
@@ -579,13 +652,30 @@ def build_ivfpq_index(
     ``pmod(hash(vec_id), n div train_rows) = 0`` — a deterministic,
     partitioning-independent sample of ≈``train_rows`` — and encoding/
     bucketing still cover every row. Default ``None`` trains on the
-    full corpus (every pinned oracle fixture's path, unchanged)."""
+    full corpus (every pinned oracle fixture's path, unchanged).
+
+    ``margin_rows`` controls the ADC-margin certification set. The
+    default ``None`` measures EVERY indexed vector (ADVICE r8: a
+    sampled max is statistical — an unsampled vector can exceed it,
+    and a ``precision='adc'`` gate thresholding with it could then
+    silently accept a true θ-neighbor); the codes table is already
+    materialized at this point, so the full measurement is one
+    reconstruction pass with no re-encode, Arrow-dispatched at scale.
+    An explicit integer opts into a deterministic hash-sample of about
+    that size — cheaper for a huge one-shot build, but the stored
+    bound is then only statistical until ``remeasure_adc_margin`` (or
+    extend's per-batch widening) tightens it, and adc-gated callers
+    should treat decisions near the threshold accordingly."""
     n = embeddings.count()
     if n_buckets is None:
         n_buckets = auto_n_buckets(n)
     train_src = embeddings
     if train_rows is not None and n > train_rows:
-        ratio = n // train_rows
+        # ceil division (ADVICE r8): floor let the realized sample run
+        # to ~2× the requested bound (n = 1.9×train_rows gave ratio 1 —
+        # the full corpus), defeating the scratch-disk cap the
+        # parameter exists to enforce; ceil keeps it ≤ train_rows
+        ratio = -(n // -train_rows)
         train_src = embeddings.filter(
             F.pmod(F.hash("vec_id"), F.lit(ratio)) == 0
         )
@@ -638,15 +728,24 @@ def build_ivfpq_index(
         .saveAsTable(_ids_table(table))
     )
     # certify the ADC error bound for rerank-free probes: the max
-    # unit-sphere quantization residual over a deterministic corpus
-    # sample (pmod(hash) — partitioning-independent). |cos(q,x) −
-    # cos(q,x̂)| ≤ this for ANY query q (Cauchy-Schwarz), so a caller
-    # thresholding the quantized cosine at (θ − adc_margin) cannot
-    # miss a θ-neighbor that ADC scored (the ingest gate's
-    # ``precision="adc"`` mode).
-    ratio = max(1, n // _MARGIN_SAMPLE)
-    sample = rows.filter(F.pmod(F.hash("vec_id"), F.lit(ratio)) == 0)
-    margin = _unit_residual_max(sample, codebook, m)
+    # unit-sphere quantization residual, by default over EVERY indexed
+    # vector — |cos(q,x) − cos(q,x̂)| ≤ this for ANY query q
+    # (Cauchy-Schwarz), so a caller thresholding the quantized cosine
+    # at (θ − adc_margin) cannot miss a θ-neighbor that ADC scored
+    # (the ingest gate's ``precision="adc"`` mode). The full pass
+    # reuses the just-persisted codes (no re-encode); an explicit
+    # ``margin_rows`` downgrades to a deterministic hash-sample whose
+    # bound is statistical (see docstring).
+    if margin_rows is None:
+        margin = _unit_residual_max(
+            spark.table(table), codebook, m,
+            codes=spark.table(_codes_table(table)), n_rows=n,
+        )
+    else:
+        ratio = max(1, -(n // -margin_rows))
+        sample = rows.filter(F.pmod(F.hash("vec_id"), F.lit(ratio)) == 0)
+        margin = _unit_residual_max(sample, codebook, m,
+                                    n_rows=min(n, margin_rows))
     # base_distinct: a fresh build writes exactly one row per vec_id to
     # the cell-partitioned base, extends go to the tail sidecars, and
     # the round-9 fold anti-joins before appending — so the base STAYS
@@ -756,7 +855,7 @@ def extend_ivfpq_index(
         cert = st["adc_margin"]
         if cert is not None:
             got = _unit_residual_max(rows, codebook, st["m"],
-                                     codes=codes)
+                                     codes=codes, n_rows=added)
             if got > cert:
                 import warnings
 

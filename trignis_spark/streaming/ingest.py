@@ -287,6 +287,7 @@ def make_embedding_ingest_fn(
     stats: list[EmbeddingIngestStats] | None = None,
     precision: str = "exact",
     cache_index: bool = False,
+    cache_storage_level: str = "MEMORY_AND_DISK",
     fold_tail_rows: int | None = None,
 ):
     """``foreachBatch`` body curating an embedding stream against the
@@ -378,19 +379,33 @@ def make_embedding_ingest_fn(
         # as the 5.9 GB float table fell out of cache). The tail
         # design makes this sound: extends refresh only the tail
         # sidecars, so the cached base stays valid until a compaction
-        # folds the tail in (which re-caches lazily). On a cluster the
-        # cache is LRU per executor — a corpus larger than aggregate
-        # storage memory degrades to partial caching, never to error
-        # (evicted partitions fall back to the parquet scan). With
-        # cluster memory at a premium, MEMORY_AND_DISK is the dial:
-        # persist(StorageLevel.MEMORY_AND_DISK) on spark.table(...)
-        # instead of cacheTable keeps evictions on local SSD.
+        # folds the tail in (which re-caches lazily). CLUSTER
+        # SEMANTICS: the cache is LRU per executor — a corpus larger
+        # than aggregate storage memory degrades to PARTIAL caching,
+        # never to error (evicted partitions fall back to the parquet
+        # scan, so only the latency benefit shrinks), and the default
+        # MEMORY_AND_DISK level spills evicted blocks to local SSD
+        # instead of dropping them. ``cache_storage_level`` is the
+        # operator dial: "MEMORY_ONLY" to refuse the disk copy (pure
+        # LRU-partial), "DISK_ONLY" to keep executor memory for
+        # shuffle-heavy co-tenants while still beating remote/parquet
+        # re-reads (tests/test_ingest.py pins the level end-to-end).
+        from pyspark import StorageLevel
+
+        try:
+            level = getattr(StorageLevel, cache_storage_level)
+        except AttributeError:
+            raise ValueError(
+                f"cache_storage_level {cache_storage_level!r} is not a "
+                "pyspark.StorageLevel name (e.g. MEMORY_AND_DISK, "
+                "MEMORY_ONLY, DISK_ONLY)"
+            ) from None
         if precision != "adc":
             # the rerank-free adc probe never reads the float base —
             # pinning it (5.9 GB at 2 M × 768) wastes storage memory
             # and can evict the ~50 MB codes table the probe DOES read
-            spark.catalog.cacheTable(ann_table)
-        spark.catalog.cacheTable(f"{ann_table}_codes")
+            spark.catalog.cacheTable(ann_table, storageLevel=level)
+        spark.catalog.cacheTable(f"{ann_table}_codes", storageLevel=level)
     if fold_tail_rows is not None and not is_pq:
         raise ValueError(
             "fold_tail_rows requires an IVF-PQ index (only its "
@@ -508,9 +523,11 @@ def make_embedding_ingest_fn(
                 # the fold rewrote base partitions — re-pin them (the
                 # cached plan still names the tables; refresh + lazy
                 # re-cache happens on next probe)
-                spark.catalog.cacheTable(f"{ann_table}_codes")
+                spark.catalog.cacheTable(f"{ann_table}_codes",
+                                         storageLevel=level)
                 if precision != "adc":
-                    spark.catalog.cacheTable(ann_table)
+                    spark.catalog.cacheTable(ann_table,
+                                             storageLevel=level)
 
         if stats is not None:
             n_all = vecs.count()
