@@ -53,6 +53,12 @@ def main() -> int:
     ap.add_argument("--name", default="d5_ivfpq")
     ap.add_argument("--n-buckets", type=int, default=16384)
     ap.add_argument("--train-rows", type=int, default=1_000_000)
+    ap.add_argument("--margin-rows", type=int, default=1_000_000,
+                    help="ADC-margin certification sample (statistical "
+                         "bound — see build_ivfpq_index); the round-9 "
+                         "full-corpus default would add a corpus-sized "
+                         "vec_id join to a leg that gates in exact "
+                         "mode and never uses the margin")
     ap.add_argument("--queries", type=int, default=2000)
     ap.add_argument("--nprobe", type=int, default=2)
     ap.add_argument("--shortlist", type=int, default=30)
@@ -113,6 +119,7 @@ def main() -> int:
         ipq.build_ivfpq_index(
             spark, corpus, args.name, m=8, k=16,
             n_buckets=args.n_buckets, train_rows=args.train_rows,
+            margin_rows=args.margin_rows,
         )
         wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
         du = subprocess.run(["du", "-s"] + [
