@@ -90,6 +90,17 @@ def main() -> int:
         "scaled/production shapes at sf10)",
     )
     ap.add_argument(
+        "--best-of",
+        type=int,
+        default=1,
+        metavar="N",
+        help="run the timed sweep N times and report each query's "
+        "MINIMUM — the standard noisy-box discipline (round 9's "
+        "driver box ran the UNTOUCHED query set 1.42x slower than "
+        "round 7's, swamping per-query code drift in one-shot runs); "
+        "the driver's recorded run stays N=1",
+    )
+    ap.add_argument(
         "--compare",
         default=None,
         metavar="BENCH_rN.json",
@@ -132,11 +143,14 @@ def main() -> int:
             ).format("noop").save()
 
     timings: dict[str, float] = {}
-    for name in names:
-        fn = registry[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(max(1, args.best_of)):
+        for name in names:
+            fn = registry[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     total = round(sum(timings.values()), 3)
     print(
@@ -162,7 +176,10 @@ def _compare(timings: dict[str, float], ref_path: str) -> None:
     check ran mid-round and perf-touching commits followed; this makes
     the check one command to run as the round's last act."""
     with open(ref_path) as f:
-        ref = json.load(f)["queries"]
+        ref = json.load(f)
+    # accept either bench.py's own stdout line or the driver's
+    # recorded BENCH_rN.json (which wraps it under "parsed")
+    ref = ref.get("parsed", ref)["queries"]
     shared = sorted(set(timings) & set(ref))
     if not shared:
         print(f"--compare: no shared queries with {ref_path}",

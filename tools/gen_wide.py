@@ -71,9 +71,16 @@ def generate(n: int, dims: int, every: int, out: str,
     centers = None
     if manifold == "product":
         sub = dims // m_man
-        centers = rng.standard_normal((m_man, k_man, sub)).astype(
-            np.float32
-        )
+        centers = rng.standard_normal((m_man, k_man, sub))
+        # equal-norm centers: two vectors sharing j of m subspaces then
+        # sit at cos ≈ j/m ± ~0.015 (cross-terms + residual) instead of
+        # ± ~0.05 under χ²-variable norms — the decision band near a
+        # 0.95 threshold is 5σ away from the j=m−1 level, so exact and
+        # ADC gates cannot disagree on a borderline pair
+        centers = (
+            centers / np.linalg.norm(centers, axis=2, keepdims=True)
+            * np.sqrt(sub)
+        ).astype(np.float32)
         pd.DataFrame({
             "sub": [s for s in range(m_man) for _ in range(k_man)],
             "cid": [c for _ in range(m_man) for c in range(k_man)],
@@ -90,7 +97,15 @@ def generate(n: int, dims: int, every: int, out: str,
         sub = dims // m_man
         mat = np.empty((len(ids), dims), np.float32)
         for s in range(m_man):
-            codes = (ids * 2654435761 + s * 40503) % k_man
+            # splitmix64 mix — a multiplicative-congruence map mod 16
+            # degenerates (the multiplier is odd, so ids 16 apart got
+            # identical combos in every subspace)
+            z = (ids.astype(np.uint64)
+                 + np.uint64(s) * np.uint64(0x9E3779B97F4A7C15))
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            codes = ((z ^ (z >> np.uint64(31)))
+                     % np.uint64(k_man)).astype(np.int64)
             mat[:, s * sub:(s + 1) * sub] = centers[s][codes]
         mat += rng.standard_normal(mat.shape).astype(np.float32) * \
             np.float32(sigma)
@@ -126,9 +141,15 @@ def main() -> int:
     ap.add_argument("--every", type=int, default=97)
     ap.add_argument("--manifold", choices=("gaussian", "product"),
                     default="gaussian")
-    ap.add_argument("--k-man", type=int, default=16,
-                    help="product manifold: centers per subspace (keep "
-                         "≤ the index k so the codebook can cover them)")
+    ap.add_argument("--k-man", type=int, default=8,
+                    help="product manifold: centers per subspace. Keep "
+                         "it WELL below the index k (≥8× slack): the "
+                         "PQ trainer seeds k random corpus rows per "
+                         "subspace, so covering every planted center "
+                         "whp needs k·(1−1/k_man)^k ≈ 0 — k_man=8 with "
+                         "k=64 leaves ~1%% miss probability, while "
+                         "k_man=k=16 misses almost surely (measured "
+                         "margin 0.91 instead of ~0.01)")
     ap.add_argument("--sigma", type=float, default=0.005,
                     help="product manifold: residual scale — the "
                          "certified margin lands near σ·√dims/|x|")

@@ -65,8 +65,18 @@ def main() -> int:
     ap.add_argument("--cycles", type=int, default=8)
     ap.add_argument("--batch", type=int, default=2000)
     ap.add_argument("--name", default="par768")
-    ap.add_argument("--threshold", type=float, default=0.9)
+    ap.add_argument("--threshold", type=float, default=0.95)
+    ap.add_argument("--m", type=int, default=8)
+    ap.add_argument("--k", type=int, default=64,
+                    help="PQ codes per subspace — keep >=8x the corpus's "
+                         "k_man so seeding covers every planted center "
+                         "(see gen_wide.py --k-man)")
     ap.add_argument("--nprobe", type=int, default=2)
+    ap.add_argument("--train-rows", type=int, default=200_000,
+                    help="sampled PQ training bound (the full m*N "
+                         "subvector spread is ~14 GB of checkpoint "
+                         "scratch at 2M x 768; 200k rows see every "
+                         "planted center thousands of times over)")
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--fold-tail-rows", type=int, default=None)
     ap.add_argument("--accepted", default=".localdata/par768_accepted")
@@ -103,7 +113,8 @@ def main() -> int:
         t0 = time.time()
         # full-corpus certified margin (the round-9 build default) —
         # the whole point of this leg is that the bound actually gates
-        ipq.build_ivfpq_index(spark, emb, name_ex, m=8, k=16)
+        ipq.build_ivfpq_index(spark, emb, name_ex, m=args.m, k=args.k,
+                              train_rows=args.train_rows)
         print(json.dumps({
             "leg": "build_ivfpq", "n": n, "dims": dims,
             "sec": round(time.time() - t0, 1),
@@ -206,10 +217,17 @@ def main() -> int:
         t_ex.append(dt_ex)
         t_adc.append(dt_adc)
 
-        acc_ex = {r[0] for r in spark.read.parquet(args.accepted + "_ex")
-                  .filter(f"epoch_id = {c}").select("vec_id").collect()}
-        acc_adc = {r[0] for r in spark.read.parquet(args.accepted + "_adc")
-                   .filter(f"epoch_id = {c}").select("vec_id").collect()}
+        def accepted_ids(path: str) -> set:
+            # the gate writes only on accepting epochs — an all-reject
+            # run (e.g. --skip-build against indexes that already
+            # absorbed these ids) never creates the directory
+            if not os.path.isdir(path):
+                return set()
+            return {r[0] for r in spark.read.parquet(path)
+                    .filter(f"epoch_id = {c}").select("vec_id").collect()}
+
+        acc_ex = accepted_ids(args.accepted + "_ex")
+        acc_adc = accepted_ids(args.accepted + "_adc")
         same = acc_ex == acc_adc
         parity_ok = parity_ok and same
         se, sa = stats_ex[-1], stats_adc[-1]

@@ -53,6 +53,29 @@ def _refresh(spark: SparkSession, table: str) -> None:
     spark.catalog.refreshTable(_docs_table(table))
 
 
+#: per-(warehouse, table) cache of the v2 meta row (threshold, n,
+#: n_parts) — immutable after build (extends never rewrite it), yet
+#: every probe re-collected it: one driver action per poll cycle on
+#: the text gate's hot path (the same fixed overhead VERDICT r8 #1
+#: flagged on the IVF-PQ probes; see ``ivfpq_index._STATE_CACHE``).
+#: Build and attach — the only meta writers/registrars — drop entries.
+_META_CACHE: dict = {}
+
+
+def _meta_row(spark: SparkSession, table: str):
+    key = (spark.conf.get("spark.sql.warehouse.dir", ""), table)
+    row = _META_CACHE.get(key)
+    if row is None:
+        _META_CACHE[key] = row = spark.table(_meta_table(table)).collect()[0]
+    return row
+
+
+def _drop_meta_cache(spark: SparkSession, table: str) -> None:
+    _META_CACHE.pop(
+        (spark.conf.get("spark.sql.warehouse.dir", ""), table), None
+    )
+
+
 def _sized_shingles(docs: DataFrame, n: int) -> DataFrame:
     sh = shingle_table(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -318,6 +341,7 @@ def build_prefix_index(
     ).write.mode("overwrite").format("parquet").saveAsTable(
         _meta_table(table)
     )
+    _drop_meta_cache(spark, table)
     for t in (table, _full_table(table), _docs_table(table),
               _meta_table(table)):
         spark.catalog.refreshTable(t)
@@ -360,6 +384,7 @@ def attach_prefix_index(spark: SparkSession, table: str,
     attach_table(spark, _docs_table(table), bucket_cols=["doc_id"],
                  n_buckets=n_buckets)
     attach_table(spark, _meta_table(table))
+    _drop_meta_cache(spark, table)
 
 
 def probe_prefix_index(
@@ -394,7 +419,7 @@ def probe_prefix_index(
     the payload actually broadcast, so a batch of few but very long
     documents is gated correctly (ADVICE r6); results are identical on
     either path (asserted in tests)."""
-    meta = spark.table(_meta_table(table)).collect()[0]
+    meta = _meta_row(spark, table)
     if threshold < meta.threshold - 1e-12:
         raise ValueError(
             f"index {table!r} was built for threshold >= {meta.threshold}; "
@@ -471,7 +496,7 @@ def extend_prefix_index(
     because corpus-side prefix pruning is lossless under any per-doc
     shingle choice of the required length (see module notes); the df
     order only tunes posting-list length."""
-    meta = spark.table(_meta_table(table)).collect()[0]
+    meta = _meta_row(spark, table)
     known = spark.table(_docs_table(table)).select("doc_id")
     fresh = batch_anti_join(docs, known, "doc_id").localCheckpoint(
         eager=True

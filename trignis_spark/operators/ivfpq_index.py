@@ -1155,15 +1155,6 @@ def ivfpq_probe(
             cand = cand.unionByName(
                 _cand(spark.table(_tail_codes_table(table)))
             )
-        if needs_guard:
-            # replayed extend appends duplicate whole rows — within
-            # the tail or across a compaction-crash fold window; a
-            # vector must not surface at two shortlist ranks (same
-            # guard as dedup_index — which row survives is immaterial).
-            # Skipped when the base is duplicate-free by construction
-            # and no tail exists (see docstring) — this is a full
-            # candidate-set shuffle otherwise.
-            cand = cand.dropDuplicates(["query_id", "vec_id"])
         adc = (
             cand
             .select(
@@ -1180,6 +1171,21 @@ def ivfpq_probe(
                 ),
             )
         )
+        if needs_guard:
+            # replayed extend appends duplicate whole rows — within
+            # the tail or across a compaction-crash fold window; a
+            # vector must not surface at two shortlist ranks (same
+            # guard as dedup_index — which row survives is immaterial:
+            # duplicate rows carry identical codes, so they project to
+            # identical ADC sums). Deduping AFTER the projection keeps
+            # the guard shuffle at scalar width — before it every
+            # candidate row still carried the broadcast per-query LUT
+            # array (~m·kk doubles; +the norm LUT in rerank-free mode),
+            # ~8 KB/row through the exchange, measured 15.5 s → the
+            # projected form at the 100 k × 768 parity smoke. Skipped
+            # entirely when the base is duplicate-free by construction
+            # and no tail exists (see docstring).
+            adc = adc.dropDuplicates(["query_id", "neighbor_id"])
         if not rerank:
             adc = adc.withColumn(
                 "cos", F.col("adot") / F.sqrt(F.col("qn2") * F.col("xq2"))
