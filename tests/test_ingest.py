@@ -415,7 +415,15 @@ def test_embedding_gate_adc_precision(spark, tmp_path):
         )
         batch = vframe([
             (10, [2.0 * x for x in P]),       # scaled copy: true cos 1
-            (11, [1.0, 0.0, 0.0, -1.0]),      # orthogonal to P and Q
+            # genuinely new direction, ON the manifold (P's first half
+            # + Q's second half — a cross-combo the codebook still
+            # represents: cos 0.5 to both prototypes, residual ≈ the
+            # certified margin). An off-manifold accept (the old
+            # orthogonal fixture) would — correctly, per the round-9
+            # drift rule — widen the stored margin past θ on extend
+            # and fail the replay cycle loudly; that path has its own
+            # test below.
+            (11, [1.0, 1.0, -1.0, 1.0]),
             (0, [x * 1.0 for x in P]),        # replay of indexed id
         ])
         fn(batch, epoch_id=0)
@@ -673,6 +681,55 @@ def test_cache_index_storage_level_dial(spark, tmp_path):
             spark.catalog.uncacheTable(f"{idx}_codes")
         except Exception:
             pass
+        for t in ("", "_ids", "_codes", "_codebook", "_meta", "__tail",
+                  "__tail_codes"):
+            spark.sql(f"DROP TABLE IF EXISTS {idx}{t}")
+
+
+def test_embedding_gate_adc_margin_drift_fails_loudly(spark, tmp_path):
+    """The round-9 drift rule end-to-end: accepting an OFF-manifold
+    vector widens the stored margin on extend (the batch quantizes at
+    residual ~sqrt(2) through a codebook that never saw its direction),
+    and the NEXT adc cycle — re-reading the margin — refuses loudly
+    instead of silently gating with a bound the corpus no longer
+    satisfies."""
+    import warnings
+
+    from trignis_spark.operators import ivfpq_index as ipq
+
+    P, Q = [1.0, 1.0, 1.0, 1.0], [1.0, -1.0, -1.0, 1.0]
+
+    def vframe(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    idx = "emb_gate_drift"
+    for t in ("", "_ids", "_codes", "_codebook", "_meta", "__tail",
+              "__tail_codes"):
+        spark.sql(f"DROP TABLE IF EXISTS {idx}{t}")
+    try:
+        corpus = vframe(
+            [(i, [x * (1.0 + 0.01 * i) for x in P]) for i in range(6)]
+            + [(100 + i, [x * (1.0 + 0.01 * i) for x in Q])
+               for i in range(6)]
+        )
+        ipq.build_ivfpq_index(spark, corpus, idx, m=2, k=2, n_buckets=4)
+        stats: list[ingest.EmbeddingIngestStats] = []
+        fn = ingest.make_embedding_ingest_fn(
+            spark, idx, str(tmp_path / "acc_drift"),
+            cos_threshold=0.9, nprobe=4, stats=stats, precision="adc",
+        )
+        with warnings.catch_warnings(record=True) as wlog:
+            warnings.simplefilter("always")
+            fn(vframe([(50, [1.0, 0.0, 0.0, -1.0])]), epoch_id=0)
+        assert stats[-1].accepted == 1
+        assert any("widened" in str(w.message) for w in wlog
+                   if issubclass(w.category, UserWarning))
+        assert ipq.stored_adc_margin(spark, idx) > 0.9
+        with pytest.raises(ValueError, match="swallows cos_threshold"):
+            fn(vframe([(51, [0.0, 1.0, 0.0, -1.0])]), epoch_id=1)
+    finally:
         for t in ("", "_ids", "_codes", "_codebook", "_meta", "__tail",
                   "__tail_codes"):
             spark.sql(f"DROP TABLE IF EXISTS {idx}{t}")

@@ -671,7 +671,7 @@ def test_meta_rewrite_crash_recovery(spark, index):
     # (holding a NEW margin) survives — recovery installs it
     new_margin = float(live["adc_margin"]) + 0.25
     spark.createDataFrame(
-        [(live["m"], live["k"], live["n_buckets"], new_margin, True)],
+        [(live["m"], live["k"], live["n_buckets"], new_margin, True, 2)],
         ipq._META_SCHEMA,
     ).write.format("parquet").saveAsTable(f"{mt}__staged")
     drop_table_and_location(spark, mt)
@@ -682,7 +682,7 @@ def test_meta_rewrite_crash_recovery(spark, index):
     )
     # attach from a headless-catalog state heals through the same path
     spark.createDataFrame(
-        [(live["m"], live["k"], live["n_buckets"], new_margin, True)],
+        [(live["m"], live["k"], live["n_buckets"], new_margin, True, 2)],
         ipq._META_SCHEMA,
     ).write.format("parquet").saveAsTable(f"{mt}__staged")
     drop_table_and_location(spark, mt)
@@ -744,3 +744,30 @@ def test_build_margin_is_full_corpus_and_arrow_twin_matches(
     ipq.build_ivfpq_index(spark, emb, index, m=2, k=2, n_buckets=4,
                           margin_rows=4)
     assert ipq.stored_adc_margin(spark, index) <= stored + 1e-12
+
+
+def test_legacy_bucket_version_dispatch(spark, index):
+    """Round 9 changed the sign-quantizer to strided bits (v2) because
+    the leading-bits form collapses cells on clustered corpora — but a
+    persisted pre-round-9 index stores v1 cell ids, and probing or
+    extending it with the v2 expression would compute different cells
+    and silently miss neighbors. The meta row records ``bucket_v``
+    (absent ⇒ 1) and every path dispatches on it: a v1-built index must
+    keep answering identically to the one-shot v1 cascade, and a v1
+    extend must land in cells its own probes can see."""
+    emb = load(spark, SF, "embeddings")
+    ipq.build_ivfpq_index(spark, emb.filter("vec_id < 400"), index,
+                          m=M, k=K, n_buckets=16, bucket_version=1)
+    assert ipq._probe_state(spark, index)["bucket_v"] == 1
+    queries = emb.filter(F.expr(QUERY_PRED))
+    got = ipq.ivfpq_probe(spark, index, queries, k=10, nprobe=2)
+    # extends must bucket with the stored v1 expression
+    ipq.extend_ivfpq_index(spark, emb.filter("vec_id >= 400"), index)
+    after = ipq.ivfpq_probe(spark, index, queries, k=10, nprobe=2)
+    assert after.filter("neighbor_id >= 400").count() > 0
+    # v1 and v2 builds of the same corpus give DIFFERENT cell layouts
+    # (different approximations) — assert the dispatch actually read
+    # the meta, not that the two versions agree
+    ipq.build_ivfpq_index(spark, emb.filter("vec_id < 400"), index,
+                          m=M, k=K, n_buckets=16)
+    assert ipq._probe_state(spark, index)["bucket_v"] == 2

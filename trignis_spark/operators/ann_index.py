@@ -65,6 +65,20 @@ def _stored_n_buckets(
     return fallback
 
 
+def _stored_bucket_version(spark: SparkSession, table: str) -> int:
+    """Sign-quantizer version the index was built with (see
+    ``similarity.bucket_expr``). Indexes persisted before round 9 have
+    no ``bucket_v`` column — they used the leading-bits form (1), and
+    probing/extending them with the strided form would compute wrong
+    cells and silently miss neighbors."""
+    name = _meta_table(table)
+    if spark.catalog.tableExists(name):
+        row = spark.table(name).first()
+        if "bucket_v" in row.__fields__ and row["bucket_v"] is not None:
+            return int(row["bucket_v"])
+    return 1
+
+
 def _refresh(spark: SparkSession, table: str) -> None:
     # writes may come from a cloned (foreachBatch) session — invalidate
     # the probing session's cached file listing (see dedup_index)
@@ -79,18 +93,18 @@ def _trained_centroids(spark: SparkSession, table: str) -> DataFrame | None:
     return None
 
 
-def _bucket_expr(vec_col: str, n_buckets: int) -> str:
-    bits = int(math.log2(n_buckets))
-    return " + ".join(
-        f"(CASE WHEN element_at({vec_col}, {i + 1}) >= 0.0D "
-        f"THEN {1 << i} ELSE 0 END)"
-        for i in range(bits)
-    )
+def _bucket_expr(vec_col: str, n_buckets: int, version: int = 2) -> str:
+    """See ``similarity.bucket_expr`` — v2 (strided sign bits) is the
+    build default; persisted indexes dispatch on their stored
+    ``bucket_v`` so pre-round-9 (leading-bits) layouts stay correct."""
+    from trignis_spark.operators.similarity import bucket_expr
+
+    return bucket_expr(vec_col, n_buckets, version)
 
 
 def _rows(embeddings: DataFrame, n_buckets: int,
           centroids: DataFrame | None = None,
-          spread: bool = True) -> DataFrame:
+          spread: bool = True, version: int = 2) -> DataFrame:
     if centroids is not None:
         from trignis_spark.operators.kmeans import assign_clusters
 
@@ -101,7 +115,7 @@ def _rows(embeddings: DataFrame, n_buckets: int,
             .select(F.col("cid").alias("bucket"), "vec_id", "v", "n2")
         )
     return _prep(embeddings).select(
-        F.expr(_bucket_expr("v", n_buckets)).alias("bucket"),
+        F.expr(_bucket_expr("v", n_buckets, version)).alias("bucket"),
         "vec_id",
         "v",
         "n2",
@@ -203,7 +217,7 @@ def build_ann_index(
     # layout, not guess their own (auto-sizing made the old implicit
     # "everyone defaults to 16" contract a correctness trap)
     spark.createDataFrame(
-        [(int(n_buckets),)], "n_buckets int"
+        [(int(n_buckets), 2)], "n_buckets int, bucket_v int"
     ).write.mode("overwrite").format("parquet").saveAsTable(
         _meta_table(table)
     )
@@ -378,6 +392,7 @@ def extend_ann_index(
         n_buckets,
         cents,
         spread=False,  # batch-sized input — skip the corpus repartition
+        version=_stored_bucket_version(spark, table),
     ).localCheckpoint(eager=True)
     added = fresh.count()
     if added == 0:
@@ -436,7 +451,10 @@ def probe_ann_index(
         bits = int(math.log2(n_buckets))
         nprobe = max(1, min(nprobe, bits + 1))
         q = base.withColumn(
-            "home", F.expr(_bucket_expr("qv", n_buckets))
+            "home",
+            F.expr(_bucket_expr(
+                "qv", n_buckets, _stored_bucket_version(spark, table)
+            )),
         )
         # probe cells: home plus the first (nprobe-1) bit-flip neighbors
         flips = [F.col("home")] + [

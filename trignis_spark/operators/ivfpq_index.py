@@ -43,8 +43,11 @@ search touches only persisted, bucket-pruned tables, mirroring
   base ∪ tail, ``compact_ivfpq_index`` folds the tail in on the
   maintenance cadence.
 
-The coarse quantizer is the deterministic sign-pattern of the leading
-components (same as ``ann_index``) and PQ training is ``pq.train_pq``'s
+The coarse quantizer is the deterministic sign-pattern of components
+strided across the vector (same as ``ann_index``; v2 — round 9, see
+``similarity.bucket_expr`` for why leading bits degenerate on
+clustered corpora; the stored ``meta.bucket_v`` keeps pre-round-9
+indexes probing with their own layout) and PQ training is ``pq.train_pq``'s
 deterministic grouped Lloyd — so a probe's result is bit-for-bit
 replayable in SQL (``queries_ext.ann_ivfpq_probe``'s oracle re-derives
 codebook, codes and cascade from the raw ``embeddings`` table).
@@ -155,6 +158,11 @@ def _probe_state(spark: SparkSession, table: str) -> dict:
             "base_distinct": bool(meta["base_distinct"])
             if "base_distinct" in fields and meta["base_distinct"] is not None
             else False,
+            # sign-quantizer version (similarity.bucket_expr):
+            # pre-round-9 indexes used the leading-bits form
+            "bucket_v": int(meta["bucket_v"])
+            if "bucket_v" in fields and meta["bucket_v"] is not None
+            else 1,
             "wide": "sub" not in spark.table(_codes_table(table)).columns,
             "cell_partitioned": _cell_partitioned(spark, table),
             "ids_bucketed": _is_bucketed(spark, _ids_table(table)),
@@ -214,10 +222,11 @@ def _drop_stale(spark: SparkSession, table: str) -> None:
     _drop_state(spark, table)
 
 
-def _bucketed(embeddings: DataFrame, n_buckets: int) -> DataFrame:
+def _bucketed(embeddings: DataFrame, n_buckets: int,
+              version: int = 2) -> DataFrame:
     """(bucket, vec_id, v, n2) under the sign-pattern coarse quantizer."""
     return _prep(embeddings).select(
-        F.expr(_bucket_expr("v", n_buckets)).alias("bucket"),
+        F.expr(_bucket_expr("v", n_buckets, version)).alias("bucket"),
         "vec_id",
         "v",
         "n2",
@@ -390,7 +399,7 @@ _MARGIN_SAMPLE = 65536
 #: their replay-duplicate guards when no tail exists.
 _META_SCHEMA = (
     "m int, k int, n_buckets int, adc_margin double, "
-    "base_distinct boolean"
+    "base_distinct boolean, bucket_v int"
 )
 
 
@@ -526,7 +535,7 @@ def stored_adc_margin(spark: SparkSession, table: str) -> float | None:
 
 def _rewrite_meta(spark: SparkSession, table: str, m: int, k: int,
                   n_buckets: int, adc_margin: float | None,
-                  base_distinct: bool) -> None:
+                  base_distinct: bool, bucket_v: int = 1) -> None:
     """Replace the one-row meta table, crash-safe (ADVICE r8): the new
     row is durably written to a ``__staged`` sidecar BEFORE the live
     table is dropped, so no crash point loses the metadata — a crash
@@ -541,7 +550,8 @@ def _rewrite_meta(spark: SparkSession, table: str, m: int, k: int,
     staged = f"{mt}__staged"
     drop_table_and_location(spark, staged)
     spark.createDataFrame(
-        [(m, k, n_buckets, adc_margin, base_distinct)], _META_SCHEMA
+        [(m, k, n_buckets, adc_margin, base_distinct, bucket_v)],
+        _META_SCHEMA,
     ).write.format("parquet").saveAsTable(staged)
     drop_table_and_location(spark, mt)
     spark.table(staged).write.format("parquet").saveAsTable(mt)
@@ -617,8 +627,14 @@ def remeasure_adc_margin(
         and meta["base_distinct"] is not None
         else False
     )
+    bucket_v = (
+        int(meta["bucket_v"])
+        if "bucket_v" in meta.__fields__ and meta["bucket_v"] is not None
+        else 1
+    )
     _rewrite_meta(spark, table, int(meta["m"]), int(meta["k"]),
-                  int(meta["n_buckets"]), margin, base_distinct)
+                  int(meta["n_buckets"]), margin, base_distinct,
+                  bucket_v)
     _refresh(spark, table)
     return margin
 
@@ -633,6 +649,7 @@ def build_ivfpq_index(
     iters: int = 2,
     train_rows: int | None = None,
     margin_rows: int | None = None,
+    bucket_version: int = 2,
 ) -> None:
     """Train the PQ codebook and materialize all five tables
     (overwrites any prior index of the same name). The default
@@ -665,7 +682,13 @@ def build_ivfpq_index(
     that size — cheaper for a huge one-shot build, but the stored
     bound is then only statistical until ``remeasure_adc_margin`` (or
     extend's per-batch widening) tightens it, and adc-gated callers
-    should treat decisions near the threshold accordingly."""
+    should treat decisions near the threshold accordingly.
+
+    ``bucket_version`` is a compat hook (tests only): 1 writes the
+    pre-round-9 leading-bits cell layout so the version-dispatch path
+    (probes/extends of legacy persisted indexes) stays covered;
+    production builds keep the strided default (see
+    ``similarity.bucket_expr``)."""
     n = embeddings.count()
     if n_buckets is None:
         n_buckets = auto_n_buckets(n)
@@ -688,7 +711,7 @@ def build_ivfpq_index(
         .format("parquet")
         .saveAsTable(_codebook_table(table))
     )
-    rows = _bucketed(embeddings, n_buckets)
+    rows = _bucketed(embeddings, n_buckets, bucket_version)
     # repartition on the cell column before the partitioned write:
     # otherwise every writer task emits one file per cell it happens to
     # hold (measured 5 137 files for the 512-cell codes table — the
@@ -753,7 +776,7 @@ def build_ivfpq_index(
     # replay-duplicate guards whenever no tail exists. Indexes persisted
     # before this marker keep the guards (see ``_probe_state``).
     meta = spark.createDataFrame(
-        [(m, k, n_buckets, margin, True)],
+        [(m, k, n_buckets, margin, True, bucket_version)],
         _META_SCHEMA,
     )
     meta.write.mode("overwrite").format("parquet").saveAsTable(
@@ -819,7 +842,8 @@ def extend_ivfpq_index(
     known = spark.table(_ids_table(table))
     fresh_src = embeddings if assume_fresh \
         else batch_anti_join(embeddings, known, "vec_id")
-    rows = _bucketed(fresh_src, st["n_buckets"]).localCheckpoint(eager=True)
+    rows = _bucketed(fresh_src, st["n_buckets"],
+                     st["bucket_v"]).localCheckpoint(eager=True)
     added = rows.count()
     if added == 0:
         return 0
@@ -860,7 +884,8 @@ def extend_ivfpq_index(
                 import warnings
 
                 _rewrite_meta(spark, table, st["m"], st["k"],
-                              st["n_buckets"], got, st["base_distinct"])
+                              st["n_buckets"], got, st["base_distinct"],
+                              st["bucket_v"])
                 st = _probe_state(spark, table)
                 warnings.warn(
                     f"extend_ivfpq_index({table}): batch residual "
@@ -1016,7 +1041,8 @@ def ivfpq_probe(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("n2").alias("qn2"),
-        F.expr(_bucket_expr("v", n_buckets)).alias("home"),
+        F.expr(_bucket_expr("v", n_buckets, st["bucket_v"]))
+        .alias("home"),
     )
     flips = [F.col("home")] + [
         F.col("home").bitwiseXOR(F.lit(1 << i))

@@ -301,11 +301,9 @@ def ivfpq_topk(
     import math
 
     bits = int(math.log2(n_buckets))
-    bucket = " + ".join(
-        f"(CASE WHEN element_at({{v}}, {i + 1}) >= 0.0D THEN {1 << i} "
-        f"ELSE 0 END)"
-        for i in range(bits)
-    )
+    from trignis_spark.operators.similarity import bucket_expr
+
+    bucket = bucket_expr("{v}", n_buckets)
     vecs = _as_double_vec(embeddings, "embedding").withColumn(
         "n2",
         F.expr(

@@ -2102,8 +2102,17 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_BUCKET = "({v}[1] >= 0.0)::INT + 2 * ({v}[2] >= 0.0)::INT " \
-    "+ 4 * ({v}[3] >= 0.0)::INT + 8 * ({v}[4] >= 0.0)::INT"
+# strided sign bits (v2 — see similarity.bucket_expr): bit i reads the
+# component at 1 + (i·dims) // bits. The leading-bits v1 form collapsed
+# all cells onto a handful on clustered corpora (round 9). The engine
+# twins (ivf_topk / ivfpq_topk / fresh index builds) compute the same
+# positions via `1 + (i * size(v)) div 4`.
+_IVF_BUCKET = (
+    "({v}[1 + (0 * len({v})) // 4] >= 0.0)::INT "
+    "+ 2 * ({v}[1 + (1 * len({v})) // 4] >= 0.0)::INT "
+    "+ 4 * ({v}[1 + (2 * len({v})) // 4] >= 0.0)::INT "
+    "+ 8 * ({v}[1 + (3 * len({v})) // 4] >= 0.0)::INT"
+)
 
 _IVF_TOPK_SQL = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
