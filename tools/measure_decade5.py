@@ -71,6 +71,14 @@ def main() -> int:
                          "replay / 30%% ε-near-dup / 30%% fresh, the "
                          "soak mix) with cache_index=True — the "
                          "decade-5 poll-cycle cost")
+    ap.add_argument("--gate-cache", choices=("pin", "none"),
+                    default="pin",
+                    help="pin: cacheTable the serving tables "
+                         "(r8-default — fits while index < heap; the "
+                         "39 GB 100M float table OOMs a 56 GB heap); "
+                         "none: rely on the OS page cache (128 GB box "
+                         "holds the parquet bytes; Spark-level pin is "
+                         "the wrong layer once corpus > heap)")
     ap.add_argument("--driver-mem", default="56g")
     args = ap.parse_args()
 
@@ -192,7 +200,7 @@ def main() -> int:
         gate = make_embedding_ingest_fn(
             spark, args.name, ".localdata/d5_gate_accepted",
             cos_threshold=0.95, nprobe=args.nprobe, stats=stats,
-            cache_index=True,
+            cache_index=(args.gate_cache == "pin"),
         )
         b = 2000
         n_rep, n_dup = int(b * 0.4), int(b * 0.3)
