@@ -93,13 +93,16 @@ def _trained_centroids(spark: SparkSession, table: str) -> DataFrame | None:
     return None
 
 
-def _bucket_expr(vec_col: str, n_buckets: int, version: int = 2) -> str:
+def _bucket_expr(vec_col: str, n_buckets: int, version: int = 2,
+                 dims: int | None = None) -> str:
     """See ``similarity.bucket_expr`` — v2 (strided sign bits) is the
     build default; persisted indexes dispatch on their stored
-    ``bucket_v`` so pre-round-9 (leading-bits) layouts stay correct."""
+    ``bucket_v`` so pre-round-9 (leading-bits) layouts stay correct.
+    ``dims`` folds the strided positions to literals for corpus-sized
+    evaluations (VERDICT r9 #2)."""
     from trignis_spark.operators.similarity import bucket_expr
 
-    return bucket_expr(vec_col, n_buckets, version)
+    return bucket_expr(vec_col, n_buckets, version, dims=dims)
 
 
 def _rows(embeddings: DataFrame, n_buckets: int,
@@ -114,8 +117,15 @@ def _rows(embeddings: DataFrame, n_buckets: int,
             .join(assigned, "vec_id")
             .select(F.col("cid").alias("bucket"), "vec_id", "v", "n2")
         )
-    return _prep(embeddings).select(
-        F.expr(_bucket_expr("v", n_buckets, version)).alias("bucket"),
+    prepped = _prep(embeddings)
+    # corpus-sized evaluation — bind the width as a literal so the v2
+    # positions fold at plan time (one limit-1 meta read, vs size(v)
+    # once per bit per corpus row)
+    from trignis_spark.operators.similarity import _vec_dims
+
+    return prepped.select(
+        F.expr(_bucket_expr("v", n_buckets, version,
+                            dims=_vec_dims(prepped))).alias("bucket"),
         "vec_id",
         "v",
         "n2",

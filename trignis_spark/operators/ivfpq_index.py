@@ -224,9 +224,18 @@ def _drop_stale(spark: SparkSession, table: str) -> None:
 
 def _bucketed(embeddings: DataFrame, n_buckets: int,
               version: int = 2) -> DataFrame:
-    """(bucket, vec_id, v, n2) under the sign-pattern coarse quantizer."""
-    return _prep(embeddings).select(
-        F.expr(_bucket_expr("v", n_buckets, version)).alias("bucket"),
+    """(bucket, vec_id, v, n2) under the sign-pattern coarse quantizer.
+    The strided v2 bit positions are bound to the corpus's measured
+    width (one limit-1 read) so the cell expression folds to literal
+    element_at positions instead of re-evaluating ``size(v)`` once per
+    bit per corpus row (VERDICT r9 #2) — identical cell ids, and the
+    oracle twins compute the same positions from ``len(v)``."""
+    from trignis_spark.operators.similarity import _vec_dims
+
+    prepped = _prep(embeddings)
+    return prepped.select(
+        F.expr(_bucket_expr("v", n_buckets, version,
+                            dims=_vec_dims(prepped))).alias("bucket"),
         "vec_id",
         "v",
         "n2",

@@ -301,16 +301,21 @@ def ivfpq_topk(
     import math
 
     bits = int(math.log2(n_buckets))
-    from trignis_spark.operators.similarity import bucket_expr
+    from trignis_spark.operators.similarity import _vec_dims, bucket_expr
 
-    bucket = bucket_expr("{v}", n_buckets)
     vecs = _as_double_vec(embeddings, "embedding").withColumn(
         "n2",
         F.expr(
             "aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), "
             "(acc, x) -> acc + x)"
         ),
-    ).withColumn("bucket", F.expr(bucket.format(v="v")))
+    )
+    # bind the width as a literal: the strided v2 cell expression then
+    # folds its bit positions at plan time instead of evaluating
+    # size(v) once per bit per corpus row — VERDICT r9 #2 attributed
+    # ann_ivfpq_topk's +23% best-of-3 drift to exactly this
+    bucket = bucket_expr("{v}", n_buckets, dims=_vec_dims(vecs))
+    vecs = vecs.withColumn("bucket", F.expr(bucket.format(v="v")))
     q = vecs.filter(F.expr(query_pred)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

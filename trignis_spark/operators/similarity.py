@@ -73,7 +73,8 @@ def _verify_broadcast_rows(dims: int) -> int:
                       VERIFY_BROADCAST_BYTES // per_row))
 
 
-def bucket_expr(vec_col: str, n_buckets: int, version: int = 2) -> str:
+def bucket_expr(vec_col: str, n_buckets: int, version: int = 2,
+                dims: int | None = None) -> str:
     """Deterministic sign-pattern coarse-quantizer cell id (SQL text —
     the DuckDB oracles replay the same arithmetic).
 
@@ -93,13 +94,32 @@ def bucket_expr(vec_col: str, n_buckets: int, version: int = 2) -> str:
     it, so pre-round-9 indexes stay correct. For heavily clustered
     corpora the trained two-level quantizer (``build_ann_index_2level``)
     remains the production coarse stage; the sign pattern is the
-    zero-training, oracle-replayable default."""
+    zero-training, oracle-replayable default.
+
+    ``dims`` (round 10): the caller-known vector width. The dynamic v2
+    form evaluates ``size(vec)`` once PER BIT per row — 11 size() calls
+    per row at 2 048 cells, a measured ~14–23% drag on the corpus-sized
+    evaluations (VERDICT r9 #2: `ann_ivfpq_topk`'s best-of-3 drift).
+    With ``dims`` the bit positions fold to Python-computed literals —
+    identical positions (and so identical cell ids) to the dynamic form
+    on any corpus of that width, which is also exactly what the DuckDB
+    oracle twins compute from ``len(v)``. Corpus-sided callers (index
+    builds/extends, in-query corpus bucketing) pass it; query-sided
+    evaluations (a poll batch of probe vectors) may keep the dynamic
+    form — per-row cost only matters at corpus cardinality."""
     import math
 
     bits = int(math.log2(n_buckets))
     if version == 1:
         return " + ".join(
             f"(CASE WHEN element_at({vec_col}, {i + 1}) >= 0.0D "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(bits)
+        )
+    if dims is not None and dims > 0:
+        return " + ".join(
+            f"(CASE WHEN element_at({vec_col}, "
+            f"{1 + (i * dims) // bits}) >= 0.0D "
             f"THEN {1 << i} ELSE 0 END)"
             for i in range(bits)
         )
@@ -216,8 +236,13 @@ def ivf_topk(
     import math
 
     bits = int(math.log2(n_buckets))
-    base = _prep(embeddings).withColumn(
-        "bucket", F.expr(bucket_expr("v", n_buckets))
+    base = _prep(embeddings)
+    # corpus-sized bucket evaluation: bind the vector width as a
+    # literal so the strided v2 positions fold at plan time instead of
+    # re-reading size(v) once per bit per row (VERDICT r9 #2)
+    base = base.withColumn(
+        "bucket", F.expr(bucket_expr("v", n_buckets,
+                                     dims=_vec_dims(base)))
     )
     q = base.filter(F.expr(query_pred)).select(
         F.col("vec_id").alias("query_id"),
