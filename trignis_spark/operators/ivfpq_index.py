@@ -290,6 +290,93 @@ def auto_n_buckets(n_vectors: int, dims: int = 64) -> int:
 #: the pinned oracle fixtures (≤ 10⁴ rows) stay far under this bound.
 VECTORIZED_ENCODE_MIN_WORK = 100_000_000
 
+#: estimated total ADC fold elements (candidates × m) above which
+#: ``ivfpq_probe`` dispatches the candidate scoring to the Arrow int64
+#: fixed-point twin (round 10 — VERDICT r9 #1): the expression form
+#: folds the per-candidate sum through interpreted DECIMAL arithmetic
+#: (~m BigDecimal allocations per candidate), which is what pushed the
+#: k=64 width-regime gate cycle past the 30 s poll envelope at
+#: 2 M × 768 (exact 45.7 s / adc 51.5 s mean warm). Both paths are
+#: locked bit-identical (tests/test_ivfpq_index.py), so dispatch is
+#: pure economics; the pinned oracle fixtures stay far under this.
+ADC_ARROW_MIN_WORK = 4_000_000
+
+#: target ADC fold elements per union leg when the Arrow path chunks
+#: the broadcast query side (VERDICT r9 #3): the probed-cell scan runs
+#: one task per cell FILE, so a skewed mega-cell (measured max
+#: occupancy 19 181 vs median 715 on the 2 M × 768 product manifold)
+#: serializes occupancy × queries candidates through one task. Query
+#: chunks re-scan the probed cells (cell files are ~1 MB — free) but
+#: each leg's scan tasks run in parallel, so the mega-cell's work
+#: spreads ~chunks× with zero added shuffles and a bit-identical
+#: candidate union (dedup/ranking key on query_id, untouched by which
+#: leg produced a row).
+ADC_CHUNK_WORK = 8_000_000
+
+#: union-leg ceiling for the query chunking — bounds plan width
+ADC_MAX_CHUNKS = 32
+
+#: query-batch size assumed when deciding whether a query count is
+#: even worth running for the Arrow dispatch: if per-query fold work ×
+#: this bound cannot reach ``ADC_ARROW_MIN_WORK``, the probe skips the
+#: count and stays on the expression path (tiny fixture corpora)
+_ADC_ASSUMED_MAX_BATCH = 100_000
+
+
+def _dec12_quantize(x) -> "object":
+    """int64 fixed-point image (units of 1e-12) of Spark's
+    ``CAST(x AS DECIMAL(_, 12))`` for an array of doubles — the exact
+    HALF_UP rounding, at scale 12, of each double's SHORTEST-REPR
+    decimal value (Spark casts through ``BigDecimal.valueOf`` =
+    ``Double.toString``; Python's ``repr`` produces the same shortest
+    round-trip decimal). Fast path: ``floor(|x·1e12| + 0.5)`` with the
+    sign restored; elements within a few ulp of a .5 midpoint — where
+    float arithmetic could round differently from the decimal value —
+    and magnitudes where ulp(|x·1e12|) approaches 1 fall back to exact
+    ``decimal.Decimal`` arithmetic. Parity with Spark's own cast is
+    locked by tests/test_ivfpq_index.py::
+    test_dec12_quantize_matches_spark_cast."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    y = x * 1e12
+    ay = np.abs(y)
+    if not np.isfinite(y).all():
+        raise ValueError("_dec12_quantize: non-finite input")
+    frac = ay - np.floor(ay)
+    # |y - true_decimal·1e12| ≤ ~2 ulp(y) (one rounding in the multiply
+    # plus the shortest-repr/binary gap); 8 ulp is a generous band
+    amb = (np.abs(frac - 0.5) <= 8.0 * np.spacing(ay)) | (ay >= 2.0**50)
+    res = np.floor(np.minimum(ay, 2.0**62) + 0.5).astype(np.int64)
+    if amb.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        grid = Decimal("1E-12")
+        for i in np.nonzero(amb)[0]:
+            d = Decimal(repr(float(x[i]))).quantize(grid, ROUND_HALF_UP)
+            res[i] = abs(int(d.scaleb(12)))
+    return np.where(np.signbit(x), -res, res).astype(np.int64)
+
+
+def _int12_to_double(s) -> "object":
+    """Exact ``CAST(DECIMAL(_,12) AS DOUBLE)`` of int64 fixed-point
+    sums (units of 1e-12): for |s| < 2⁵³ the float64 image of ``s`` is
+    exact and IEEE division by the exactly-representable 1e12 is the
+    correctly-rounded quotient — precisely ``BigDecimal.doubleValue``;
+    larger sums (none seen in practice — they need |adot| > 9 000) go
+    through exact Decimal scaling."""
+    import numpy as np
+
+    out = s.astype(np.float64)
+    big = np.abs(s) >= (1 << 53)
+    out /= 1e12
+    if big.any():
+        from decimal import Decimal
+
+        for i in np.nonzero(big)[0]:
+            out[i] = float(Decimal(int(s[i])).scaleb(-12))
+    return out
+
 
 def _wide_codes(rows: DataFrame, codebook: DataFrame, m: int,
                 n_rows: int | None = None) -> DataFrame:
@@ -980,6 +1067,9 @@ def extend_ivfpq_index(
         st["has_tail"] = True  # probes must union the tail from now on
     else:
         changed = [table, _codes_table(table)]
+        # base code count grew — the Arrow-dispatch estimate must not
+        # go stale across many legacy-layout appends
+        st.pop("n_codes", None)
     for t in changed + [_ids_table(table)]:
         spark.catalog.refreshTable(t)
     return added
@@ -994,6 +1084,7 @@ def ivfpq_probe(
     shortlist: int = 30,
     include_score: bool = False,
     rerank: bool = True,
+    adc_impl: str = "auto",
 ) -> DataFrame:
     """Probe-only IVF-PQ search: (query_id, neighbor_id, rank) — no
     training, no corpus encode; every corpus-side input is a persisted
@@ -1039,7 +1130,25 @@ def ivfpq_probe(
     append whole duplicate rows there), or the index predates the
     duplicate-free-base guarantee (``meta.base_distinct`` — see
     ``build_ivfpq_index``/``fold_ivfpq_tail``); a fresh never-extended
-    index probes guard-free, two shuffles lighter."""
+    index probes guard-free, two shuffles lighter.
+
+    ``adc_impl`` selects the candidate-scoring engine on the wide
+    layout: ``"expr"`` is the decimal expression fold (every pinned
+    oracle's path at fixture scale), ``"arrow"`` the int64 fixed-point
+    twin (round 10, VERDICT r9 #1) — the per-query LUT is quantized
+    ONCE to 1e-12 units with Spark's exact double→DECIMAL HALF_UP
+    semantics (``_dec12_quantize``), candidates carry only (query_id,
+    vec_id, codes) into an Arrow ``mapInPandas`` gather-and-sum (int64
+    addition is the same exact fixed-point arithmetic as DECIMAL
+    addition), and the sum converts to DOUBLE with the decimal cast's
+    exact semantics (``_int12_to_double``) — the two engines are
+    BIT-IDENTICAL (locked by tests/test_ivfpq_index.py), so ``"auto"``
+    dispatches on estimated fold work alone (``ADC_ARROW_MIN_WORK``),
+    the same economics-only dispatch as the encode twin. The Arrow
+    path also splits the broadcast query side into hash chunks past
+    ``ADC_CHUNK_WORK`` so a skewed mega-cell's candidates spread over
+    parallel scan tasks instead of serializing through one
+    (VERDICT r9 #3)."""
     st = _probe_state(spark, table)
     m, n_buckets = st["m"], st["n_buckets"]
     has_tail = st["has_tail"]
@@ -1124,12 +1233,12 @@ def ivfpq_probe(
                 "struct(sub, code, pdot))), t -> t.pdot)"
             ).alias("lut")
         )
-        qbl = qb.join(lut_flat, "query_id")
+        # query-independent reconstruction-norm LUT (same flat
+        # (sub, code) order as ``lut``): |x̂|² = Σ_s |cvec_{s,c_s}|²
+        # — the denominator of the quantized cosine comes from the
+        # broadcast codebook, never the float table
+        nlut_flat = None
         if not rerank:
-            # query-independent reconstruction-norm LUT (same flat
-            # (sub, code) order as ``lut``): |x̂|² = Σ_s |cvec_{s,c_s}|²
-            # — the denominator of the quantized cosine comes from the
-            # broadcast codebook, never the float table
             nlut_flat = (
                 codebook.select(
                     "sub", "cid",
@@ -1145,67 +1254,217 @@ def ivfpq_probe(
                     ).alias("nlut")
                 )
             )
-            qbl = qbl.crossJoin(F.broadcast(nlut_flat))
-        # the merge must return the accumulator's exact type, and the
-        # sum type must never hit the precision-38 cap (Spark then
-        # REDUCES SCALE, rounding the 12th decimal away). A (32,12)
-        # accumulator + (30,12) addend adds exactly at (33,12); the
-        # cast back to (32,12) is lossless at these magnitudes —
-        # fixed-point addition is exact, so this equals the narrow
-        # layout's SUM(DECIMAL) bit-for-bit.
-        adot = (
-            f"CAST(aggregate(zip_with(codes, sequence(0, {m - 1}), "
-            f"(cd, s) -> element_at(lut, s * {kk} + cd + 1)), "
-            f"CAST(0 AS DECIMAL(32,12)), "
-            f"(acc, p) -> CAST(acc + CAST(p AS {_ACC}) AS DECIMAL(32,12)))"
-            " AS DOUBLE)"
-        )
-        # decimal accumulation like ``adot``: order-independent, so
-        # the DuckDB oracle's SUM(DECIMAL) over the same per-(sub,
-        # code) norms replays the reconstruction norm bit-for-bit
-        # (``ann_ivfpq_probe_adc``)
-        xq2 = (
-            f"CAST(aggregate(zip_with(codes, sequence(0, {m - 1}), "
-            f"(cd, s) -> element_at(nlut, s * {kk} + cd + 1)), "
-            f"CAST(0 AS DECIMAL(32,12)), "
-            f"(acc, p) -> CAST(acc + CAST(p AS {_ACC}) AS DECIMAL(32,12)))"
-            " AS DOUBLE)"
-        )
-        def _cand(src: DataFrame) -> DataFrame:
-            # broadcast cell join on the *partition* column → dynamic
-            # partition pruning at the base scan (asserted in
-            # tests/test_plans.py); the tail source is cycle-sized and
-            # scans whole
-            return (
-                src.join(F.broadcast(qbl),
-                         src["bucket"] == qbl["qbucket"])
-                .filter(F.col("vec_id") != F.col("query_id"))
+        # --- scoring-engine dispatch (see docstring): bit-identical
+        # paths, chosen on estimated fold elements = candidates × m
+        use_arrow = adc_impl == "arrow"
+        per_q = None
+        if adc_impl != "expr":
+            n_codes = st.get("n_codes")
+            if n_codes is None:
+                st["n_codes"] = n_codes = spark.table(
+                    _codes_table(table)
+                ).count()
+            per_q = max(
+                1, n_codes * max(1, nprobe) // max(1, n_buckets)
+            ) * m
+            if adc_impl == "auto":
+                if per_q >= ADC_ARROW_MIN_WORK:
+                    use_arrow = True
+                elif per_q * _ADC_ASSUMED_MAX_BATCH >= ADC_ARROW_MIN_WORK:
+                    # only worth a query count when a plausible batch
+                    # could cross the bar — fixture corpora skip it
+                    use_arrow = (
+                        queries.count() * per_q >= ADC_ARROW_MIN_WORK
+                    )
+        qmap = nl_arr = lut_rows = None
+        if use_arrow:
+            import numpy as np
+
+            lut_rows = lut_flat.collect()
+            try:
+                qmap, maxabs = {}, 0
+                for r in lut_rows:
+                    arr = _dec12_quantize(r["lut"])
+                    qmap[r["query_id"]] = arr
+                    if arr.size:
+                        maxabs = max(maxabs, int(np.abs(arr).max()))
+                if not rerank:
+                    nl_arr = _dec12_quantize(nlut_flat.first()["nlut"])
+                    if nl_arr.size:
+                        maxabs = max(maxabs, int(np.abs(nl_arr).max()))
+                # int64 headroom: the decimal expressions hold sums to
+                # 1e20, int64 to 9.2e18 fixed-point units — unreachable
+                # for cosine-scale partials, but fall back loudly-
+                # correctly rather than overflow silently
+                if maxabs * max(1, m) >= (1 << 62):
+                    use_arrow = False
+            except ValueError:  # non-finite LUT — decimal nulls apply
+                use_arrow = False
+        if use_arrow:
+            from functools import reduce
+
+            from pyspark.sql.types import (
+                DoubleType,
+                StructField,
+                StructType,
             )
 
-        cand = _cand(codes)
-        if has_tail:
-            # per-source join then union (not union-then-join): DPP is
-            # planned per scan, and a union under the join could lose
-            # the base side's pruning
-            cand = cand.unionByName(
-                _cand(spark.table(_tail_codes_table(table)))
+            # query-side hash chunks spread a skewed mega-cell's
+            # candidates over parallel scan legs (VERDICT r9 #3); the
+            # probed cell files re-scan per leg (~1 MB each — free)
+            # and the candidate UNION is identical, so downstream
+            # dedup/ranking (keyed on query_id) is unaffected
+            est = per_q * max(1, len(lut_rows))
+            chunks = min(ADC_MAX_CHUNKS, max(1, -(-est // ADC_CHUNK_WORK)))
+
+            def _cand_q(src: DataFrame, qleg: DataFrame) -> DataFrame:
+                # broadcast cell join on the *partition* column →
+                # dynamic partition pruning at the base scan
+                return (
+                    src.join(F.broadcast(qleg),
+                             src["bucket"] == qleg["qbucket"])
+                    .filter(F.col("vec_id") != F.col("query_id"))
+                )
+
+            tail_src = (
+                spark.table(_tail_codes_table(table)) if has_tail
+                else None
             )
-        adc = (
-            cand
-            .select(
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                F.expr(adot).alias("adot"),
-                # a vector lives in exactly one cell; carrying it lets
-                # the exact re-rank prune the float table's partitions
-                F.col("bucket").alias("nbucket"),
-                *(
-                    []
-                    if rerank
-                    else ["qn2", F.expr(xq2).alias("xq2")]
-                ),
+            legs = []
+            for c in range(chunks):
+                qleg = qb if chunks == 1 else qb.filter(
+                    F.pmod(F.hash("query_id"), F.lit(chunks)) == c
+                )
+                legs.append(_cand_q(codes, qleg))
+                if tail_src is not None:
+                    legs.append(_cand_q(tail_src, qleg))
+            cand = reduce(DataFrame.unionByName, legs)
+            # candidates stay scalar-width — no LUT rides the rows;
+            # the quantized LUTs travel once per executor as a Python
+            # broadcast instead of once per candidate row
+            cand = cand.select(
+                "query_id", "vec_id", "codes", "bucket",
+                *([] if rerank else ["qn2"]),
             )
-        )
+            bq = spark.sparkContext.broadcast(qmap)
+            bn = (
+                spark.sparkContext.broadcast(nl_arr)
+                if nl_arr is not None else None
+            )
+            out_fields = [
+                StructField("query_id",
+                            cand.schema["query_id"].dataType),
+                StructField("neighbor_id",
+                            cand.schema["vec_id"].dataType),
+                StructField("adot", DoubleType()),
+                StructField("nbucket", cand.schema["bucket"].dataType),
+            ]
+            if not rerank:
+                out_fields += [
+                    StructField("qn2", DoubleType()),
+                    StructField("xq2", DoubleType()),
+                ]
+            mm, kk_ = m, kk
+
+            def gen(batches):
+                import numpy as np
+                import pandas as pd
+
+                lm = bq.value
+                nl = bn.value if bn is not None else None
+                step = np.arange(mm, dtype=np.int64) * kk_
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    cm = np.stack(pdf["codes"].to_numpy()).astype(
+                        np.int64, copy=False
+                    )
+                    offs = cm + step
+                    qidx, uniq = pd.factorize(pdf["query_id"])
+                    L = np.stack([lm[q] for q in uniq])
+                    # (n, m) gather + exact int64 fixed-point sum = the
+                    # DECIMAL fold's arithmetic, vectorized
+                    sums = L[qidx[:, None], offs].sum(axis=1)
+                    out = pd.DataFrame({
+                        "query_id": pdf["query_id"].to_numpy(),
+                        "neighbor_id": pdf["vec_id"].to_numpy(),
+                        "adot": _int12_to_double(sums),
+                        "nbucket": pdf["bucket"].to_numpy(),
+                    })
+                    if nl is not None:
+                        out["qn2"] = pdf["qn2"].to_numpy()
+                        out["xq2"] = _int12_to_double(
+                            nl[offs].sum(axis=1)
+                        )
+                    yield out
+
+            adc = cand.mapInPandas(gen, StructType(out_fields))
+        else:
+            qbl = qb.join(lut_flat, "query_id")
+            if not rerank:
+                qbl = qbl.crossJoin(F.broadcast(nlut_flat))
+            # the merge must return the accumulator's exact type, and
+            # the sum type must never hit the precision-38 cap (Spark
+            # then REDUCES SCALE, rounding the 12th decimal away). A
+            # (32,12) accumulator + (30,12) addend adds exactly at
+            # (33,12); the cast back to (32,12) is lossless at these
+            # magnitudes — fixed-point addition is exact, so this
+            # equals the narrow layout's SUM(DECIMAL) bit-for-bit.
+            adot = (
+                f"CAST(aggregate(zip_with(codes, sequence(0, {m - 1}), "
+                f"(cd, s) -> element_at(lut, s * {kk} + cd + 1)), "
+                f"CAST(0 AS DECIMAL(32,12)), "
+                f"(acc, p) -> CAST(acc + CAST(p AS {_ACC}) "
+                "AS DECIMAL(32,12))) AS DOUBLE)"
+            )
+            # decimal accumulation like ``adot``: order-independent, so
+            # the DuckDB oracle's SUM(DECIMAL) over the same per-(sub,
+            # code) norms replays the reconstruction norm bit-for-bit
+            # (``ann_ivfpq_probe_adc``)
+            xq2 = (
+                f"CAST(aggregate(zip_with(codes, sequence(0, {m - 1}), "
+                f"(cd, s) -> element_at(nlut, s * {kk} + cd + 1)), "
+                f"CAST(0 AS DECIMAL(32,12)), "
+                f"(acc, p) -> CAST(acc + CAST(p AS {_ACC}) "
+                "AS DECIMAL(32,12))) AS DOUBLE)"
+            )
+
+            def _cand(src: DataFrame) -> DataFrame:
+                # broadcast cell join on the *partition* column →
+                # dynamic partition pruning at the base scan (asserted
+                # in tests/test_plans.py); the tail source is
+                # cycle-sized and scans whole
+                return (
+                    src.join(F.broadcast(qbl),
+                             src["bucket"] == qbl["qbucket"])
+                    .filter(F.col("vec_id") != F.col("query_id"))
+                )
+
+            cand = _cand(codes)
+            if has_tail:
+                # per-source join then union (not union-then-join):
+                # DPP is planned per scan, and a union under the join
+                # could lose the base side's pruning
+                cand = cand.unionByName(
+                    _cand(spark.table(_tail_codes_table(table)))
+                )
+            adc = (
+                cand
+                .select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.expr(adot).alias("adot"),
+                    # a vector lives in exactly one cell; carrying it
+                    # lets the exact re-rank prune the float table's
+                    # partitions
+                    F.col("bucket").alias("nbucket"),
+                    *(
+                        []
+                        if rerank
+                        else ["qn2", F.expr(xq2).alias("xq2")]
+                    ),
+                )
+            )
         if needs_guard:
             # replayed extend appends duplicate whole rows — within
             # the tail or across a compaction-crash fold window; a
