@@ -502,3 +502,32 @@ def test_webauth_session_expiry_and_tamper_unit():
     assert auth.validate_csrf(c)
     now[0] += 601
     assert not auth.validate_csrf(c)
+
+
+# -- embedding-gate cycle health (VERDICT r9 #6; ref Program.cs:906-949) ---
+
+
+def test_health_ingest_serves_gate_registry(rig):
+    from trignis_spark.streaming import ingest
+
+    rec = {
+        "epoch_id": 4, "at": 1.0, "accepted": 7, "near_dup": 2,
+        "timings": {"dedup": 0.1, "probe": 1.2, "write": 0.2,
+                    "extend": 0.4},
+        "precision": "adc", "adc_margin": 0.0056, "folded": 0,
+    }
+    ingest.INGEST_HEALTH["idx_prod"] = {"cycles": [rec], "last": rec}
+    try:
+        r = rig.client.get("/health/ingest")
+        assert r.status_code == 200
+        body = r.get_json()
+        assert body["gate_count"] == 1
+        gate = body["gates"]["idx_prod"]
+        assert gate["last"]["timings"]["probe"] == 1.2
+        assert gate["last"]["adc_margin"] == 0.0056
+        assert gate["cycles"] == [rec]
+    finally:
+        ingest.INGEST_HEALTH.pop("idx_prod", None)
+    # empty registry still serves a well-formed payload
+    r = rig.client.get("/health/ingest")
+    assert r.get_json()["gate_count"] == 0

@@ -201,7 +201,19 @@ def test_embedding_gate_rejects_near_dups_and_extends(spark, tmp_path):
         assert stats[-1].already_known == 1 and stats[-1].near_dup == 0
         assert set(stats[-1].timings) == {"dedup"}
         assert spark.read.parquet(accepted_path).count() == 1
+
+        # cycle-health registry (VERDICT r9 #6): every cycle lands in
+        # INGEST_HEALTH for api.py's GET /health/ingest — last record
+        # mirrors the stats entry, history is bounded
+        entry = ingest.INGEST_HEALTH["emb_gate_idx"]
+        assert len(entry["cycles"]) == 3 <= ingest.INGEST_HISTORY
+        last = entry["last"]
+        assert last["epoch_id"] == 1 and last["accepted"] == 0
+        assert last["timings"] == stats[-1].timings
+        assert last["precision"] == "exact" and last["folded"] == 0
+        assert last["arrived"] == 1  # stats opt-in adds the split
     finally:
+        ingest.INGEST_HEALTH.pop("emb_gate_idx", None)
         spark.sql("DROP TABLE IF EXISTS emb_gate_idx")
         spark.sql("DROP TABLE IF EXISTS emb_gate_idx_ids")
 

@@ -301,6 +301,29 @@ def create_app(
             }
         )
 
+    @app.get("/health/ingest")
+    def health_ingest():
+        # embedding-gate cycle health (VERDICT r9 #6): per-index stage
+        # timings / accept counts / gated margin / folds, the analog of
+        # the reference's per-object cycle health (Program.cs:906-949)
+        from trignis_spark.streaming.ingest import INGEST_HEALTH
+
+        return jsonify(
+            {
+                "timestamp": _ts(
+                    dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+                ),
+                "gate_count": len(INGEST_HEALTH),
+                "gates": {
+                    name: {
+                        "last": entry.get("last"),
+                        "cycles": entry.get("cycles", []),
+                    }
+                    for name, entry in INGEST_HEALTH.items()
+                },
+            }
+        )
+
     def _state_payload(env_name: str | None):
         # the stored-procedure column of the reference's state surface;
         # our extraction source is the generated read (table_name) or the

