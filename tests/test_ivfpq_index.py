@@ -847,3 +847,25 @@ def test_adc_arrow_probe_bit_identical(spark, index):
         assert sorted(tuple(r) for r in chunked) == res
     finally:
         ipq.ADC_CHUNK_WORK, ipq.ADC_MAX_CHUNKS = old_cw, old_mc
+
+
+def test_adc_arrow_probe_plan_keeps_dpp_and_broadcast(spark, index):
+    """The Arrow scoring path must keep the probe's scale shape: the
+    cell join stays broadcast (no cartesian/sort-merge against the
+    codes table) and the partition-column join still plans dynamic
+    partition pruning at the base scan — the twin changes the fold
+    engine, never the candidate I/O."""
+    emb = load(spark, SF, "embeddings")
+    ipq.build_ivfpq_index(spark, emb, index, m=M, k=K)
+    queries = emb.filter(F.expr(QUERY_PRED))
+    plan = (
+        ipq.ivfpq_probe(spark, index, queries, k=10, nprobe=2,
+                        adc_impl="arrow")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "dynamicpruning" in plan.lower()
+    assert "mapInPandas".lower() in plan.lower()
