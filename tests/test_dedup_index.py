@@ -147,10 +147,14 @@ def test_prefix_index_excludes_hot_shingles(spark, pindex):
     )
     probe_tbl = spark.table(pindex)
     full_tbl = spark.table(pindex + "_full")
-    # pruned probe table is much smaller than the verify table
-    assert probe_tbl.count() * 2 < full_tbl.count()
+    # pruned probe table holds far fewer shingle postings than the
+    # corpus's total shingle volume (the verify table stores one
+    # doc-array row per doc since round 10 — compare volumes, not rows)
+    total_shingles = full_tbl.agg(F.sum("sz")).first()[0]
+    assert probe_tbl.count() * 2 < total_shingles
     # the hottest shingle (df == n_docs) is absent from the probe table
-    hot = (full_tbl.groupBy("shingle").count()
+    hot = (full_tbl.select(F.explode("shs").alias("shingle"))
+           .groupBy("shingle").count()
            .orderBy(F.desc("count")).first())
     assert hot["count"] == 20
     assert probe_tbl.filter(F.col("shingle") == hot["shingle"]).count() == 0
@@ -340,3 +344,45 @@ def test_attach_prefix_index_restores_probes(spark, pindex):
             dst = os.path.join(wh, twin + suffix)
             if os.path.isdir(dst):
                 shutil.rmtree(dst)
+
+
+def test_prefix_probe_dispatches_on_legacy_row_verify_layout(
+    spark, pindex
+):
+    """Pre-round-10 persisted indexes store the verify table as one
+    row per (doc, shingle); round-10 builds store one doc-array row
+    per doc. Probe and extend dispatch on the stored schema, and the
+    two layouts must return identical pairs."""
+    rows = [(i, f"alpha beta gamma doc {i} tail words here") for i in
+            range(30)] + [(100, "alpha beta gamma doc 3 tail words here")]
+    docs = _frame(spark, rows)
+    di.build_prefix_index(spark, docs, pindex, threshold=0.8)
+    batch = _frame(spark, [(500, "alpha beta gamma doc 3 tail words here")])
+    want = {(r["batch_doc"], r["corpus_doc"], r["jaccard"])
+            for r in di.probe_prefix_index(spark, pindex, batch,
+                                           0.8).collect()}
+    assert want
+    # rewrite the verify table in the legacy row-level layout
+    meta = di._meta_row(spark, pindex)
+    legacy = di._sized_shingles(docs, meta.n).withColumn(
+        "pb", di._pb(parts=meta.n_parts)
+    )
+    spark.sql(f"DROP TABLE {di._full_table(pindex)}")
+    (
+        legacy.repartition("pb").write.mode("overwrite")
+        .partitionBy("pb").format("parquet")
+        .saveAsTable(di._full_table(pindex))
+    )
+    got = {(r["batch_doc"], r["corpus_doc"], r["jaccard"])
+           for r in di.probe_prefix_index(spark, pindex, batch,
+                                          0.8).collect()}
+    assert got == want
+    # extend follows the STORED layout: appended rows stay row-level
+    di.extend_prefix_index(
+        spark, _frame(spark, [(600, "totally different new words "
+                                    "number six hundred")]), pindex)
+    assert "shingle" in spark.table(di._full_table(pindex)).columns
+    got2 = {(r["batch_doc"], r["corpus_doc"], r["jaccard"])
+            for r in di.probe_prefix_index(spark, pindex, batch,
+                                           0.8).collect()}
+    assert got2 == want

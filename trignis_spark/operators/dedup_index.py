@@ -269,6 +269,30 @@ def _pb(col: str = "doc_id", parts: int = VERIFY_PARTS) -> F.Column:
     return F.pmod(F.xxhash64(F.col(col)), F.lit(parts)).cast("int")
 
 
+def _doc_shingles(docs: DataFrame, n: int,
+                  n_parts: int = VERIFY_PARTS) -> DataFrame:
+    """(doc_id, shs ARRAY<BIGINT> sorted, sz, pb) — the verify table's
+    DOC-LEVEL layout (round 10). The row-level layout scanned one row
+    per (doc, shingle): at the 5 M-doc decade leg that was a 260 M-row
+    scan through two joins and a countDistinct aggregation per probe
+    (~16 s of the 29 s probe — the decade leg's saturation point),
+    because a realistic candidate set (~3 500 docs) hashes across all
+    64 ``pb`` partitions and DPP prunes nothing. One array row per doc
+    is 52× fewer rows, intersections compute INSIDE a projection
+    (``array_intersect`` against the broadcast batch arrays — no
+    explode, no aggregation shuffle), and the only corpus-sized work
+    left is the narrow doc-row scan."""
+    sh = shingle_table(docs, n)
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list("shingle")).alias("shs"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .withColumn("pb", _pb(parts=n_parts))
+    )
+
+
 def _prefix_rows(docs: DataFrame, n: int, threshold: float) -> DataFrame:
     """(shingle, doc_id, sz) for each doc's rarest floor((1-t)sz)+1
     shingles under this batch's df order."""
@@ -319,7 +343,7 @@ def build_prefix_index(
         .format("parquet")
         .saveAsTable(table)
     )
-    full = _sized_shingles(docs, n).withColumn("pb", _pb(parts=n_parts))
+    full = _doc_shingles(docs, n, n_parts)
     (
         full.repartition("pb")
         .write.mode("overwrite")
@@ -329,7 +353,6 @@ def build_prefix_index(
     )
     (
         full.select("doc_id", "sz")
-        .distinct()
         .write.mode("overwrite")
         .bucketBy(n_buckets, "doc_id")
         .format("parquet")
@@ -401,11 +424,16 @@ def probe_prefix_index(
     Phase 1 (candidates): broadcast batch shingles ⋈ the pruned probe
     table — hot shingles are absent from the index by construction, so
     candidate volume tracks rare-shingle collisions only. Phase 2
-    (verify): broadcast candidates ⋈ the verify table with the
-    partition key derived from the candidate doc ids, so dynamic
-    partition pruning reads only the candidate docs' partitions; the
-    intersection count and denormalized sizes complete the exact
-    Jaccard. Both phases are map-side on the corpus.
+    (verify): broadcast candidates (carrying the batch docs' shingle
+    ARRAYS) ⋈ the doc-array verify table — one narrow row per corpus
+    doc, the exact intersection computed by ``array_intersect`` inside
+    the projection (round 10; see ``_doc_shingles`` — the row-level
+    layout re-scanned 52× the rows and paid a countDistinct shuffle
+    per probe, the 5 M-doc decade leg's saturation point). The
+    partition key derived from candidate doc ids still enables dynamic
+    partition pruning when the candidate set is small. Both phases are
+    map-side on the corpus; pre-round-10 persisted indexes keep their
+    row-level verify (dispatched on the stored schema).
 
     **Broadcast-overflow fallback** (VERDICT r5 #3): a batch that
     outgrows broadcast (a Full initial resync routed through ``probe``
@@ -457,6 +485,45 @@ def probe_prefix_index(
     cand_pb = cand.withColumn(
         "pb", _pb("corpus_doc", meta.n_parts)
     )
+    if "shs" in full.columns:
+        # doc-array layout (round 10 — see ``_doc_shingles``): the
+        # batch's shingle ARRAYS ride the broadcast candidate rows, so
+        # the verify is ONE narrow doc-row scan joined to the
+        # candidates with the intersection computed inside the
+        # projection — no per-shingle explode, no aggregation
+        barr = bsh.groupBy("batch_doc").agg(
+            F.array_sort(F.collect_list("shingle")).alias("bshs"),
+            F.count(F.lit(1)).alias("szb"),
+        )
+        pairs = (
+            full.join(
+                _b(cand_pb.join(barr, "batch_doc")),
+                (full.doc_id == cand_pb.corpus_doc)
+                & (full.pb == cand_pb.pb),
+            )
+            .select(
+                "batch_doc",
+                "corpus_doc",
+                F.size(F.array_intersect("shs", "bshs")).alias("isz"),
+                F.col("sz").alias("szc"),
+                "szb",
+            )
+            # replayed crash-window extends can duplicate whole doc
+            # rows; dedup AFTER the projection so the guard shuffle
+            # carries scalars, not shingle arrays (duplicate rows hold
+            # identical arrays ⇒ identical isz — which survives is
+            # immaterial; same pattern as ivfpq_probe's guard)
+            .dropDuplicates(["batch_doc", "corpus_doc"])
+        )
+        return pairs.select(
+            "batch_doc",
+            "corpus_doc",
+            (
+                F.col("isz").cast("double")
+                / (F.col("szb") + F.col("szc") - F.col("isz"))
+            ).alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
+    # legacy row-level verify table (pre-round-10 persisted indexes)
     inter = (
         full.join(
             _b(cand_pb),
@@ -512,9 +579,16 @@ def extend_prefix_index(
         .format("parquet")
         .saveAsTable(table)
     )
-    full = _sized_shingles(fresh, meta.n).withColumn(
-        "pb", _pb(parts=meta.n_parts)
-    )
+    # follow the stored verify layout: doc-array (round 10) or legacy
+    # row-level — an append must never mix schemas in one table
+    if "shs" in spark.table(_full_table(table)).columns:
+        full = _doc_shingles(fresh, meta.n, meta.n_parts)
+        sizes = full.select("doc_id", "sz")
+    else:
+        full = _sized_shingles(fresh, meta.n).withColumn(
+            "pb", _pb(parts=meta.n_parts)
+        )
+        sizes = full.select("doc_id", "sz").distinct()
     (
         full.repartition("pb")
         .write.mode("append")
@@ -523,8 +597,7 @@ def extend_prefix_index(
         .saveAsTable(_full_table(table))
     )
     (
-        full.select("doc_id", "sz")
-        .distinct()
+        sizes
         .write.mode("append")
         .bucketBy(n_buckets, "doc_id")
         .format("parquet")
