@@ -1971,6 +1971,40 @@ def ann_ivfpq_probe_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivfpq_probe_adc_arrow", _IVFPQ_ADC_SQL)
+def ann_ivfpq_probe_adc_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_ivfpq_probe_adc` with the candidate scoring FORCED onto
+    the Arrow int64 fixed-point twin (round 10 — `ivfpq_probe(...,
+    adc_impl="arrow")`): same oracle SQL, so the driver's per-round
+    gate re-proves the twin's bit-identity claim (quantize-once
+    HALF_UP LUTs, int64 gather-and-sum, exact decimal→double
+    conversion) against DuckDB's independent decimal arithmetic — the
+    auto dispatch keeps fixture-scale probes on the expression fold,
+    so without this row the at-scale engine would be pytest-gated
+    only."""
+    import hashlib
+
+    from trignis_spark.operators import ivfpq_index as ipq
+
+    emb = load(spark, sf_dir, "embeddings")
+    name = "ivfpq_q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if not ipq.index_exists(spark, name):
+        ipq.build_ivfpq_index(
+            spark, emb, name, m=_PQ_M, k=_PQ_K, n_buckets=16, iters=2
+        )
+    queries = emb.filter("vec_id % 100 = 0")
+    topk = ipq.ivfpq_probe(
+        spark, name, queries, k=10, nprobe=1, include_score=True,
+        rerank=False, adc_impl="arrow",
+    )
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 9).alias("adc_cos"),
+    )
+
+
 @register(
     "corpus_mix_weights",
     """
