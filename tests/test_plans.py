@@ -271,7 +271,17 @@ def test_prefix_index_probe_uses_dynamic_partition_pruning(spark):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             probe.explain("formatted")
-        assert "dynamicpruning" in buf.getvalue().lower()
+        plan = buf.getvalue().lower()
+        assert "dynamicpruning" in plan
+        # round-10 verify shape: the doc-array layout computes the
+        # exact intersection inside a projection off ONE broadcast
+        # join — a sort-merge join against the corpus table or a
+        # countDistinct aggregation here would mean the probe
+        # regressed to corpus-shaped verify work (the 5 M-doc decade
+        # leg's 29 s saturation)
+        assert "array_intersect" in plan
+        assert "sortmergejoin" not in plan
+        assert "count(distinct" not in plan
     finally:
         for s in ("", "_full", "_docs", "_meta"):
             spark.sql(f"DROP TABLE IF EXISTS plans_pidx{s}")
