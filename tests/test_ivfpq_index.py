@@ -869,3 +869,30 @@ def test_adc_arrow_probe_plan_keeps_dpp_and_broadcast(spark, index):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "dynamicpruning" in plan.lower()
     assert "mapInPandas".lower() in plan.lower()
+
+
+def test_adc_arrow_falls_back_when_lut_collect_exceeds_budget(
+    spark, index
+):
+    """The Arrow path driver-collects the per-query LUTs; past
+    ``ADC_LUT_BROADCAST_BYTES`` (a Full-resync-sized query frame) it
+    must fall back to the expression fold — which ships LUTs as a
+    Spark broadcast with its own loud limit — instead of OOMing the
+    driver. Results are identical either way."""
+    emb = load(spark, SF, "embeddings")
+    ipq.build_ivfpq_index(spark, emb, index, m=M, k=K, n_buckets=16)
+    queries = emb.filter(F.expr(QUERY_PRED))
+    want = sorted(
+        tuple(r) for r in ipq.ivfpq_probe(
+            spark, index, queries, k=5, adc_impl="expr").collect()
+    )
+    old = ipq.ADC_LUT_BROADCAST_BYTES
+    ipq.ADC_LUT_BROADCAST_BYTES = 1  # any batch exceeds it
+    try:
+        got = sorted(
+            tuple(r) for r in ipq.ivfpq_probe(
+                spark, index, queries, k=5, adc_impl="arrow").collect()
+        )
+    finally:
+        ipq.ADC_LUT_BROADCAST_BYTES = old
+    assert got == want and got

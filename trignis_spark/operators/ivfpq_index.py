@@ -322,6 +322,15 @@ ADC_MAX_CHUNKS = 32
 #: count and stays on the expression path (tiny fixture corpora)
 _ADC_ASSUMED_MAX_BATCH = 100_000
 
+#: driver-memory budget for the Arrow path's collected+quantized LUTs
+#: (n_queries × m × kk × 8 bytes). The expression path ships LUTs as a
+#: Spark broadcast (8 GB hard limit, fails loudly); the Arrow path
+#: driver-COLLECTS them, so a Full-resync-sized query frame must fall
+#: back to the expression fold instead of silently OOMing the driver.
+#: 512 MiB ≈ 1 M queries at the default m=8/k=64 layout — far past any
+#: poll batch.
+ADC_LUT_BROADCAST_BYTES = 512 * 1024 * 1024
+
 
 def _dec12_quantize(x) -> "object":
     """int64 fixed-point image (units of 1e-12) of Spark's
@@ -1257,7 +1266,7 @@ def ivfpq_probe(
         # --- scoring-engine dispatch (see docstring): bit-identical
         # paths, chosen on estimated fold elements = candidates × m
         use_arrow = adc_impl == "arrow"
-        per_q = None
+        per_q = nq = None
         if adc_impl != "expr":
             n_codes = st.get("n_codes")
             if n_codes is None:
@@ -1273,9 +1282,17 @@ def ivfpq_probe(
                 elif per_q * _ADC_ASSUMED_MAX_BATCH >= ADC_ARROW_MIN_WORK:
                     # only worth a query count when a plausible batch
                     # could cross the bar — fixture corpora skip it
-                    use_arrow = (
-                        queries.count() * per_q >= ADC_ARROW_MIN_WORK
-                    )
+                    nq = queries.count()
+                    use_arrow = nq * per_q >= ADC_ARROW_MIN_WORK
+        if use_arrow:
+            # the Arrow path driver-collects the LUTs; a Full-resync-
+            # sized query frame must take the expression fold's Spark
+            # broadcast (which fails loudly at its own limit) instead
+            # of silently OOMing the driver
+            if nq is None:
+                nq = queries.count()
+            if nq * m * kk * 8 > ADC_LUT_BROADCAST_BYTES:
+                use_arrow = False
         qmap = nl_arr = lut_rows = None
         if use_arrow:
             import numpy as np
