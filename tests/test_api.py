@@ -531,3 +531,59 @@ def test_health_ingest_serves_gate_registry(rig):
     # empty registry still serves a well-formed payload
     r = rig.client.get("/health/ingest")
     assert r.get_json()["gate_count"] == 0
+
+
+def test_health_ingest_survives_driver_restart(rig, tmp_path):
+    """VERDICT r10 #3: the gate's cycle health must outlive the driver
+    the way the reference's SQLite-backed surface does
+    (``Program.cs:906-949``). Kill/reattach simulation: a gate persists
+    its entry, the process-memory registry dies with the driver, and a
+    FRESH app bound to the same health root still serves the last-N
+    cycles."""
+    from trignis_spark.api import create_app
+    from trignis_spark.streaming import ingest
+
+    root = str(tmp_path / "health")
+    import os
+
+    os.makedirs(root)
+    cycles = [
+        {"epoch_id": i, "at": float(i), "accepted": i, "near_dup": 0,
+         "timings": {"probe": 0.5 + i}, "precision": "exact",
+         "adc_margin": None, "folded": 0}
+        for i in range(3)
+    ]
+    with ingest._HEALTH_LOCK:
+        ingest._persist_ingest_health(
+            root, "idx_prod", {"last": cycles[-1], "cycles": cycles}
+        )
+
+    # --- driver "restart": registry empty, new app over the same root
+    assert "idx_prod" not in ingest.INGEST_HEALTH
+    app = create_app(
+        rig.state, rig.dlq, rig.pauses, ingest_health_root=root
+    ).test_client()
+    body = app.get("/health/ingest").get_json()
+    assert body["gate_count"] == 1
+    gate = body["gates"]["idx_prod"]
+    assert [c["epoch_id"] for c in gate["cycles"]] == [0, 1, 2]
+    assert gate["last"]["timings"]["probe"] == 2.5
+
+    # a LIVE gate with the same name is strictly newer — it wins
+    live = {"epoch_id": 9, "at": 9.0, "accepted": 1, "near_dup": 0,
+            "timings": {"probe": 0.1}, "precision": "exact",
+            "adc_margin": None, "folded": 0}
+    ingest.INGEST_HEALTH["idx_prod"] = {"cycles": [live], "last": live}
+    try:
+        gate = app.get("/health/ingest").get_json()["gates"]["idx_prod"]
+        assert gate["last"]["epoch_id"] == 9
+    finally:
+        ingest.INGEST_HEALTH.pop("idx_prod", None)
+
+    # restore_ingest_health: merge back into a fresh registry
+    assert ingest.restore_ingest_health(root) == 1
+    try:
+        assert ingest.INGEST_HEALTH["idx_prod"]["last"]["epoch_id"] == 2
+        assert ingest.restore_ingest_health(root) == 0  # live wins
+    finally:
+        ingest.INGEST_HEALTH.pop("idx_prod", None)

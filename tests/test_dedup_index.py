@@ -197,13 +197,15 @@ def _replay_duplicate_rows(spark, table, bucket_col, sort=False,
     a batch whose _docs-sidecar write never landed (ADVICE r5)."""
     rows = spark.table(table)
     w = rows.write.mode("append").format("parquet")
-    if partitioned:
+    if partitioned and partitioned in rows.columns:
         w = rows.repartition(partitioned).write.mode("append") \
             .format("parquet").partitionBy(partitioned)
-    else:
+    elif bucket_col is not None:
         w = w.bucketBy(di.DEFAULT_BUCKETS, bucket_col)
         if sort:
             w = w.sortBy(bucket_col)
+    # else: v4 doc-sorted verify table — a plain append IS the crash
+    # shape (a replayed extend appends an identical sorted run)
     w.saveAsTable(table)
     spark.catalog.refreshTable(table)
 
@@ -383,6 +385,47 @@ def test_prefix_probe_dispatches_on_legacy_row_verify_layout(
                                     "number six hundred")]), pindex)
     assert "shingle" in spark.table(di._full_table(pindex)).columns
     got2 = {(r["batch_doc"], r["corpus_doc"], r["jaccard"])
+            for r in di.probe_prefix_index(spark, pindex, batch,
+                                           0.8).collect()}
+    assert got2 == want
+
+
+def test_prefix_probe_dispatches_on_v3_partitioned_doc_array_layout(
+    spark, pindex
+):
+    """Round-10 persisted indexes store the doc-array verify table
+    hash-partitioned on ``pb``; round-11 builds store it doc_id-sorted
+    with no ``pb``. Probe and extend dispatch on the stored schema and
+    the layouts must return identical pairs."""
+    rows = [(i, f"alpha beta gamma doc {i} tail words here") for i in
+            range(30)] + [(100, "alpha beta gamma doc 3 tail words here")]
+    docs = _frame(spark, rows)
+    di.build_prefix_index(spark, docs, pindex, threshold=0.8)
+    assert "pb" not in spark.table(di._full_table(pindex)).columns  # v4
+    batch = _frame(spark, [(500, "alpha beta gamma doc 3 tail words here")])
+    want = {(r["batch_doc"], r["corpus_doc"], round(r["jaccard"], 12))
+            for r in di.probe_prefix_index(spark, pindex, batch,
+                                           0.8).collect()}
+    assert want
+    # rewrite the verify table in the v3 pb-partitioned doc-array layout
+    meta = di._meta_row(spark, pindex)
+    v3 = di._doc_shingles(docs, meta.n, meta.n_parts)
+    spark.sql(f"DROP TABLE {di._full_table(pindex)}")
+    (
+        v3.repartition("pb").write.mode("overwrite")
+        .partitionBy("pb").format("parquet")
+        .saveAsTable(di._full_table(pindex))
+    )
+    got = {(r["batch_doc"], r["corpus_doc"], round(r["jaccard"], 12))
+           for r in di.probe_prefix_index(spark, pindex, batch,
+                                          0.8).collect()}
+    assert got == want
+    # extend follows the STORED layout: appended rows keep pb
+    di.extend_prefix_index(
+        spark, _frame(spark, [(600, "totally different new words "
+                                    "number six hundred")]), pindex)
+    assert "pb" in spark.table(di._full_table(pindex)).columns
+    got2 = {(r["batch_doc"], r["corpus_doc"], round(r["jaccard"], 12))
             for r in di.probe_prefix_index(spark, pindex, batch,
                                            0.8).collect()}
     assert got2 == want

@@ -166,9 +166,11 @@ def test_embedding_gate_rejects_near_dups_and_extends(spark, tmp_path):
         ai.build_ann_index(spark, corpus, "emb_gate_idx", n_buckets=4)
         accepted_path = str(tmp_path / "acc")
         stats: list[ingest.EmbeddingIngestStats] = []
+        health_root = str(tmp_path / "health")
         fn = ingest.make_embedding_ingest_fn(
             spark, "emb_gate_idx", accepted_path,
             cos_threshold=0.99, nprobe=1, n_buckets=4, stats=stats,
+            health_root=health_root,
         )
         batch = vframe([
             (10, [2.0, 1.0, -0.5, 4.0]),    # scaled copy of vec 1: cos=1
@@ -212,6 +214,14 @@ def test_embedding_gate_rejects_near_dups_and_extends(spark, tmp_path):
         assert last["timings"] == stats[-1].timings
         assert last["precision"] == "exact" and last["folded"] == 0
         assert last["arrived"] == 1  # stats opt-in adds the split
+        # restart survival (VERDICT r10 #3): the same cycles came back
+        # from the atomic health store after the registry "dies"
+        persisted = ingest.load_ingest_health(health_root)["emb_gate_idx"]
+        assert persisted["last"]["epoch_id"] == 1
+        assert len(persisted["cycles"]) == 3
+        ingest.INGEST_HEALTH.pop("emb_gate_idx", None)
+        assert ingest.restore_ingest_health(health_root) == 1
+        assert ingest.INGEST_HEALTH["emb_gate_idx"]["last"]["epoch_id"] == 1
     finally:
         ingest.INGEST_HEALTH.pop("emb_gate_idx", None)
         spark.sql("DROP TABLE IF EXISTS emb_gate_idx")

@@ -217,3 +217,101 @@ def test_max_versions_per_trigger_governs_batch_size(spark, tmp_path):
     assert parts
     assert fresh._last_end == 60  # anchored to the replanned start
     assert fresh.latestOffset()["version"] == 100  # 60 + 40 cap
+
+
+def test_feed_listing_skips_staging_and_half_written_files(registered, tmp_path):
+    spark = registered
+    """Mid-write immunity by construction (VERDICT r10): a concurrent
+    Spark append holds part files under ``_temporary``/
+    ``.spark-staging``; a Python producer holds a growing ``.tmp``; a
+    just-created file is zero-length. None may reach the footer
+    reader."""
+    import os
+
+    from trignis_spark.sources.microbatch import _list_parquet_files
+
+    path = str(tmp_path / "outbox")
+    _write_wave(spark, path, start=1, n=5)
+    committed = _list_parquet_files(path)
+    assert committed and all(p.endswith(".parquet") for p in committed)
+
+    # simulate every in-progress shape a reader can race against
+    staging = os.path.join(path, "_temporary", "0")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-0000.parquet"), "wb") as f:
+        f.write(b"PAR1garbage-half-written")
+    hidden = os.path.join(path, ".spark-staging-abc")
+    os.makedirs(hidden)
+    with open(os.path.join(hidden, "part-0001.parquet"), "wb") as f:
+        f.write(b"PAR1")
+    with open(os.path.join(path, ".batch-x.parquet.tmp"), "wb") as f:
+        f.write(b"PAR1partial")
+    open(os.path.join(path, "batch-y.parquet"), "wb").close()  # 0 bytes
+
+    assert _list_parquet_files(path) == committed
+    # and the source still reads the committed rows cleanly
+    df = spark.read.format("trignis_outbox").option("path", path).load()
+    assert df.count() == 5
+
+
+def test_append_outbox_files_is_atomic_under_concurrent_scans(spark, tmp_path):
+    """IO-hammer stress: a producer thread appends batches through the
+    atomic helper while the reader's probe/scan path runs in a loop —
+    no ``Invalid column metadata`` is possible by construction, and
+    every observed count is a committed prefix."""
+    import threading
+
+    import pyarrow as pa
+
+    from trignis_spark.sources.microbatch import _OutboxStreamReader, _scan_table
+    from trignis_spark.sources.parquet_outbox import append_outbox_files
+
+    path = str(tmp_path / "outbox")
+    _write_wave(spark, path, start=1, n=2)
+    schema = spark.read.parquet(path).schema
+
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def producer():
+        i = 10
+        try:
+            # bounded: enough churn to race every scan below, without
+            # flooding the directory into quadratic listing cost
+            while not stop.is_set() and i < 160:
+                append_outbox_files(
+                    pa.table(
+                        {
+                            "version": pa.array([i], pa.int64()),
+                            "xact_id": pa.array([i], pa.int64()),
+                            "operation": pa.array(["I"]),
+                            "user_key": pa.array([i], pa.int64()),
+                            "changed": pa.array([["value"]]),
+                            "ts": pa.array(
+                                [dt.datetime(2024, 1, 1)],
+                                pa.timestamp("us"),
+                            ),
+                            "value": pa.array([1.0]),
+                            "props": pa.array(["{}"]),
+                        }
+                    ),
+                    path,
+                )
+                i += 1
+        except BaseException as e:  # surfaced to the assert below
+            errors.append(e)
+
+    t = threading.Thread(target=producer)
+    t.start()
+    try:
+        reader = _OutboxStreamReader(schema, {"path": path})
+        last = 0
+        for _ in range(25):
+            tbl = _scan_table(path, columns=["version"])
+            assert tbl.num_rows >= last  # committed prefixes only
+            last = tbl.num_rows
+            assert reader.latestOffset()["version"] >= 2
+    finally:
+        stop.set()
+        t.join()
+    assert not errors

@@ -853,7 +853,22 @@ def test_bucket_expr_dims_literal_matches_dynamic(spark):
                 ),
             )
             assert got.filter("dyn != lit").count() == 0
-    # dims=None and dims<=0 keep the dynamic form
-    assert "size(" in bucket_expr("v", 16)
-    assert "size(" in bucket_expr("v", 16, dims=0)
-    assert "size(" not in bucket_expr("v", 16, dims=64)
+    # dims=None and dims<=0 keep the dynamic form (positions computed
+    # from size(v) per bit); the literal form's POSITIONS are folded —
+    # its only size() is the width guard, never a position division
+    assert "div" in bucket_expr("v", 16)
+    assert "div" in bucket_expr("v", 16, dims=0)
+    assert "div" not in bucket_expr("v", 16, dims=64)
+    assert "raise_error" in bucket_expr("v", 16, dims=64)
+
+    # width guard (ADVICE r10): a corpus whose width disagrees with the
+    # bound literal must fail loudly, not bucket by wrong positions
+    import pytest
+
+    mixed = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 65)], "vec_id long, v array<double>"
+    )
+    with pytest.raises(Exception, match="bucket_expr: vector width"):
+        mixed.select(
+            F.expr(bucket_expr("v", 16, dims=64)).alias("b")
+        ).collect()

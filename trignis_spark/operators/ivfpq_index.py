@@ -1266,7 +1266,12 @@ def ivfpq_probe(
         # --- scoring-engine dispatch (see docstring): bit-identical
         # paths, chosen on estimated fold elements = candidates × m
         use_arrow = adc_impl == "arrow"
-        per_q = nq = None
+        per_q = nq_cap = None
+        # LUT driver-collect budget, in query rows (see
+        # ADC_LUT_BROADCAST_BYTES): past this the Arrow path would
+        # OOM the driver — fall back to the expression fold's Spark
+        # broadcast, which fails loudly at its own limit
+        budget_rows = ADC_LUT_BROADCAST_BYTES // (m * kk * 8)
         if adc_impl != "expr":
             n_codes = st.get("n_codes")
             if n_codes is None:
@@ -1280,18 +1285,24 @@ def ivfpq_probe(
                 if per_q >= ADC_ARROW_MIN_WORK:
                     use_arrow = True
                 elif per_q * _ADC_ASSUMED_MAX_BATCH >= ADC_ARROW_MIN_WORK:
-                    # only worth a query count when a plausible batch
-                    # could cross the bar — fixture corpora skip it
-                    nq = queries.count()
-                    use_arrow = nq * per_q >= ADC_ARROW_MIN_WORK
+                    # LocalLimit-bounded row probe, never a full
+                    # count: this sits on the poll hot path and a
+                    # count() re-executes the caller's whole query
+                    # plan once per probe (ADVICE r10 — the same
+                    # fixed per-cycle overhead class VERDICT r8 #1
+                    # removed). Capping at max(arrow_rows,
+                    # budget_rows)+1 answers BOTH thresholds exactly:
+                    # nq ≥ arrow_rows and nq > budget_rows are each
+                    # decidable from the capped value.
+                    arrow_rows = -(-ADC_ARROW_MIN_WORK // per_q)
+                    nq_cap = queries.limit(
+                        max(arrow_rows, budget_rows) + 1
+                    ).count()
+                    use_arrow = nq_cap >= arrow_rows
         if use_arrow:
-            # the Arrow path driver-collects the LUTs; a Full-resync-
-            # sized query frame must take the expression fold's Spark
-            # broadcast (which fails loudly at its own limit) instead
-            # of silently OOMing the driver
-            if nq is None:
-                nq = queries.count()
-            if nq * m * kk * 8 > ADC_LUT_BROADCAST_BYTES:
+            if nq_cap is None:
+                nq_cap = queries.limit(budget_rows + 1).count()
+            if nq_cap > budget_rows:
                 use_arrow = False
         qmap = nl_arr = lut_rows = None
         if use_arrow:
@@ -1415,6 +1426,26 @@ def ivfpq_probe(
                         )
                     yield out
 
+            # reclaim the Python broadcasts deterministically (ADVICE
+            # r10): on a 30 s poll cadence a per-probe qmap broadcast
+            # otherwise lingers on the driver and executors until
+            # Python GC + ContextCleaner happen to run. ``gen`` is the
+            # only holder the result plan keeps alive, so finalizing on
+            # ITS collection unpersists exactly when no live DataFrame
+            # can re-execute the probe — never sooner (a caller
+            # re-running the returned frame still owns gen via the UDF).
+            import weakref
+
+            def _reclaim(*bs):
+                for b in bs:
+                    try:
+                        b.unpersist()
+                    except Exception:  # session already stopped
+                        pass
+
+            weakref.finalize(
+                gen, _reclaim, *([bq] if bn is None else [bq, bn])
+            )
             adc = cand.mapInPandas(gen, StructType(out_fields))
         else:
             qbl = qb.join(lut_flat, "query_id")

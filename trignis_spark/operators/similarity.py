@@ -117,11 +117,23 @@ def bucket_expr(vec_col: str, n_buckets: int, version: int = 2,
             for i in range(bits)
         )
     if dims is not None and dims > 0:
-        return " + ".join(
+        body = " + ".join(
             f"(CASE WHEN element_at({vec_col}, "
             f"{1 + (i * dims) // bits}) >= 0.0D "
             f"THEN {1 << i} ELSE 0 END)"
             for i in range(bits)
+        )
+        # width guard (ADVICE r10): the literal positions are only the
+        # dynamic form's positions for vectors of exactly ``dims``
+        # components — a mixed-width corpus would be silently bucketed
+        # by the wrong positions (the dynamic ``size(v)`` form was
+        # per-row). One size() per row (vs the 11 the dynamic form
+        # paid) buys a loud failure instead of mis-assigned cells.
+        return (
+            f"(CASE WHEN size({vec_col}) = {dims} THEN {body} "
+            f"ELSE CAST(raise_error(CONCAT('bucket_expr: vector width ', "
+            f"CAST(size({vec_col}) AS STRING), "
+            f"' != bound width {dims}')) AS INT) END)"
         )
     return " + ".join(
         f"(CASE WHEN element_at({vec_col}, CAST("

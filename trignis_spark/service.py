@@ -59,6 +59,7 @@ class TrignisSparkService:
         self.crypto = crypto
         self.admin_passphrase_sha256 = admin_passphrase_sha256
         self.ui_login = ui_login
+        self.work_dir = work_dir
         self.state = StateStore(work_dir + "/state")
         self.dlq = DeadLetterStore(work_dir + "/dlq")
         self.pauses = PauseStore(work_dir + "/pauses")
@@ -195,6 +196,7 @@ class TrignisSparkService:
             environments=self._envs_snapshot,
             admin_passphrase_sha256=self.admin_passphrase_sha256,
             ui_login=self.ui_login,
+            ingest_health_root=self.work_dir + "/state",
             settings={
                 "global": {
                     "config_dir": self.config_dir,

