@@ -896,3 +896,73 @@ def test_adc_arrow_falls_back_when_lut_collect_exceeds_budget(
     finally:
         ipq.ADC_LUT_BROADCAST_BYTES = old
     assert got == want and got
+
+
+def test_mega_cell_sub_split_probe_results_identical(spark, index):
+    """VERDICT r10 #2: a build sub-splits over-occupied cells into hash
+    sub-cell PARTITIONS (scan parallelism stops tracking max
+    occupancy), and probes expand each probed cell to its stored
+    sub-values — the candidate union is the unsplit cell's set by
+    construction, so results are identical in every mode, and
+    extend + fold preserve both the results and the duplicate-free
+    base."""
+    emb = load(spark, SF, "embeddings")
+    twin = index + "_twin"
+    try:
+        # skew: a clustered corpus whose sign pattern collapses most
+        # vectors into few cells — exactly the mega-cell shape
+        skewed = emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, (x, i) -> CASE WHEN i < 4 "
+                "THEN abs(x) ELSE x END)"
+            ).alias("embedding"),
+        ).localCheckpoint(eager=True)
+        queries = skewed.filter(F.expr(QUERY_PRED)).localCheckpoint(
+            eager=True
+        )
+        ipq.build_ivfpq_index(spark, skewed, index, m=M, k=K,
+                              n_buckets=16, split_factor=1)
+        ipq.build_ivfpq_index(spark, skewed, twin, m=M, k=K,
+                              n_buckets=16, split_factor=None)
+        splits = ipq._stored_splits(spark, ipq._codes_table(index))
+        assert splits, "skewed fixture failed to trigger a sub-split"
+        assert not ipq._stored_splits(spark, ipq._codes_table(twin))
+        # both cell-partitioned tables carry the same sub-values
+        assert ipq._stored_splits(spark, index) == splits
+
+        for kw in (
+            {"rerank": True},
+            {"rerank": False, "include_score": True},
+            {"rerank": True, "adc_impl": "arrow"},
+        ):
+            got = ipq.ivfpq_probe(spark, index, queries, k=5,
+                                  nprobe=2, shortlist=20, **kw)
+            want = ipq.ivfpq_probe(spark, twin, queries, k=5,
+                                   nprobe=2, shortlist=20, **kw)
+            assert {tuple(r) for r in got.collect()} == \
+                   {tuple(r) for r in want.collect()}
+
+        # extend lands in the (unsplit) tail; fold's pruned anti-join
+        # must see sub-cell rows — a replayed extend of built vectors
+        # plus fresh ones folds exactly once
+        fresh = skewed.filter("vec_id % 10 = 3").select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+        )
+        for t in (index, twin):
+            ipq.extend_ivfpq_index(spark, fresh, t)
+            ipq.extend_ivfpq_index(spark, fresh, t)  # replay
+            ipq.fold_ivfpq_tail(spark, t)
+        base = spark.table(ipq._codes_table(index))
+        assert base.groupBy("vec_id").count().filter("count > 1").count() == 0
+        got = ipq.ivfpq_probe(spark, index, queries, k=5, nprobe=2,
+                              shortlist=20)
+        want = ipq.ivfpq_probe(spark, twin, queries, k=5, nprobe=2,
+                               shortlist=20)
+        assert {tuple(r) for r in got.collect()} == \
+               {tuple(r) for r in want.collect()}
+    finally:
+        for t in ipq._all_tables(twin) + [
+            ipq._tail_table(twin), ipq._tail_codes_table(twin),
+        ]:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -52,6 +52,14 @@ def main() -> int:
     ap.add_argument("--extend-batch", type=int, default=200)
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--skip-build", action="store_true")
+    # chunked build: seed build_prefix_index with the first slice, then
+    # extend_prefix_index the rest slice by slice. Same lossless prefix
+    # semantics (per-slice df ranking is sanctioned by the per-doc
+    # pigeonhole — see dedup_index module notes); bounds the build's
+    # transient shuffle by the SLICE, not the corpus — the 50 M-doc
+    # single-shot build's df-ranking shuffle outgrew the box's free
+    # disk, while 10 × 5 M chunks peak at a tenth of it.
+    ap.add_argument("--build-chunks", type=int, default=1)
     ap.add_argument("--driver-mem", default="56g")
     args = ap.parse_args()
 
@@ -127,11 +135,27 @@ def main() -> int:
     docs = spark.read.parquet(path).select("doc_id", "text")
     if not args.skip_build:
         t0 = time.time()
-        di.build_prefix_index(spark, docs, args.name, args.threshold)
+        nc = max(1, args.build_chunks)
+        if nc == 1:
+            di.build_prefix_index(spark, docs, args.name, args.threshold)
+        else:
+            pred = F.pmod(F.xxhash64("doc_id"), F.lit(nc))
+            di.build_prefix_index(
+                spark, docs.filter(pred == 0), args.name, args.threshold
+            )
+            for c in range(1, nc):
+                tc = time.time()
+                added = di.extend_prefix_index(
+                    spark, docs.filter(pred == c), args.name
+                )
+                print(json.dumps({
+                    "leg": "build_chunk", "chunk": c, "added": added,
+                    "sec": round(time.time() - tc, 1),
+                }), flush=True)
         n_docs = spark.table(di._docs_table(args.name)).count()
         print(json.dumps({
             "leg": "build_prefix_index", "docs": n_docs,
-            "threshold": args.threshold,
+            "threshold": args.threshold, "chunks": nc,
             "sec": round(time.time() - t0, 1),
         }), flush=True)
 

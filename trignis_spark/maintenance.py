@@ -163,6 +163,7 @@ def compact_bucketed_table(
     bucket_col: str,
     n_buckets: int,
     sort_col: str | None = None,
+    block_bytes: int | None = None,
 ) -> int:
     """Rewrite a bucketed managed table into ~one file per bucket.
 
@@ -201,6 +202,8 @@ def compact_bucketed_table(
         .write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)
     )
+    if block_bytes is not None:
+        writer = writer.option("parquet.block.size", str(block_bytes))
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.format("parquet").saveAsTable(tmp)

@@ -275,7 +275,14 @@ VERIFY_PARTS = 64
 #: whole narrow corpus every batch). 2 MiB ≈ ~1–2 k doc rows per group
 #: at realistic shingle counts; measured at 5 M rows: isin(3 500) warm
 #: 0.11 s vs 2.53 s full scan.
-VERIFY_BLOCK_BYTES = 2 * 1024 * 1024
+VERIFY_BLOCK_BYTES = 512 * 1024
+
+#: row-group size for the v4 PROBE table (shingle-sorted buckets):
+#: the fast path pushes the batch's collected shingle hashes as an
+#: ``In`` filter, and each distinct value can hit at most one group
+#: per sorted run — small groups bound the candidate scan by the
+#: BATCH's shingles, not the corpus's posting rows
+PROBE_BLOCK_BYTES = 256 * 1024
 
 #: candidate-id ceiling for the collected ``In`` pushdown — past this
 #: the filter's plan/footer-check cost outgrows its pruning (and a
@@ -405,6 +412,7 @@ def build_prefix_index(
     (
         _prefix_rows(docs, n, threshold)
         .write.mode("overwrite")
+        .option("parquet.block.size", str(PROBE_BLOCK_BYTES))
         .bucketBy(n_buckets, "shingle")
         .sortBy("shingle")
         .format("parquet")
@@ -478,6 +486,104 @@ def attach_prefix_index(spark: SparkSession, table: str,
     _drop_meta_cache(spark, table)
 
 
+def _in_pred(col: str, values) -> str:
+    """One parsed ``col IN (...)`` SQL expression over BIGINT values —
+    ``Column.isin`` pays a py4j round trip per literal (~2 s of pure
+    plan construction at 3.5 k ids, measured at the 5 M fixture)."""
+    return "%s IN (%s)" % (col, ",".join(str(int(v)) for v in values))
+
+
+def _probe_v4_fast(
+    spark: SparkSession,
+    table: str,
+    full: DataFrame,
+    bsh: DataFrame,
+    threshold: float,
+) -> DataFrame | None:
+    """Poll-cycle probe of a v4 index, sub-linear in CORPUS size end to
+    end (round 11): the batch's shingle rows are collected once
+    (bounded), pushed into the shingle-sorted probe table as an ``In``
+    filter — row-group pruning bounds the candidate scan by the batch,
+    not the corpus's posting rows — and the resulting candidate ids are
+    pushed into the doc_id-sorted verify table the same way. Three
+    bounded jobs total (batch shingles → candidates → verify), every
+    broadcast a driver-literal frame. Returns None when the batch or
+    its candidate set outgrows ``VERIFY_COLLECT_MAX`` — the caller's
+    distributed join path is the right cost model there. Results are
+    identical to the join path by construction: same shingle sets, same
+    candidate pairs, same jaccard arithmetic (asserted in tests)."""
+    # respect the operator's broadcast dial too: a batch the join path
+    # would refuse to broadcast must not ride in as driver literals
+    bound = min(VERIFY_COLLECT_MAX, MAX_BROADCAST_SHINGLES)
+    rows = bsh.limit(bound + 1).collect()
+    out_schema = (
+        f"batch_doc {bsh.schema['batch_doc'].dataType.simpleString()}, "
+        f"corpus_doc {full.schema['doc_id'].dataType.simpleString()}, "
+        "jaccard double"
+    )
+    if not rows:
+        # no batch doc long enough to shingle → nothing can match
+        return spark.createDataFrame([], out_schema)
+    if len(rows) > bound:
+        return None
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["batch_doc"], set()).add(int(r["shingle"]))
+    shingles = sorted({s for ss in by_doc.values() for s in ss})
+    bsh_lit = F.broadcast(spark.createDataFrame(rows, bsh.schema))
+    cand = (
+        spark.table(table)
+        .filter(_in_pred("shingle", shingles))
+        .join(bsh_lit, "shingle")
+        .select("batch_doc", F.col("doc_id").alias("corpus_doc"))
+        .distinct()
+    )
+    # count-gate then collect — two PARALLEL jobs, never a
+    # CollectLimit: its incremental partition rounds cost ~2 s per
+    # probe on the 5 M fixture where the count+collect pair runs in
+    # ~0.1 s warm (the candidate scan is In-pruned either way)
+    n_cand = cand.count()
+    if n_cand > VERIFY_COLLECT_MAX:
+        return None
+    if n_cand == 0:
+        return spark.createDataFrame([], out_schema)
+    crows = cand.collect()
+    cand_lit = F.broadcast(spark.createDataFrame(crows, cand.schema))
+    ids = sorted({int(r["corpus_doc"]) for r in crows})
+    barr_schema = (
+        f"batch_doc {bsh.schema['batch_doc'].dataType.simpleString()}, "
+        "bshs array<bigint>, szb bigint"
+    )
+    barr_lit = F.broadcast(
+        spark.createDataFrame(
+            [(d, sorted(ss), len(ss)) for d, ss in by_doc.items()],
+            barr_schema,
+        )
+    )
+    pairs = (
+        full.filter(_in_pred("doc_id", ids))
+        .join(cand_lit, full["doc_id"] == cand_lit["corpus_doc"])
+        .join(barr_lit, "batch_doc")
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            F.size(F.array_intersect("shs", "bshs")).alias("isz"),
+            F.col("sz").alias("szc"),
+            "szb",
+        )
+        # replay guard — see probe_prefix_index
+        .dropDuplicates(["batch_doc", "corpus_doc"])
+    )
+    return pairs.select(
+        "batch_doc",
+        "corpus_doc",
+        (
+            F.col("isz").cast("double")
+            / (F.col("szb") + F.col("szc") - F.col("isz"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def probe_prefix_index(
     spark: SparkSession,
     table: str,
@@ -527,6 +633,17 @@ def probe_prefix_index(
     bsh = shingle_table(batch_docs, n).select(
         F.col("doc_id").alias("batch_doc"), "shingle"
     )
+    full = spark.table(_full_table(table))
+    if (
+        "shs" in full.columns and "pb" not in full.columns
+        and broadcast_batch is not False
+    ):
+        # v4 fast path: fully candidate-bounded probe (see
+        # ``_probe_v4_fast``); falls through to the join path when the
+        # batch or candidate set outgrows the collect bound
+        fast = _probe_v4_fast(spark, table, full, bsh, threshold)
+        if fast is not None:
+            return fast
     if broadcast_batch is None:
         from trignis_spark.operators.similarity import exceeds
 
@@ -553,7 +670,6 @@ def probe_prefix_index(
         # for the id collect and prunes via the pushed In filter
         # instead of DPP
     )
-    full = spark.table(_full_table(table))
     if "shs" in full.columns:
         # doc-array layout (rounds 10/11 — see ``_doc_shingles``): the
         # verify is ONE narrow doc-row scan joined to the candidates
@@ -591,16 +707,35 @@ def probe_prefix_index(
             # batch — linear forever). The candidate plan is
             # checkpointed so the collect and the verify join pay it
             # once.
-            from trignis_spark.operators.similarity import exceeds
-
-            if broadcast_batch:
-                cand = cand.localCheckpoint(eager=True)
-            ids_df = cand.select("corpus_doc").distinct()
             scan = full
-            if broadcast_batch and not exceeds(ids_df,
-                                               VERIFY_COLLECT_MAX):
-                ids = [r[0] for r in ids_df.collect()]
-                scan = full.filter(F.col("doc_id").isin(ids))
+            if broadcast_batch:
+                # ONE bounded collect materializes the candidate pairs
+                # driver-side: it answers the size gate, supplies the
+                # pushed id filter, AND replaces the distributed
+                # candidate plan with a literal frame — so the whole
+                # probe is gate + collect + verify, three jobs total
+                # (a checkpoint-then-collect shape paid two extra
+                # serial jobs per poll cycle, measured +1.5 s at the
+                # 5 M fixture)
+                cand = cand.localCheckpoint(eager=True)
+                rows = (
+                    cand.collect()
+                    if cand.count() <= VERIFY_COLLECT_MAX else None
+                )
+                if rows is not None:
+                    cand = spark.createDataFrame(rows, cand.schema)
+                    # ONE parsed SQL expression, not Column.isin(): the
+                    # py4j round-trip per literal costs ~0.5 ms each —
+                    # measured ~2 s of pure plan construction at 3.5 k
+                    # candidate ids (doc_id is BIGINT, so the string
+                    # form is exact)
+                    scan = full.filter(_in_pred(
+                        "doc_id", sorted({r["corpus_doc"] for r in rows})
+                    ))
+                # else: corpus-shaped candidate set (a Full resync
+                # routed through probe) — keep the distributed plan;
+                # its one broadcast executes it once, and the In
+                # filter would only bloat the plan
             # else: corpus-shaped candidate set (a Full resync routed
             # through probe) — the broadcast/shuffle join below is the
             # right cost model and the In filter would only bloat the
@@ -683,6 +818,7 @@ def extend_prefix_index(
     (
         _prefix_rows(fresh, meta.n, meta.threshold)
         .write.mode("append")
+        .option("parquet.block.size", str(PROBE_BLOCK_BYTES))
         .bucketBy(n_buckets, "shingle")
         .sortBy("shingle")
         .format("parquet")
@@ -794,10 +930,12 @@ def compact_prefix_index(
         compact_sorted_table,
     )
 
+    is_v4 = "pb" not in spark.table(_full_table(table)).columns
     n = compact_bucketed_table(
-        spark, table, "shingle", n_buckets, sort_col="shingle"
+        spark, table, "shingle", n_buckets, sort_col="shingle",
+        block_bytes=PROBE_BLOCK_BYTES if is_v4 else None,
     )
-    if "pb" in spark.table(_full_table(table)).columns:
+    if not is_v4:
         n += compact_partitioned_table(spark, _full_table(table), "pb")
     else:
         # v4: merge the appended sorted runs back into one global run
