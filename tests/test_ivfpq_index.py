@@ -966,3 +966,66 @@ def test_mega_cell_sub_split_probe_results_identical(spark, index):
             ipq._tail_table(twin), ipq._tail_codes_table(twin),
         ]:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rerank_arrow_bit_identical_and_bounded(spark, index):
+    """VERDICT r10 #6: the Arrow exact-dot re-rank twin must be
+    BIT-identical to the ``aggregate`` expression fold — cumsum's
+    prefix outputs force the same sequential IEEE addition order, so
+    the cos doubles (not just the ranking) must match exactly, with
+    scores, through a replayed-duplicate tail, and under auto dispatch
+    at fixture scale (which must stay on the expression path)."""
+    emb = load(spark, SF, "embeddings")
+    head = emb.filter("vec_id < 400")
+    ipq.build_ivfpq_index(spark, head, index, m=M, k=K, n_buckets=16)
+    queries = emb.filter(F.expr(QUERY_PRED))
+
+    def both(**kw):
+        e = ipq.ivfpq_probe(spark, index, queries,
+                            rerank_impl="expr", **kw).collect()
+        a = ipq.ivfpq_probe(spark, index, queries,
+                            rerank_impl="arrow", **kw).collect()
+        es = sorted(tuple(r) for r in e)
+        bs = sorted(tuple(r) for r in a)
+        assert es == bs and es
+        return es
+
+    both(k=10, nprobe=2, shortlist=30, include_score=True)
+    # duplicate tail rows: the arrow path's output feeds the same
+    # replay guard, so no (query, neighbor) may surface twice
+    batch = emb.filter("vec_id >= 400")
+    ipq.extend_ivfpq_index(spark, batch, index, assume_fresh=True)
+    ipq.extend_ivfpq_index(spark, batch, index, assume_fresh=True)
+    res = both(k=10, nprobe=2, shortlist=30, include_score=True)
+    ids = [(r[0], r[1]) for r in res]
+    assert len(ids) == len(set(ids))
+    # fixture-scale auto dispatch stays on the expression fold: the
+    # probe plan must contain no Python/Arrow eval stage
+    plan = ipq.ivfpq_probe(
+        spark, index, queries, k=5, include_score=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_rerank_arrow_falls_back_when_batch_exceeds_bound(spark, index):
+    """A query frame past RERANK_COLLECT_ROWS must fall back to the
+    expression fold (never a truncated broadcast)."""
+    emb = load(spark, SF, "embeddings")
+    ipq.build_ivfpq_index(spark, emb.filter("vec_id < 400"), index,
+                          m=M, k=K, n_buckets=16)
+    queries = emb.filter(F.expr(QUERY_PRED))
+    want = ipq.ivfpq_probe(spark, index, queries, k=5,
+                           include_score=True,
+                           rerank_impl="expr").collect()
+    old = ipq.RERANK_COLLECT_ROWS
+    ipq.RERANK_COLLECT_ROWS = 1
+    try:
+        got = ipq.ivfpq_probe(spark, index, queries, k=5,
+                              include_score=True,
+                              rerank_impl="arrow")
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan  # fell back, not truncated
+        assert sorted(tuple(r) for r in got.collect()) == \
+               sorted(tuple(r) for r in want)
+    finally:
+        ipq.RERANK_COLLECT_ROWS = old

@@ -294,6 +294,18 @@ PROBE_BLOCK_BYTES = 256 * 1024
 #: native In pushdown (Spark 4 default) handles large sets.
 VERIFY_COLLECT_MAX = 65_536
 
+#: distinct-shingle ceiling for the v4 probe FAST path (round 11): the
+#: fast path pushes the batch's shingle hashes into the probe table as
+#: one parsed ``In`` literal list, and Catalyst's parse/canonicalize/
+#: parquet-filter conversion on a multi-tens-of-thousands literal list
+#: costs SECONDS per execution (measured ~15 s per job at the sf0.1
+#: bench batch: 714 docs → 19 926 distinct shingles — and the
+#: un-checkpointed candidate plan executes twice). A poll-cycle batch
+#: is a few hundred shingles; anything bigger takes the join path,
+#: whose broadcast-hash candidate join against the bucketed probe
+#: table is the right cost model for batch-shaped work.
+FAST_PROBE_SHINGLES = 4_096
+
 #: sorted-run file count for v4 builds/compactions — one range
 #: partition per file, each internally sorted by doc_id
 VERIFY_SORT_FILES = 64
@@ -513,8 +525,13 @@ def _probe_v4_fast(
     identical to the join path by construction: same shingle sets, same
     candidate pairs, same jaccard arithmetic (asserted in tests)."""
     # respect the operator's broadcast dial too: a batch the join path
-    # would refuse to broadcast must not ride in as driver literals
-    bound = min(VERIFY_COLLECT_MAX, MAX_BROADCAST_SHINGLES)
+    # would refuse to broadcast must not ride in as driver literals.
+    # The row cap rides the distinct-shingle gate below: a batch with
+    # ≤ FAST_PROBE_SHINGLES distinct shingles across 8× as many rows
+    # is already not batch-shaped, so a bigger collect would only pay
+    # to discover the fallthrough it could assume
+    bound = min(VERIFY_COLLECT_MAX, MAX_BROADCAST_SHINGLES,
+                FAST_PROBE_SHINGLES * 8)
     rows = bsh.limit(bound + 1).collect()
     out_schema = (
         f"batch_doc {bsh.schema['batch_doc'].dataType.simpleString()}, "
@@ -530,6 +547,11 @@ def _probe_v4_fast(
     for r in rows:
         by_doc.setdefault(r["batch_doc"], set()).add(int(r["shingle"]))
     shingles = sorted({s for ss in by_doc.values() for s in ss})
+    if len(shingles) > FAST_PROBE_SHINGLES:
+        # a literal list this long costs seconds of plan work PER JOB
+        # (and this plan runs twice) — batch-shaped it is not; the
+        # join path's broadcast-hash candidate join wins from here
+        return None
     bsh_lit = F.broadcast(spark.createDataFrame(rows, bsh.schema))
     cand = (
         spark.table(table)

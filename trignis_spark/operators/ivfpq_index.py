@@ -329,6 +329,16 @@ ADC_MAX_CHUNKS = 32
 #: count and stays on the expression path (tiny fixture corpora)
 _ADC_ASSUMED_MAX_BATCH = 100_000
 
+#: query-row ceiling for the Arrow re-rank's driver-collected query
+#: vectors (round 11, VERDICT r10 #6): the exact-dot twin ships the
+#: batch's (qv, qn2) as a Python broadcast the way the ADC twin ships
+#: its LUTs; 64 Ki rows × 768 dims × 8 B ≈ 400 MB — far past any poll
+#: batch, and a Full-resync-sized query frame falls back to the
+#: expression fold instead of straining the driver. A second,
+#: byte-accurate gate (``ADC_LUT_BROADCAST_BYTES`` reused) re-checks
+#: the actual payload after collect.
+RERANK_COLLECT_ROWS = 65536
+
 #: driver-memory budget for the Arrow path's collected+quantized LUTs
 #: (n_queries × m × kk × 8 bytes). The expression path ships LUTs as a
 #: Spark broadcast (8 GB hard limit, fails loudly); the Arrow path
@@ -1188,6 +1198,7 @@ def ivfpq_probe(
     include_score: bool = False,
     rerank: bool = True,
     adc_impl: str = "auto",
+    rerank_impl: str = "auto",
 ) -> DataFrame:
     """Probe-only IVF-PQ search: (query_id, neighbor_id, rank) — no
     training, no corpus encode; every corpus-side input is a persisted
@@ -1251,7 +1262,25 @@ def ivfpq_probe(
     path also splits the broadcast query side into hash chunks past
     ``ADC_CHUNK_WORK`` so a skewed mega-cell's candidates spread over
     parallel scan tasks instead of serializing through one
-    (VERDICT r9 #3)."""
+    (VERDICT r9 #3).
+
+    ``rerank_impl`` selects stage 3's exact-dot engine the same way
+    (round 11, VERDICT r10 #6): ``"expr"`` is the interpreted
+    ``aggregate`` left-fold (every pinned oracle's path), ``"arrow"``
+    a vectorized twin — the batch's (qv, qn2) travel as a Python
+    broadcast (``RERANK_COLLECT_ROWS``-capped) and each shortlist
+    row's dot computes as an elementwise product followed by
+    ``np.cumsum``, whose prefix outputs force the SAME sequential
+    left-to-right IEEE addition order as the SQL fold, so the doubles
+    are BIT-IDENTICAL (locked by tests/test_ivfpq_index.py; IEEE
+    multiply/sqrt/divide are deterministic on both sides). ``"auto"``
+    rides the ADC dispatch decision — the two stages' work scale with
+    the same nq × width product, and fixture corpora stay under
+    ``ADC_ARROW_MIN_WORK`` so the oracles replay the expression fold.
+    At 768 dims the interpreted fold is ~dims ops per shortlist row;
+    the float-table SCAN (dims doubles per probed-cell row) is
+    untouched by this dispatch and remains the exact gate's floor —
+    see BASELINE.md's width-regime recommendation."""
     st = _probe_state(spark, table)
     m, n_buckets = st["m"], st["n_buckets"]
     has_tail = st["has_tail"]
@@ -1305,6 +1334,9 @@ def ivfpq_probe(
         )
     )
     codes = spark.table(_codes_table(table))
+    # stage-3 re-rank dispatch reads this even on the narrow legacy
+    # layout, whose candidate scoring has no Arrow twin
+    use_arrow = False
     if "sub" not in codes.columns:
         # wide layout (current): one (vec_id, codes ARRAY<INT>, bucket)
         # row per vector. The per-query LUT flattens to one
@@ -1732,20 +1764,102 @@ def ivfpq_probe(
         # sidecar — the re-rank must see them (a near-dup of a vector
         # admitted one cycle ago must still gate as a near-dup)
         flo = flo.unionByName(_floats(spark.table(_tail_table(table))))
-    exact = (
-        flo
-        .join(
-            F.broadcast(base.select("query_id", "qv", "qn2")), "query_id"
+    exact = None
+    if rerank_impl == "arrow" or (rerank_impl == "auto" and use_arrow):
+        # Arrow exact-dot twin (see docstring): bit-identical doubles
+        # via cumsum's forced sequential addition order. Bounded
+        # collect of the query batch; oversize falls through to the
+        # expression fold, which fails loudly at broadcast limits.
+        qrows = base.select("query_id", "qv", "qn2").limit(
+            RERANK_COLLECT_ROWS + 1
+        ).collect()
+        payload = sum(len(r["qv"]) for r in qrows) * 8
+        if (
+            len(qrows) <= RERANK_COLLECT_ROWS
+            and payload <= ADC_LUT_BROADCAST_BYTES
+        ):
+            import numpy as np
+            from pyspark.sql.types import (
+                DoubleType,
+                StructField,
+                StructType,
+            )
+
+            qv_map = {
+                r["query_id"]: (
+                    np.asarray(r["qv"], dtype=np.float64),
+                    float(r["qn2"]),
+                )
+                for r in qrows
+            }
+            bqv = spark.sparkContext.broadcast(qv_map)
+            rr_fields = StructType([
+                StructField("query_id",
+                            flo.schema["query_id"].dataType),
+                StructField("neighbor_id",
+                            flo.schema["neighbor_id"].dataType),
+                StructField("cos", DoubleType()),
+            ])
+
+            def rgen(batches):
+                import numpy as np
+                import pandas as pd
+
+                qm = bqv.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    qvs = np.stack(
+                        [qm[q][0] for q in pdf["query_id"]]
+                    )
+                    qn2 = np.fromiter(
+                        (qm[q][1] for q in pdf["query_id"]),
+                        dtype=np.float64,
+                        count=len(pdf),
+                    )
+                    xvs = np.stack(pdf["xv"].to_numpy()).astype(
+                        np.float64, copy=False
+                    )
+                    xn2 = pdf["xn2"].to_numpy(dtype=np.float64)
+                    # elementwise IEEE products, then the fold: every
+                    # cumsum prefix is an output, so the accumulation
+                    # is sequential by construction — the SQL
+                    # aggregate's exact addition order
+                    dots = np.cumsum(qvs * xvs, axis=1)[:, -1]
+                    yield pd.DataFrame({
+                        "query_id": pdf["query_id"].to_numpy(),
+                        "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                        "cos": dots / np.sqrt(qn2 * xn2),
+                    })
+
+            # deterministic broadcast reclaim — same lifecycle as the
+            # ADC twin's LUT broadcast above (ADVICE r10)
+            import weakref as _weakref
+
+            def _rr_reclaim(b):
+                try:
+                    b.unpersist()
+                except Exception:  # session already stopped
+                    pass
+
+            _weakref.finalize(rgen, _rr_reclaim, bqv)
+            exact = flo.mapInPandas(rgen, rr_fields)
+    if exact is None:
+        exact = (
+            flo
+            .join(
+                F.broadcast(base.select("query_id", "qv", "qn2")),
+                "query_id",
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                (
+                    F.expr(DOT.format(a="qv", b="xv"))
+                    / F.sqrt(F.col("qn2") * F.col("xn2"))
+                ).alias("cos"),
+            )
         )
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                F.expr(DOT.format(a="qv", b="xv"))
-                / F.sqrt(F.col("qn2") * F.col("xn2"))
-            ).alias("cos"),
-        )
-    )
     if needs_guard:
         # same replay-duplicate guard for the float table: a duplicated
         # vector row would put the same neighbor at two consecutive
