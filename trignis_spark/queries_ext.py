@@ -2005,6 +2005,86 @@ def ann_ivfpq_probe_adc_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_RERANK_SQL = _IVFPQ_CASCADE_SQL.replace(
+    "SELECT query_id, neighbor_id, rank FROM (",
+    "SELECT query_id, neighbor_id, rank, round(cos, 9) AS cos9 FROM (",
+).replace(
+    """row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM ex) WHERE rank <= 10""",
+    """cos, row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM ex) WHERE rank <= 10""",
+)
+
+
+@register("ann_ivfpq_probe_rerank_arrow", _IVFPQ_RERANK_SQL)
+def ann_ivfpq_probe_rerank_arrow(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """`ann_ivfpq_probe` with stage 3's exact re-rank FORCED onto the
+    Arrow cumsum twin (round 11 — `ivfpq_probe(...,
+    rerank_impl="arrow")`) and the exact cosine surfaced: the oracle's
+    `ex` CTE computes the same sequential double fold
+    (`list_reduce` left fold ≡ SQL `aggregate` ≡ np.cumsum's forced
+    prefix order), so the driver's per-round gate re-proves the
+    rerank twin's bit-identity claim against DuckDB's independent
+    arithmetic — the auto dispatch keeps fixture-scale probes on the
+    expression fold, so without this row the at-scale rerank engine
+    would be pytest-gated only (same rationale as
+    `ann_ivfpq_probe_adc_arrow`)."""
+    import hashlib
+
+    from trignis_spark.operators import ivfpq_index as ipq
+
+    emb = load(spark, sf_dir, "embeddings")
+    name = "ivfpq_q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if not ipq.index_exists(spark, name):
+        ipq.build_ivfpq_index(
+            spark, emb, name, m=_PQ_M, k=_PQ_K, n_buckets=16, iters=2
+        )
+    queries = emb.filter("vec_id % 100 = 0")
+    topk = ipq.ivfpq_probe(
+        spark, name, queries, k=10, nprobe=1, shortlist=30,
+        include_score=True, rerank_impl="arrow",
+    )
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 9).alias("cos9"),
+    )
+
+
+@register("ann_ivfpq_probe_split", _IVFPQ_CASCADE_SQL)
+def ann_ivfpq_probe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_ivfpq_probe` over an index built with the mega-cell
+    sub-split FORCED at fixture scale (round 11, VERDICT r10 #2 —
+    `split_factor=1` splits every cell past 1× the mean occupancy
+    into hash sub-cell partitions): the oracle is the unsplit cascade
+    SQL verbatim, so the driver's per-round gate proves the split
+    layout's core invariant — the candidate union over a cell's
+    sub-partitions IS the unsplit cell's candidate set, so rankings
+    are unchanged at any split factor. Production builds take
+    `CELL_SPLIT_FACTOR`; a dedicated index name keeps the shared
+    pinned-layout index unsplit for its own oracle rows."""
+    import hashlib
+
+    from trignis_spark.operators import ivfpq_index as ipq
+
+    emb = load(spark, sf_dir, "embeddings")
+    name = "ivfpqsp_q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if not ipq.index_exists(spark, name):
+        ipq.build_ivfpq_index(
+            spark, emb, name, m=_PQ_M, k=_PQ_K, n_buckets=16, iters=2,
+            split_factor=1,
+        )
+    queries = emb.filter("vec_id % 100 = 0")
+    topk = ipq.ivfpq_probe(
+        spark, name, queries, k=10, nprobe=1, shortlist=30
+    )
+    return topk.withColumn("rank", F.col("rank").cast("long"))
+
+
 @register(
     "corpus_mix_weights",
     """
