@@ -429,3 +429,54 @@ def test_prefix_probe_dispatches_on_v3_partitioned_doc_array_layout(
             for r in di.probe_prefix_index(spark, pindex, batch,
                                            0.8).collect()}
     assert got2 == want
+
+
+def test_compaction_after_attach_swaps_external_tables(spark, pindex):
+    """Round 11: a serving process that restarts re-registers its
+    index via ``attach_prefix_index`` (EXTERNAL tables), and the next
+    housekeeping compaction must still swap — the managed-only rename
+    dance failed with LOCATION_ALREADY_EXISTS because an external
+    rename leaves the warehouse directory behind (hit live on the
+    50 M-doc decade leg). Simulated like the ivfpq attach test: copy
+    the warehouse dirs under a name the catalog has never seen."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    di.build_prefix_index(
+        spark, _frame(spark, _rand_docs(8, 10)), pindex, threshold=0.5
+    )
+    di.extend_prefix_index(
+        spark, _frame(spark, _rand_docs(9, 4, start=500)), pindex
+    )
+    batch = _frame(spark, _rand_docs(8, 5, start=3000))
+    want = {(r.batch_doc, r.corpus_doc, round(r.jaccard, 9))
+            for r in di.probe_prefix_index(spark, pindex, batch,
+                                           0.5).collect()}
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    twin = pindex + "_reatt"
+    for suffix in ("", "_full", "_docs", "_meta"):
+        src, dst = pindex + suffix, twin + suffix
+        spark.sql(f"DROP TABLE IF EXISTS {dst}")
+        if os.path.isdir(os.path.join(wh, dst)):
+            shutil.rmtree(os.path.join(wh, dst))
+        shutil.copytree(os.path.join(wh, src), os.path.join(wh, dst))
+    try:
+        di.attach_prefix_index(spark, twin)
+        n = di.compact_prefix_index(spark, twin)
+        assert n > 0
+        got = {(r.batch_doc, r.corpus_doc, round(r.jaccard, 9))
+               for r in di.probe_prefix_index(spark, twin, batch,
+                                              0.5).collect()}
+        assert got == want and got
+        # the swapped-in tables accept further extends (spec intact)
+        more = _rand_docs(10, 3, start=900)
+        assert di.extend_prefix_index(
+            spark, _frame(spark, more), twin
+        ) == len(more)
+    finally:
+        for suffix in ("", "_full", "_docs", "_meta"):
+            t = twin + suffix
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            if os.path.isdir(os.path.join(wh, t)):
+                shutil.rmtree(os.path.join(wh, t))

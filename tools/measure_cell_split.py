@@ -40,6 +40,11 @@ def main() -> int:
     ap.add_argument("--k", type=int, default=64)
     ap.add_argument("--nprobe", type=int, default=2)
     ap.add_argument("--train-rows", type=int, default=200_000)
+    ap.add_argument("--margin-rows", type=int, default=200_000,
+                    help="sampled ADC-margin certification: this leg "
+                         "measures probe wall, not gate decisions, so "
+                         "the statistical bound is fine and saves a "
+                         "full-corpus reconstruction pass per build")
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--driver-mem", default="56g")
     args = ap.parse_args()
@@ -66,7 +71,8 @@ def main() -> int:
             t0 = time.time()
             ipq.build_ivfpq_index(
                 spark, emb, tables[lbl], m=args.m, k=args.k,
-                train_rows=args.train_rows, split_factor=sf,
+                train_rows=args.train_rows, margin_rows=args.margin_rows,
+                split_factor=sf,
             )
             print(json.dumps({"leg": f"build_{lbl}",
                               "sec": round(time.time() - t0, 1)}),

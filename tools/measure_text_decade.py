@@ -152,6 +152,23 @@ def main() -> int:
                     "leg": "build_chunk", "chunk": c, "added": added,
                     "sec": round(time.time() - tc, 1),
                 }), flush=True)
+        if nc > 1:
+            # chunked extends append per-slice file sets whose row
+            # groups each span the full key range (measured: 10 256
+            # probe-table files at 50 M docs, zero row-group pruning,
+            # 43.8 s warm probes); compaction restores the sorted
+            # serving layout — one sorted run per bucket / one global
+            # doc_id run — which is what the probe's pushed-In
+            # pruning premises. Same LSM discipline as
+            # fold/compact_ivfpq_index: extends stay cheap, probes
+            # stay correct between compactions, compaction restores
+            # speed.
+            tc = time.time()
+            nf = di.compact_prefix_index(spark, args.name)
+            print(json.dumps({
+                "leg": "compact", "files": nf,
+                "sec": round(time.time() - tc, 1),
+            }), flush=True)
         n_docs = spark.table(di._docs_table(args.name)).count()
         print(json.dumps({
             "leg": "build_prefix_index", "docs": n_docs,

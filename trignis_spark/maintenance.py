@@ -157,6 +157,42 @@ def table_data_files(spark: SparkSession, table: str) -> list[str]:
     return _data_files(table_location(spark, table))
 
 
+def _is_external(spark: SparkSession, table: str) -> bool:
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if (row["col_name"] or "").strip() == "Type":
+            return row["data_type"].strip().upper() == "EXTERNAL"
+    return False
+
+
+def _swap_compacted(spark: SparkSession, table: str, tmp: str) -> None:
+    """Swap the freshly-written managed sidecar ``tmp`` into ``table``'s
+    name. Managed originals swap via two catalog renames (the rename
+    moves the warehouse dir). An original registered through
+    ``attach_table`` is EXTERNAL — its rename would leave the directory
+    behind and the managed ``tmp`` rename then fails with
+    LOCATION_ALREADY_EXISTS (measured: compaction after a serving
+    restart, round 11) — so the external path drops the entry, moves
+    the old directory aside, renames ``tmp`` into the canonical
+    location, and deletes the old data. Same contract either way:
+    appends quiesced, one maintenance writer."""
+    old = f"{table}__old"
+    if _is_external(spark, table):
+        import shutil
+
+        path = table_location(spark, table)
+        aside = path + "__old"
+        shutil.rmtree(aside, ignore_errors=True)
+        spark.sql(f"DROP TABLE {table}")
+        os.rename(path, aside)
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        shutil.rmtree(aside, ignore_errors=True)
+    else:
+        spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        spark.sql(f"DROP TABLE {old}")
+    spark.catalog.refreshTable(table)
+
+
 def compact_bucketed_table(
     spark: SparkSession,
     table: str,
@@ -207,10 +243,7 @@ def compact_bucketed_table(
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.format("parquet").saveAsTable(tmp)
-    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
-    spark.sql(f"DROP TABLE {old}")
-    spark.catalog.refreshTable(table)
+    _swap_compacted(spark, table, tmp)
     return len(table_data_files(spark, table))
 
 
@@ -235,10 +268,7 @@ def compact_plain_table(
         .format("parquet")
         .saveAsTable(tmp)
     )
-    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
-    spark.sql(f"DROP TABLE {old}")
-    spark.catalog.refreshTable(table)
+    _swap_compacted(spark, table, tmp)
     return len(table_data_files(spark, table))
 
 
@@ -271,10 +301,7 @@ def compact_sorted_table(
     if block_bytes is not None:
         writer = writer.option("parquet.block.size", str(block_bytes))
     writer.format("parquet").saveAsTable(tmp)
-    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
-    spark.sql(f"DROP TABLE {old}")
-    spark.catalog.refreshTable(table)
+    _swap_compacted(spark, table, tmp)
     return len(table_data_files(spark, table))
 
 

@@ -505,6 +505,63 @@ def _in_pred(col: str, values) -> str:
     return "%s IN (%s)" % (col, ",".join(str(int(v)) for v in values))
 
 
+#: values per ``In`` pushdown leg (round 11). Two Spark limits shape
+#: this: past ``spark.sql.parquet.pushdown.inFilterThreshold`` the
+#: pushed filter COLLAPSES to the list's [min, max] range — which over
+#: xxhash64 values spans everything, so row-group pruning silently
+#: prunes NOTHING (the 50 M-doc decade leg measured the "In-pruned"
+#: probe at 43.8 s warm = a full 550 M-row posting scan, ~10× the 5 M
+#: number); and parquet evaluates an under-threshold In as a RECURSIVE
+#: OR tree, which stack-overflows executor task threads somewhere past
+#: ~2 000 values (measured: StackOverflowError inside the scan at
+#: 2.5 k). So: raise the threshold past the leg size (sticky session
+#: conf, set on first probe) and split big value lists into ≤LEG-value
+#: scans unioned together — each leg's OR tree is shallow, each row
+#: matches exactly one leg (value chunks are disjoint), so the union
+#: IS the single-In scan with working row-group pruning.
+IN_PUSHDOWN_LEG = 512
+
+#: id-count ceiling for pushing collected candidate ids into the
+#: verify scan as In legs — past this the per-leg row-group STAT
+#: evaluation (a 512-deep OR visited per group per leg) outgrows the
+#: pruning and the full narrow scan joined to the broadcast candidates
+#: wins: measured at the 50 M decade fixture, 42 legs (21 424 ids)
+#: cost 15.6 s against the full scan's ~11 s, while a few thousand
+#: ids prune to seconds. The length filter keeps real poll batches
+#: far under this.
+VERIFY_IN_MAX = 16_384
+
+
+def _in_pushdown_conf(spark: SparkSession) -> None:
+    """Raise the parquet In-pushdown threshold past IN_PUSHDOWN_LEG
+    (sticky — a restore-after-plan would un-push the filter at the
+    caller's later execution). Never lowers a user-raised value."""
+    key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    try:
+        cur = int(spark.conf.get(key))
+    except Exception:
+        cur = 0
+    if cur < IN_PUSHDOWN_LEG:
+        spark.conf.set(key, str(IN_PUSHDOWN_LEG))
+
+
+def _in_scan(spark: SparkSession, df: DataFrame, col: str,
+             values) -> DataFrame:
+    """``df`` filtered to ``col IN values`` as a union of
+    ≤IN_PUSHDOWN_LEG-value scans — see ``IN_PUSHDOWN_LEG``. Row sets
+    are identical to a single In filter (disjoint value chunks;
+    every matching row matches exactly one chunk)."""
+    from functools import reduce
+
+    _in_pushdown_conf(spark)
+    vals = sorted(values)
+    legs = [
+        df.filter(_in_pred(col, vals[i:i + IN_PUSHDOWN_LEG]))
+        for i in range(0, len(vals), IN_PUSHDOWN_LEG)
+    ]
+    return reduce(DataFrame.unionByName, legs)
+
+
 def _probe_v4_fast(
     spark: SparkSession,
     table: str,
@@ -552,18 +609,42 @@ def _probe_v4_fast(
         # (and this plan runs twice) — batch-shaped it is not; the
         # join path's broadcast-hash candidate join wins from here
         return None
-    bsh_lit = F.broadcast(spark.createDataFrame(rows, bsh.schema))
+    bszs = {d: len(ss) for d, ss in by_doc.items()}
+    bsh_lit = F.broadcast(
+        spark.createDataFrame(
+            [(r["batch_doc"], int(r["shingle"]), bszs[r["batch_doc"]])
+             for r in rows],
+            f"batch_doc "
+            f"{bsh.schema['batch_doc'].dataType.simpleString()}, "
+            "shingle bigint, szb bigint",
+        )
+    )
     cand = (
-        spark.table(table)
-        .filter(_in_pred("shingle", shingles))
+        _in_scan(spark, spark.table(table), "shingle", shingles)
         .join(bsh_lit, "shingle")
+        # lossless SSJoin length filter (Arasu/Chaudhuri prefix-filter
+        # family, public algorithm): jaccard ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t
+        # — the probe table rows carry the corpus doc's shingle-set
+        # size, so size-incompatible collisions drop BEFORE the verify
+        # scan (the 50 M decade leg measured 21 424 candidate ids from
+        # a 50-doc batch, most of them rare-shingle collisions between
+        # decorrelated near-copies of incompatible lengths). Outward
+        # 1e-6 slack on both bounds: a float ulp must widen, never
+        # shorten, a lossless bound (round-5 rule).
+        .filter(
+            (F.col("sz").cast("double")
+             >= F.lit(threshold) * F.col("szb") - F.lit(1e-6))
+            & (F.col("sz").cast("double")
+               <= F.col("szb") / F.lit(threshold) + F.lit(1e-6))
+        )
         .select("batch_doc", F.col("doc_id").alias("corpus_doc"))
         .distinct()
+        # ONE execution of the In-pruned scan: count and collect both
+        # read the checkpoint (the un-checkpointed pair re-ran the
+        # scan twice — 2 × ~6 s at the 50 M fixture; the checkpoint
+        # materializes candidate-pair-sized rows, ~0.2 s)
+        .localCheckpoint(eager=True)
     )
-    # count-gate then collect — two PARALLEL jobs, never a
-    # CollectLimit: its incremental partition rounds cost ~2 s per
-    # probe on the 5 M fixture where the count+collect pair runs in
-    # ~0.1 s warm (the candidate scan is In-pruned either way)
     n_cand = cand.count()
     if n_cand > VERIFY_COLLECT_MAX:
         return None
@@ -582,8 +663,15 @@ def _probe_v4_fast(
             barr_schema,
         )
     )
+    # past VERIFY_IN_MAX ids the leg-plan cost outgrows the pruning —
+    # the full narrow scan joined to the broadcast candidates is the
+    # right cost model there (same dial as the join path)
+    vsrc = (
+        _in_scan(spark, full, "doc_id", ids)
+        if len(ids) <= VERIFY_IN_MAX else full
+    )
     pairs = (
-        full.filter(_in_pred("doc_id", ids))
+        vsrc
         .join(cand_lit, full["doc_id"] == cand_lit["corpus_doc"])
         .join(barr_lit, "batch_doc")
         .select(
@@ -683,6 +771,17 @@ def probe_prefix_index(
     cand = (
         spark.table(table)
         .join(_b(bsh), "shingle")
+        .join(_b(bsz), "batch_doc")
+        # lossless SSJoin length filter — same bound as the fast path
+        # (jaccard ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t, outward 1e-6 slack);
+        # cuts size-incompatible rare-shingle collisions before the
+        # distinct shuffle and the verify join
+        .filter(
+            (F.col("sz").cast("double")
+             >= F.lit(threshold) * F.col("szb") - F.lit(1e-6))
+            & (F.col("sz").cast("double")
+               <= F.col("szb") / F.lit(threshold) + F.lit(1e-6))
+        )
         .select("batch_doc", F.col("doc_id").alias("corpus_doc"))
         .distinct()
         # NOTE: not checkpointed HERE — the v3/legacy layouts need the
@@ -746,14 +845,13 @@ def probe_prefix_index(
                 )
                 if rows is not None:
                     cand = spark.createDataFrame(rows, cand.schema)
-                    # ONE parsed SQL expression, not Column.isin(): the
-                    # py4j round-trip per literal costs ~0.5 ms each —
-                    # measured ~2 s of pure plan construction at 3.5 k
-                    # candidate ids (doc_id is BIGINT, so the string
-                    # form is exact)
-                    scan = full.filter(_in_pred(
-                        "doc_id", sorted({r["corpus_doc"] for r in rows})
-                    ))
+                    ids = sorted({r["corpus_doc"] for r in rows})
+                    if len(ids) <= VERIFY_IN_MAX:
+                        # chunked In legs so parquet row-group pruning
+                        # actually bites (see IN_PUSHDOWN_LEG); a
+                        # bigger id set is corpus-shaped and the full
+                        # narrow scan is the right cost model
+                        scan = _in_scan(spark, full, "doc_id", ids)
                 # else: corpus-shaped candidate set (a Full resync
                 # routed through probe) — keep the distributed plan;
                 # its one broadcast executes it once, and the In
