@@ -124,7 +124,8 @@ def _tile_documents(src: str, out: str, copies: int, stride: int) -> int:
         d["n_chars"] = d["text"].str.len().astype("int64")
         parts.append(d)
     full = pd.concat(parts, ignore_index=True)
-    full.to_parquet(f"{out}/documents.parquet", index=False)
+    full.to_parquet(f"{out}/documents.parquet", index=False,
+                    row_group_size=262144)
     return len(full)
 
 
@@ -149,7 +150,8 @@ def _tile_embeddings(src: str, out: str, copies: int, stride: int) -> int:
         d["embedding"] = list(rotated)
         parts.append(d)
     full = pd.concat(parts, ignore_index=True)
-    full.to_parquet(f"{out}/embeddings.parquet", index=False)
+    full.to_parquet(f"{out}/embeddings.parquet", index=False,
+                    row_group_size=65536)
     return len(full)
 
 

@@ -126,9 +126,16 @@ def generate(n: int, dims: int, every: int, out: str,
         plants = base[(plant_src - lo)] + np.float32(EPS)
         chunk_ids = np.concatenate([ids, plant_src + stride])
         mat = np.concatenate([base, plants])
+        # bounded row groups: pandas' default writes ONE row group per
+        # part file (595 MB at 200 k × 768) — the minimum read unit for
+        # every scan and for hadoop's vectored IO, whose 300 s range
+        # fetch timed out on exactly these files under disk contention
+        # (round 11). 16 Ki rows ≈ 50 MB at 768 dims keeps fetches and
+        # row-group pruning sane at any width.
         pd.DataFrame({
             "vec_id": chunk_ids, "embedding": list(mat)
-        }).to_parquet(f"{emb_dir}/part-{part:05d}.parquet", index=False)
+        }).to_parquet(f"{emb_dir}/part-{part:05d}.parquet", index=False,
+                      row_group_size=16384)
         total += len(chunk_ids)
         part += 1
     return total, stride
