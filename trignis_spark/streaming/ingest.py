@@ -402,7 +402,19 @@ def make_embedding_ingest_fn(
     it from the float table), but the candidate scan differs by a
     factor of dims/m: at 2 M × 768 the float probe measured 86 s/cycle
     where ADC candidates cost m=8 code reads each — the width regime
-    belongs to IVF-PQ (BASELINE.md round 8)."""
+    belongs to IVF-PQ (BASELINE.md round 8).
+
+    RECOMMENDATION (round 11, measured): in the width regime
+    (dims ≳ 256) run ``precision="adc"`` — the exact gate's residual
+    cost is the corpus-sized float-table READ, which no re-rank
+    engine can remove (the Arrow exact-dot twin is bit-identical and
+    free, but both engines are scan-dominated at shortlist sizes:
+    BASELINE.md round 11), while the adc gate's warm floor held the
+    30 s poll envelope (18.2 s min) even on a round-11 box whose
+    storage intermittently ran 3× slow, with 6/6 decision parity
+    against the exact gate on the certified product manifold.
+    ``precision="exact"`` remains the right default at narrow widths
+    and wherever the index cannot certify a usable ADC margin."""
     from trignis_spark.operators import ann_index as ai
     from trignis_spark.operators import ivfpq_index as ipq
 
