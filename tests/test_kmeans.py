@@ -251,3 +251,53 @@ def test_arrow_training_matches_hof_training(spark):
     with _force_arrow(0):
         got = _centroid_map(km.train_kmeans(emb, 5, iters=2))
     assert got == want and len(got) == 5
+
+
+def test_rows_carried_round_matches_checkpointed_form(spark):
+    """Round-11 training restructure: the driver-carried Lloyd round
+    (`_update_rows`) must produce BIT-identical centroids to the
+    pre-round-11 formulation (assignment against a checkpointed
+    centroid frame, posexplode means, left-join coalesce merge)."""
+    emb = load(spark, SF, "embeddings")
+    vecs = km._spread(km._as_double_vec(emb, "embedding")).localCheckpoint(
+        eager=True
+    )
+    rows = km._init_rows(vecs, 8)
+
+    def legacy_round(vecs, centroids):
+        assigned = km._assign_vecs_topn(vecs, centroids, 1, carry=("v",))
+        comp = assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        means = (
+            km._means_cvec(comp.groupBy("cid", "pos"))
+            .groupBy("cid")
+            .agg(F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), "
+                "s -> s.m)").alias("cvec"))
+        )
+        return (
+            centroids.select("cid", F.col("cvec").alias("_old"))
+            .join(means, "cid", "left")
+            .select("cid", F.coalesce("cvec", "_old").alias("cvec"))
+        )
+
+    legacy = km._centroids_df(spark, rows).localCheckpoint(eager=True)
+    carried = rows
+    for _ in range(2):
+        legacy = legacy_round(vecs, legacy).localCheckpoint(eager=True)
+        carried = km._update_rows(vecs, carried)
+    want = {int(r["cid"]): tuple(r["cvec"]) for r in legacy.collect()}
+    got = {int(r["cid"]): tuple(r["cvec"]) for r in carried}
+    assert got == want  # exact doubles, no rounding
+
+
+def test_trained_frames_carry_rows_and_match_table(spark):
+    """Public trainers return checkpointed frames whose carried
+    `_local_rows` equal the frame's own rows (the side-channel skips
+    dispatch-probe collects — it must never drift from the frame)."""
+    emb = load(spark, SF, "embeddings")
+    cents = km.train_kmeans(emb, k=5, iters=2)
+    rows = cents._local_rows
+    assert rows is not None
+    from_frame = {int(r["cid"]): tuple(r["cvec"]) for r in cents.collect()}
+    from_rows = {int(r["cid"]): tuple(r["cvec"]) for r in rows}
+    assert from_rows == from_frame

@@ -906,9 +906,11 @@ def build_ivfpq_index(
             F.pmod(F.hash("vec_id"), F.lit(ratio)) == 0
         )
     _drop_stale(spark, table)
-    codebook = train_pq(train_src, m=m, k=k, iters=iters).localCheckpoint(
-        eager=True
-    )
+    # train_pq returns a driver-local relation (round 11) — no
+    # checkpoint needed to flatten training lineage, and keeping the
+    # frame as-is preserves its carried rows so the encode below skips
+    # its codebook re-collect
+    codebook = train_pq(train_src, m=m, k=k, iters=iters)
     (
         codebook.write.mode("overwrite")
         .format("parquet")

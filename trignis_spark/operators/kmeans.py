@@ -19,7 +19,7 @@ oracle-checked queries rely on elsewhere in the repo.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Row, Window
 from pyspark.sql import functions as F
 
 #: fixed-point accumulator for order-independent component means
@@ -104,6 +104,61 @@ def assign_clusters(embeddings: DataFrame, centroids: DataFrame,
     corpus is never shuffled. ``spread=False`` for batch-sized inputs
     (poll-cycle extends) — see ``_spread``."""
     return assign_clusters_topn(embeddings, centroids, 1, emb_col, spread)
+
+
+def _centroids_df(spark, rows, checkpoint: bool = False) -> DataFrame:
+    """Collected/driver-built (cid, cvec) rows → a DataFrame with the
+    module's centroid schema. The frame carries the rows on
+    ``_local_rows`` so downstream assignments skip their re-collect (a
+    Spark job per call on the training hot path). ``checkpoint=True``
+    for frames that are RETURNED to consumers: a raw LocalRelation
+    embedded in a repeatedly-planned query measured ~2× the
+    plan/execute cost of the same rows behind a checkpointed scan
+    (round 11 A/B — the optimizer re-walks inline relation data on
+    every action), while inside a one-shot training round the
+    LocalRelation is cheaper than the extra checkpoint job."""
+    df = spark.createDataFrame(
+        [(int(r["cid"]), list(r["cvec"])) for r in rows],
+        "cid int, cvec array<double>",
+    )
+    if checkpoint:
+        df = df.localCheckpoint(eager=True)
+    df._local_rows = rows
+    return df
+
+
+def _fine_df(spark, rows, checkpoint: bool = False) -> DataFrame:
+    """Collected/driver-built (ccid, fid, cvec) rows → a DataFrame with
+    the fine-centroid schema (same ``_local_rows`` side-channel and
+    checkpoint rationale as ``_centroids_df``)."""
+    df = spark.createDataFrame(
+        [(int(r["ccid"]), int(r["fid"]), list(r["cvec"])) for r in rows],
+        "ccid int, fid int, cvec array<double>",
+    )
+    if checkpoint:
+        df = df.localCheckpoint(eager=True)
+    df._local_rows = rows
+    return df
+
+
+def _means_cvec(grouped) -> "object":
+    """Component-mean aggregation for a Lloyd round: the exploded
+    (pos, x) rows aggregate per (group, pos) with exact decimal
+    accumulation and ONE double division, then gather into a cvec
+    array per group. (Round 11 note: a 'wide' formulation — one
+    sum-per-component aggregate over the un-exploded vector — measured
+    ~2 s per execution against this form's ~60 ms at 64 dims; Spark's
+    many-column aggregate codegen loses to the narrow exploded
+    hash-agg by orders of magnitude here, so the exploded shape
+    stays.)"""
+    return (
+        grouped.agg(
+            (
+                F.sum(F.col("x").cast(_ACC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
 
 
 def _pack(centroids: DataFrame, keys: list[str],
@@ -243,8 +298,9 @@ def _assign_vecs_topn_arrow(vecs: DataFrame, rows: list,
     return src.mapInPandas(gen, schema)
 
 
-def _assign_vecs_topn(vecs: DataFrame, centroids: DataFrame, n: int,
-                      carry: tuple = ()) -> DataFrame:
+def _assign_vecs_topn(vecs: DataFrame, centroids: DataFrame | None,
+                      n: int, carry: tuple = (),
+                      rows: list | None = None) -> DataFrame:
     """``assign_clusters_topn``'s core on prepped (vec_id, v) rows —
     the training loop preps (and spreads, and checkpoints) the corpus
     once and calls this every round. ``carry`` keeps extra input
@@ -254,13 +310,22 @@ def _assign_vecs_topn(vecs: DataFrame, centroids: DataFrame, n: int,
     (the join-back was an N-row shuffle per Lloyd round).
 
     Dispatches to the Arrow-vectorized twin when the per-row score
-    size (k × dims) crosses ``VECTORIZED_ASSIGN_MIN_SCORE``; the size
-    probe collects the centroid table — k rows, the broadcast payload
-    either path ships anyway."""
-    rows = centroids.select("cid", "cvec").orderBy("cid").collect()
+    size (k × dims) crosses ``VECTORIZED_ASSIGN_MIN_SCORE``. The size
+    probe needs the centroid rows; callers that already hold them
+    (the driver-carried training loop, frames built by
+    ``_centroids_df``) pass/carry ``rows`` — cid-ascending — and skip
+    the per-call ``collect()`` job the probe otherwise runs (round
+    11: that collect was one Spark job per Lloyd round and per
+    assignment on the bench's training-heavy queries)."""
+    if rows is None and centroids is not None:
+        rows = getattr(centroids, "_local_rows", None)
+    if rows is None:
+        rows = centroids.select("cid", "cvec").orderBy("cid").collect()
     if rows and len(rows) * len(rows[0]["cvec"]) >= \
             VECTORIZED_ASSIGN_MIN_SCORE:
         return _assign_vecs_topn_arrow(vecs, rows, n, carry)
+    if centroids is None:
+        centroids = _centroids_df(vecs.sparkSession, rows)
     packed = _pack(centroids, [], "cid")
     scored = vecs.crossJoin(F.broadcast(packed))
     cols = ["vec_id", *carry]
@@ -274,25 +339,25 @@ def _assign_vecs_topn(vecs: DataFrame, centroids: DataFrame, n: int,
     )
 
 
-def _update(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """One Lloyd round over prepped (vec_id, v) rows: assign (carrying
-    the vector through the projection — no join back to the corpus),
-    then recompute component means in fixed-point; clusters that lost
-    every member keep their centroid."""
-    assigned = _assign_vecs_topn(vecs, centroids, 1, carry=("v",))
-    comp = assigned.select(
-        "cid", F.posexplode("v").alias("pos", "x")
-    )
+def _update_rows(vecs: DataFrame, rows: list) -> list:
+    """One Lloyd round with driver-carried centroids (round 11): the
+    assignment projection reads the collected centroid rows directly
+    (no per-round centroid ``collect`` job, no checkpointed centroid
+    frame), the component means are the module's proven exploded
+    decimal aggregation (see ``_means_cvec``), and the k-row result
+    merges with the previous centroids on the driver (clusters that
+    lost every member keep their centroid, as before). The round's
+    only action is the means collect — the eager localCheckpoint +
+    next-round re-collect pair this replaces cost two extra jobs per
+    round on the bench's training-heavy queries. Mean arithmetic and
+    assignment are the unchanged expression trees, so trained
+    centroids are bit-identical to the checkpointed form."""
+    if not rows:
+        return rows
+    assigned = _assign_vecs_topn(vecs, None, 1, carry=("v",), rows=rows)
+    comp = assigned.select("cid", F.posexplode("v").alias("pos", "x"))
     means = (
-        comp.groupBy("cid", "pos")
-        .agg(
-            # exact decimal accumulation, ONE double division at the end
-            # (identical expression tree to the SQL oracle)
-            (
-                F.sum(F.col("x").cast(_ACC)).cast("double")
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
+        _means_cvec(comp.groupBy("cid", "pos"))
         .groupBy("cid")
         .agg(
             F.expr(
@@ -301,36 +366,53 @@ def _update(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
             ).alias("cvec")
         )
     )
-    return (
-        centroids.select("cid", F.col("cvec").alias("_old"))
-        .join(means, "cid", "left")
-        .select("cid", F.coalesce("cvec", "_old").alias("cvec"))
-    )
+    got = {int(r["cid"]): list(r["cvec"]) for r in means.collect()}
+    return [
+        Row(cid=int(r["cid"]),
+            cvec=got.get(int(r["cid"]), list(r["cvec"])))
+        for r in rows
+    ]
 
 
 def train_kmeans(embeddings: DataFrame, k: int, iters: int = 5,
                  emb_col: str = "embedding") -> DataFrame:
     """Train k centroids with ``iters`` Lloyd rounds. Returns
-    (cid INT, cvec ARRAY<DOUBLE>), localCheckpointed per round so the
-    lineage stays flat regardless of ``iters``. The corpus is prepped,
-    spread and checkpointed ONCE — every round's assignment then reads
-    the materialized, well-partitioned vectors instead of re-running
-    the scan (the same one-prep pattern ``train_kmeans_2level`` uses
-    for its fine rounds)."""
+    (cid INT, cvec ARRAY<DOUBLE>) as a local-relation frame (the
+    centroid set is k×dims — driver-carried through training, see
+    ``_update_rows``). The corpus is prepped, spread and checkpointed
+    ONCE — every round's assignment then reads the materialized,
+    well-partitioned vectors instead of re-running the scan (the same
+    one-prep pattern ``train_kmeans_2level`` uses for its fine
+    rounds)."""
     vecs = _spread(_as_double_vec(embeddings, emb_col)).localCheckpoint(
         eager=True
     )
     return _train_vecs(vecs, k, iters)
 
 
+def _init_rows(vecs: DataFrame, k: int) -> list:
+    """``_init_vecs`` driver-carried: the k lowest-(vec_id, v) vectors
+    in order become cids 0..k-1. One distributed TakeOrdered job whose
+    collect IS the seed (the packed/posexploded form ran the same
+    take-k and then re-sorted it distributively)."""
+    top = vecs.orderBy("vec_id", "v").limit(k).collect()
+    return [Row(cid=i, cvec=list(r["v"])) for i, r in enumerate(top)]
+
+
 def _train_vecs(vecs: DataFrame, k: int, iters: int) -> DataFrame:
     """``train_kmeans``'s core on prepped (vec_id, v) rows — callers
     that already hold the spread, checkpointed corpus (the two-level
     trainer) reuse it instead of re-prepping."""
-    centroids = _init_vecs(vecs, k).localCheckpoint(eager=True)
+    return _centroids_df(vecs.sparkSession,
+                         _train_vecs_rows(vecs, k, iters),
+                         checkpoint=True)
+
+
+def _train_vecs_rows(vecs: DataFrame, k: int, iters: int) -> list:
+    rows = _init_rows(vecs, k)
     for _ in range(iters):
-        centroids = _update(vecs, centroids).localCheckpoint(eager=True)
-    return centroids
+        rows = _update_rows(vecs, rows)
+    return rows
 
 
 # --------------------------------------------------------------------------
@@ -415,8 +497,8 @@ def _assign_fine_arrow(vecs: DataFrame, rows: list, n: int,
     return src.mapInPandas(gen, schema)
 
 
-def _assign_fine(vecs: DataFrame, fine: DataFrame, n: int = 1,
-                 carry: tuple = ()) -> DataFrame:
+def _assign_fine(vecs: DataFrame, fine: DataFrame | None, n: int = 1,
+                 carry: tuple = (), rows: list | None = None) -> DataFrame:
     """(vec_id, ccid, fid): each vector's ``n`` nearest fine centroids
     *within each of its coarse cells*. ``vecs`` is (vec_id, ccid, v);
     ``fine`` is (ccid, fid, cvec) — packed per coarse cell and
@@ -428,17 +510,23 @@ def _assign_fine(vecs: DataFrame, fine: DataFrame, n: int = 1,
     the Arrow twin past ``VECTORIZED_ASSIGN_MIN_SCORE`` on the
     *largest* cell's score size — the HOF lambda is interpreted and
     becomes the wall at wide dims (see ``_assign_vecs_topn``); the
-    size probe collects the fine table, the broadcast payload either
-    path ships anyway."""
-    rows = fine.select("ccid", "fid", "cvec").orderBy(
-        "ccid", "fid"
-    ).collect()
+    size probe needs the fine rows — callers that already hold them
+    (driver-carried training, ``_fine_df`` frames) pass/carry ``rows``
+    ((ccid, fid)-ascending) and skip the per-call collect job."""
+    if rows is None and fine is not None:
+        rows = getattr(fine, "_local_rows", None)
+    if rows is None:
+        rows = fine.select("ccid", "fid", "cvec").orderBy(
+            "ccid", "fid"
+        ).collect()
     if rows:
         from collections import Counter
 
         kmax = max(Counter(r["ccid"] for r in rows).values())
         if kmax * len(rows[0]["cvec"]) >= VECTORIZED_ASSIGN_MIN_SCORE:
             return _assign_fine_arrow(vecs, rows, n, carry)
+    if fine is None:
+        fine = _fine_df(vecs.sparkSession, rows)
     packed = _pack(fine, ["ccid"], "fid")
     scored = vecs.join(F.broadcast(packed), "ccid")
     if n == 1:
@@ -453,24 +541,21 @@ def _assign_fine(vecs: DataFrame, fine: DataFrame, n: int = 1,
     )
 
 
-def _update_fine(vecs: DataFrame, fine: DataFrame) -> DataFrame:
-    """One grouped Lloyd round over every coarse cell at once: assign
-    within-cell, recompute (ccid, fid) component means in fixed-point;
-    fine cells that lost every member keep their centroid. One
-    partial-aggregated shuffle of cardinality k·dim — never a per-cell
-    driver loop, so the round count is independent of k_coarse. The
-    vector rides through the assignment projection — no join back to
-    the corpus."""
-    assigned = _assign_fine(vecs, fine, 1, carry=("v",))
-    comp = assigned.select("ccid", "fid", F.posexplode("v").alias("pos", "x"))
+def _update_fine_rows(vecs: DataFrame, rows: list) -> list:
+    """One grouped fine Lloyd round over every coarse cell at once,
+    driver-carried (see ``_update_rows``): assign within-cell with the
+    carried rows, aggregate (ccid, fid, pos) component means with the
+    proven exploded decimal aggregation, merge with the previous fine
+    centroids on the driver; fine cells that lost every member keep
+    their centroid. Never a per-cell driver loop, so the round count
+    is independent of k_coarse."""
+    if not rows:
+        return rows
+    assigned = _assign_fine(vecs, None, 1, carry=("v",), rows=rows)
+    comp = assigned.select("ccid", "fid",
+                           F.posexplode("v").alias("pos", "x"))
     means = (
-        comp.groupBy("ccid", "fid", "pos")
-        .agg(
-            (
-                F.sum(F.col("x").cast(_ACC)).cast("double")
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
+        _means_cvec(comp.groupBy("ccid", "fid", "pos"))
         .groupBy("ccid", "fid")
         .agg(
             F.expr(
@@ -479,11 +564,16 @@ def _update_fine(vecs: DataFrame, fine: DataFrame) -> DataFrame:
             ).alias("cvec")
         )
     )
-    return (
-        fine.select("ccid", "fid", F.col("cvec").alias("_old"))
-        .join(means, ["ccid", "fid"], "left")
-        .select("ccid", "fid", F.coalesce("cvec", "_old").alias("cvec"))
-    )
+    got = {
+        (int(r["ccid"]), int(r["fid"])): list(r["cvec"])
+        for r in means.collect()
+    }
+    return [
+        Row(ccid=int(r["ccid"]), fid=int(r["fid"]),
+            cvec=got.get((int(r["ccid"]), int(r["fid"])),
+                         list(r["cvec"])))
+        for r in rows
+    ]
 
 
 def train_kmeans_2level(
@@ -514,14 +604,32 @@ def train_kmeans_2level(
     vecs0 = _spread(_as_double_vec(embeddings, emb_col)).localCheckpoint(
         eager=True
     )
-    coarse = _train_vecs(vecs0, k_coarse, iters)
+    coarse_rows, fine_rows, _ = _train_2level_core(
+        vecs0, k_coarse, k_fine, iters
+    )
+    spark = embeddings.sparkSession
+    return (_centroids_df(spark, coarse_rows, checkpoint=True),
+            _fine_df(spark, fine_rows, checkpoint=True))
+
+
+def _train_2level_core(
+    vecs0: DataFrame, k_coarse: int, k_fine: int, iters: int
+) -> tuple[list, list, DataFrame]:
+    """Two-level training on an already-prepped/spread/checkpointed
+    corpus, driver-carried: returns ``(coarse_rows, fine_rows,
+    assigned)`` where ``assigned`` is the checkpointed top-1
+    coarse-assigned corpus (vec_id, ccid, v) every fine round read —
+    callers that go on to assign/score the same corpus reuse it
+    instead of re-prepping (the registry's clustered sweeps re-scanned
+    and re-spread the corpus once per phase before round 11)."""
+    coarse_rows = _train_vecs_rows(vecs0, k_coarse, iters)
     vecs = (
-        _assign_vecs_topn(vecs0, coarse, 1, carry=("v",))
+        _assign_vecs_topn(vecs0, None, 1, carry=("v",), rows=coarse_rows)
         .select("vec_id", F.col("cid").alias("ccid"), "v")
         .localCheckpoint(eager=True)  # reused by every fine round
     )
     w = Window.partitionBy("ccid").orderBy("vec_id", "v")
-    fine = (
+    seed = (
         vecs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k_fine)
         .select(
@@ -529,11 +637,15 @@ def train_kmeans_2level(
             (F.col("_rn") - 1).cast("int").alias("fid"),
             F.col("v").alias("cvec"),
         )
-        .localCheckpoint(eager=True)
+        .collect()
     )
+    fine_rows = [
+        Row(ccid=int(r["ccid"]), fid=int(r["fid"]), cvec=list(r["cvec"]))
+        for r in sorted(seed, key=lambda r: (r["ccid"], r["fid"]))
+    ]
     for _ in range(iters):
-        fine = _update_fine(vecs, fine).localCheckpoint(eager=True)
-    return coarse, fine
+        fine_rows = _update_fine_rows(vecs, fine_rows)
+    return coarse_rows, fine_rows, vecs
 
 
 def flatten_2level(fine: DataFrame, k_fine: int) -> DataFrame:
@@ -567,6 +679,26 @@ def _live_coarse(coarse: DataFrame, fine: DataFrame) -> DataFrame:
     )
 
 
+def _live_frame(coarse, fine) -> DataFrame:
+    """``_live_coarse`` with the driver-side shortcut: when both
+    frames carry their rows (freshly trained quantizers) the live-cell
+    set is computed on the driver and applied as a literal In filter —
+    no distinct/semi-join jobs — and the filtered rows ride along so
+    downstream dispatch probes stay collect-free. Persisted/attached
+    tables (no carried rows) keep the DF semi-join path."""
+    crows = getattr(coarse, "_local_rows", None)
+    frows = getattr(fine, "_local_rows", None)
+    if crows is None or frows is None:
+        return _live_coarse(coarse, fine)
+    live = {int(r["ccid"]) for r in frows}
+    live_rows = [r for r in crows if int(r["cid"]) in live]
+    if len(live_rows) == len(crows):
+        return coarse  # every coarse cell is live — common case
+    df = coarse.filter(F.col("cid").isin(sorted(live)))
+    df._local_rows = live_rows
+    return df
+
+
 def assign_clusters_2level(
     embeddings: DataFrame,
     coarse: DataFrame,
@@ -592,7 +724,7 @@ def assign_clusters_2level(
     vecs = (
         _assign_vecs_topn(
             _spread(src) if spread else src,
-            _live_coarse(coarse, fine),
+            _live_frame(coarse, fine),
             1,
             carry=("v",),
         )
@@ -623,10 +755,26 @@ def assign_cells_2level_topn(
     would silently vanish in the fine join instead of blocking against
     a populated cell (the SQL oracle replays the same live-cell
     filter)."""
+    return _assign_cells_2level_topn_vecs(
+        _spread(_as_double_vec(embeddings, emb_col)),
+        coarse, fine, n_coarse, n_fine,
+    )
+
+
+def _assign_cells_2level_topn_vecs(
+    vecs0: DataFrame,
+    coarse: DataFrame,
+    fine: DataFrame,
+    n_coarse: int,
+    n_fine: int,
+) -> DataFrame:
+    """``assign_cells_2level_topn`` on already-prepped/spread (vec_id,
+    v) rows — the clustered sweeps hold the checkpointed training
+    corpus and reuse it here instead of re-scanning/re-spreading."""
     vecs = (
         _assign_vecs_topn(
-            _spread(_as_double_vec(embeddings, emb_col)),
-            _live_coarse(coarse, fine),
+            vecs0,
+            _live_frame(coarse, fine),
             n_coarse,
             carry=("v",),
         )

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark.sql import Row
+
 from trignis_spark.operators.kmeans import (
     _ACC,
     _as_double_vec,
@@ -172,8 +174,9 @@ def init_codebook(embeddings: DataFrame, m: int, k: int,
     )
 
 
-def assign_codes(subvecs: DataFrame, codebook: DataFrame,
-                 carry: tuple = ()) -> DataFrame:
+def assign_codes(subvecs: DataFrame, codebook: DataFrame | None,
+                 carry: tuple = (),
+                 rows: list | None = None) -> DataFrame:
     """(vec_id, sub, *carry, cid): nearest centroid per subspace
     (squared L2, ties to the lowest cid). The per-subspace codebook
     packs into a broadcast array and each (vector, sub) row scores it
@@ -189,11 +192,17 @@ def assign_codes(subvecs: DataFrame, codebook: DataFrame,
     filled 67 GB of scratch disk before it died.
 
     Past ``VECTORIZED_ENCODE_MIN_SCORE`` fold elements per subspace the
-    projection dispatches to the bit-identical Arrow twin (the collect
-    below is k·m rows — the broadcast payload either path ships)."""
+    projection dispatches to the bit-identical Arrow twin. The size
+    probe needs the codebook rows; callers that already hold them
+    (driver-carried training, ``_codebook_df`` frames) pass/carry
+    ``rows`` and skip the per-call collect job."""
     from trignis_spark.operators.kmeans import _nearest_expr, _pack
 
-    cb_rows = codebook.select("sub", "cid", "cvec").collect()
+    cb_rows = rows
+    if cb_rows is None:
+        cb_rows = getattr(codebook, "_local_rows", None)
+    if cb_rows is None:
+        cb_rows = codebook.select("sub", "cid", "cvec").collect()
     if cb_rows:
         k_max = max(
             sum(1 for r in cb_rows if r["sub"] == s)
@@ -201,6 +210,8 @@ def assign_codes(subvecs: DataFrame, codebook: DataFrame,
         )
         if k_max * len(cb_rows[0]["cvec"]) >= VECTORIZED_ENCODE_MIN_SCORE:
             return _assign_codes_arrow(subvecs, cb_rows, carry)
+    if codebook is None:
+        codebook = _codebook_df(subvecs.sparkSession, cb_rows)
     packed = _pack(codebook, ["sub"], "cid")
     return subvecs.join(F.broadcast(packed), "sub").select(
         "vec_id",
@@ -210,15 +221,54 @@ def assign_codes(subvecs: DataFrame, codebook: DataFrame,
     )
 
 
-def _update(subvecs: DataFrame, codebook: DataFrame) -> DataFrame:
-    """One grouped Lloyd round across all subspaces at once. The
-    assignment carries ``subv`` through its projection instead of
-    joining back to ``subvecs`` (same carry-through design as
-    ``kmeans._update``), so the only shuffle per round is the
-    map-side-combined means aggregation — cardinality m·k·(dim/m),
-    corpus-independent."""
-    assigned = assign_codes(subvecs, codebook, carry=("subv",))
-    comp = assigned.select("sub", "cid", F.posexplode("subv").alias("pos", "x"))
+def _codebook_df(spark, rows, checkpoint: bool = False) -> DataFrame:
+    """Collected/driver-built (sub, cid, cvec) rows → a DataFrame with
+    the codebook schema, carrying its rows on ``_local_rows`` (see
+    ``kmeans._centroids_df`` — including the checkpoint-when-returned
+    rationale)."""
+    df = spark.createDataFrame(
+        [(int(r["sub"]), int(r["cid"]), list(r["cvec"])) for r in rows],
+        "sub int, cid int, cvec array<double>",
+    )
+    if checkpoint:
+        df = df.localCheckpoint(eager=True)
+    df._local_rows = rows
+    return df
+
+
+def _init_rows(embeddings: DataFrame, m: int, k: int,
+               emb_col: str) -> list:
+    """``init_codebook`` driver-carried: the k lowest-(vec_id, v)
+    vectors' m contiguous slices become centroids 0..k-1 per subspace.
+    One distributed TakeOrdered job; the slicing is positional (no
+    arithmetic), identical to the SQL ``slice`` form."""
+    vecs = _as_double_vec(embeddings, emb_col)
+    top = vecs.orderBy("vec_id", "v").limit(k).collect()
+    rows = []
+    for s in range(m):
+        for cid, r in enumerate(top):
+            v = list(r["v"])
+            w = len(v) // m
+            rows.append(Row(sub=s, cid=cid, cvec=v[s * w:(s + 1) * w]))
+    return rows
+
+
+def _update_rows(subvecs: DataFrame, rows: list) -> list:
+    """One grouped Lloyd round across all subspaces at once,
+    driver-carried (round 11 — see ``kmeans._update_rows``: the
+    round's only action is the means collect; the eager checkpoint +
+    next-round codebook re-collect pair it replaces cost two extra
+    jobs per round). The assignment carries ``subv`` through its
+    projection instead of joining back to ``subvecs``, the means are
+    the module's proven exploded decimal aggregation (cardinality
+    m·k·(dim/m), corpus-independent), and the m·k-row result merges
+    with the previous codebook on the driver — codebooks are
+    bit-identical to the checkpointed form."""
+    if not rows:
+        return rows
+    assigned = assign_codes(subvecs, None, carry=("subv",), rows=rows)
+    comp = assigned.select("sub", "cid",
+                           F.posexplode("subv").alias("pos", "x"))
     means = (
         comp.groupBy("sub", "cid", "pos")
         .agg(
@@ -235,30 +285,35 @@ def _update(subvecs: DataFrame, codebook: DataFrame) -> DataFrame:
             ).alias("cvec")
         )
     )
-    return (
-        codebook.select("sub", "cid", F.col("cvec").alias("_old"))
-        .join(means, ["sub", "cid"], "left")
-        .select("sub", "cid", F.coalesce("cvec", "_old").alias("cvec"))
-    )
+    got = {
+        (int(r["sub"]), int(r["cid"])): list(r["cvec"])
+        for r in means.collect()
+    }
+    return [
+        Row(sub=int(r["sub"]), cid=int(r["cid"]),
+            cvec=got.get((int(r["sub"]), int(r["cid"])),
+                         list(r["cvec"])))
+        for r in rows
+    ]
 
 
 def train_pq(embeddings: DataFrame, m: int = 8, k: int = 16,
              iters: int = 2, emb_col: str = "embedding") -> DataFrame:
     """Train the m per-subspace codebooks jointly (one grouped plan per
     Lloyd round — the m k-means problems share every shuffle). Returns
-    (sub INT, cid INT, cvec ARRAY<DOUBLE>)."""
+    (sub INT, cid INT, cvec ARRAY<DOUBLE>) as a local-relation frame
+    (the codebook is m·k×(dim/m) — driver-carried through training,
+    see ``_update_rows``)."""
     # spread before the one-time checkpoint: scoring is a projection,
     # so every Lloyd round's parallelism is whatever this partitioning
     # provides (see kmeans._spread)
     subvecs = _spread(split_subvectors(embeddings, m, emb_col)).localCheckpoint(
         eager=True
     )
-    codebook = init_codebook(embeddings, m, k, emb_col).localCheckpoint(
-        eager=True
-    )
+    rows = _init_rows(embeddings, m, k, emb_col)
     for _ in range(iters):
-        codebook = _update(subvecs, codebook).localCheckpoint(eager=True)
-    return codebook
+        rows = _update_rows(subvecs, rows)
+    return _codebook_df(embeddings.sparkSession, rows, checkpoint=True)
 
 
 def encode_pq(embeddings: DataFrame, codebook: DataFrame, m: int,
@@ -313,8 +368,13 @@ def ivfpq_topk(
     # bind the width as a literal: the strided v2 cell expression then
     # folds its bit positions at plan time instead of evaluating
     # size(v) once per bit per corpus row — VERDICT r9 #2 attributed
-    # ann_ivfpq_topk's +23% best-of-3 drift to exactly this
-    bucket = bucket_expr("{v}", n_buckets, dims=_vec_dims(vecs))
+    # ann_ivfpq_topk's +23% best-of-3 drift to exactly this. A
+    # freshly-trained codebook already knows the width (m × sub_dims)
+    # — skip the 1-row probe job then.
+    cb_rows = getattr(codebook, "_local_rows", None)
+    dims = (m * len(cb_rows[0]["cvec"]) if cb_rows
+            else _vec_dims(vecs))
+    bucket = bucket_expr("{v}", n_buckets, dims=dims)
     vecs = vecs.withColumn("bucket", F.expr(bucket.format(v="v")))
     q = vecs.filter(F.expr(query_pred)).select(
         F.col("vec_id").alias("query_id"),

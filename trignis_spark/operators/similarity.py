@@ -155,6 +155,7 @@ def exceeds(df: DataFrame, limit: int) -> bool:
 def _verify_pairs(
     cand: DataFrame, base: DataFrame, threshold: float,
     broadcast_corpus: bool | None = None,
+    dims: int | None = None,
 ) -> DataFrame:
     """Exact-cosine verification of a candidate (d1, d2) set against
     ``base`` (= ``_prep`` output). The candidate stream can be orders
@@ -169,8 +170,12 @@ def _verify_pairs(
     512-byte vectors, sorted twice) to a pass that completes
     (BASELINE.md r6)."""
     if broadcast_corpus is None:
+        # ``dims`` from a caller that already knows the width (e.g.
+        # trained centroid rows) saves the 1-row width-probe job
+        if dims is None or dims <= 0:
+            dims = _vec_dims(base)
         broadcast_corpus = not exceeds(
-            base, _verify_broadcast_rows(_vec_dims(base))
+            base, _verify_broadcast_rows(dims)
         )
 
     def _b(df: DataFrame) -> DataFrame:
@@ -655,8 +660,15 @@ def cosine_near_dup_pairs_clustered(
 
     from trignis_spark.operators import kmeans as km
 
-    n_corpus = embeddings.count() if n_vectors is None else n_vectors
-    if n_corpus > FLAT_CLUSTER_MAX:
+    if n_vectors is not None or k is None:
+        # auto-k needs the true count; an explicit k only needs the
+        # dispatch bit, answered below by a LocalLimit-bounded probe
+        n_corpus = embeddings.count() if n_vectors is None else n_vectors
+        big = n_corpus > FLAT_CLUSTER_MAX
+    else:
+        n_corpus = None
+        big = exceeds(embeddings, FLAT_CLUSTER_MAX)
+    if big:
         side = (auto_two_level_k(n_corpus) if k is None
                 else max(2, math.ceil(math.sqrt(k))))
         return cosine_near_dup_pairs_clustered_2level(
@@ -665,10 +677,26 @@ def cosine_near_dup_pairs_clustered(
         )
     if k is None:
         k = max(4, math.ceil(math.sqrt(n_corpus)))
-    cents = km.train_kmeans(embeddings, k, iters=iters)
-    asg = km.assign_clusters_topn(embeddings, cents, assign_n)
-    base = _prep(embeddings)
+    # one prep+spread+checkpoint serves training, assignment AND the
+    # verify's vector lookups (round 11): the corpus was previously
+    # re-scanned and re-spread once per phase. The checkpointed rows
+    # are exactly ``_prep``'s (vec_id, v) projection, so results are
+    # unchanged; ``n2`` is recomputed on top as before.
+    vecs = km._spread(
+        km._as_double_vec(embeddings, "embedding")
+    ).localCheckpoint(eager=True)
+    rows = km._train_vecs_rows(vecs, k, iters)
+    cents = km._centroids_df(embeddings.sparkSession, rows,
+                             checkpoint=True)
+    asg = km._assign_vecs_topn(vecs, cents, assign_n)
+    base = vecs.withColumn("n2", F.expr(NORM2.format(a="v")))
     a, b = asg.alias("a"), asg.alias("b")
+    # the pre-verify distinct stays (round 11 finding): besides
+    # deduping co-blocked pairs it REBALANCES the Σ occupancy² pair
+    # stream off the cell-keyed self-join partitions (≤ #cells, skewed
+    # by occupancy) before the verify's per-pair cosine fold — removing
+    # it ran the verify on the skewed cell partitions and doubled the
+    # operator wall at sf0.1 (one exchange buys dedup + balance)
     cand = (
         a.join(
             b,
@@ -678,7 +706,10 @@ def cosine_near_dup_pairs_clustered(
         .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
         .distinct()
     )
-    return _verify_pairs(cand, base, threshold)
+    return _verify_pairs(
+        cand, base, threshold,
+        dims=len(rows[0]["cvec"]) if rows else 0,
+    )
 
 
 def auto_two_level_k(n_vectors: int) -> int:
@@ -733,22 +764,12 @@ def cosine_near_dup_pairs_clustered_2level(
     ``auto_two_level_k`` (~2·N^(1/4) per level, ~4√N cells) — at 10⁸
     vectors that is ~200 × ~200 cells and ~600 distance evals/vector,
     vs 10⁴ for the flat dial."""
-    from trignis_spark.operators import kmeans as km
-
-    if k_coarse is None or k_fine is None:
-        auto = auto_two_level_k(
-            embeddings.count() if n_vectors is None else n_vectors
-        )
-        k_coarse = auto if k_coarse is None else k_coarse
-        k_fine = auto if k_fine is None else k_fine
-    coarse, fine = km.train_kmeans_2level(
-        embeddings, k_coarse, k_fine, iters=iters
+    base, asg, dims = _train_slots_2level(
+        embeddings, k_coarse, k_fine, iters, assign_n, n_vectors
     )
-    asg = km.assign_cells_2level_topn(
-        embeddings, coarse, fine, n_coarse=assign_n, n_fine=assign_n
-    )
-    base = _prep(embeddings)
     a, b = asg.alias("a"), asg.alias("b")
+    # pre-verify distinct stays — dedup + pair-stream rebalance in one
+    # exchange (see cosine_near_dup_pairs_clustered's note)
     cand = (
         a.join(
             b,
@@ -759,7 +780,49 @@ def cosine_near_dup_pairs_clustered_2level(
         .select(F.col("a.vec_id").alias("d1"), F.col("b.vec_id").alias("d2"))
         .distinct()
     )
-    return _verify_pairs(cand, base, threshold)
+    return _verify_pairs(cand, base, threshold, dims=dims)
+
+
+def _train_slots_2level(
+    embeddings: DataFrame,
+    k_coarse: int | None,
+    k_fine: int | None,
+    iters: int,
+    assign_n: int,
+    n_vectors: int | None,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Shared 2-level train + multi-assign phase for the clustered
+    sweeps (round 11): ONE prep+spread+checkpoint of the corpus serves
+    coarse training, fine training, the blocking multi-assignment and
+    (via the returned ``base``) the verify's vector lookups — the
+    corpus was previously re-scanned and re-spread once per phase, and
+    every centroid table round-tripped through per-call collects.
+    Returns ``(base (vec_id, v, n2), slots (vec_id, ccid, fid),
+    dims)``; identical assignments/cosines to the phase-per-call form
+    (same projections over the same rows)."""
+    from trignis_spark.operators import kmeans as km
+
+    if k_coarse is None or k_fine is None:
+        auto = auto_two_level_k(
+            embeddings.count() if n_vectors is None else n_vectors
+        )
+        k_coarse = auto if k_coarse is None else k_coarse
+        k_fine = auto if k_fine is None else k_fine
+    vecs0 = km._spread(
+        km._as_double_vec(embeddings, "embedding")
+    ).localCheckpoint(eager=True)
+    coarse_rows, fine_rows, _ = km._train_2level_core(
+        vecs0, k_coarse, k_fine, iters
+    )
+    spark = embeddings.sparkSession
+    coarse = km._centroids_df(spark, coarse_rows, checkpoint=True)
+    fine = km._fine_df(spark, fine_rows, checkpoint=True)
+    asg = km._assign_cells_2level_topn_vecs(
+        vecs0, coarse, fine, n_coarse=assign_n, n_fine=assign_n
+    )
+    base = vecs0.withColumn("n2", F.expr(NORM2.format(a="v")))
+    dims = len(coarse_rows[0]["cvec"]) if coarse_rows else 0
+    return base, asg, dims
 
 
 def cosine_near_dup_pairs_clustered_capped(
@@ -829,19 +892,8 @@ def cosine_near_dup_pairs_clustered_capped(
     the blocking is invisible in the output. Extra cells
     (``k_coarse``/``k_fine`` up) still trade loose-pair recall for
     candidate volume; the cap keeps the *output* linear either way."""
-    from trignis_spark.operators import kmeans as km
-
-    if k_coarse is None or k_fine is None:
-        auto = auto_two_level_k(
-            embeddings.count() if n_vectors is None else n_vectors
-        )
-        k_coarse = auto if k_coarse is None else k_coarse
-        k_fine = auto if k_fine is None else k_fine
-    coarse, fine = km.train_kmeans_2level(
-        embeddings, k_coarse, k_fine, iters=iters
-    )
-    asg = km.assign_cells_2level_topn(
-        embeddings, coarse, fine, n_coarse=assign_n, n_fine=assign_n
+    _, asg, dims = _train_slots_2level(
+        embeddings, k_coarse, k_fine, iters, assign_n, n_vectors
     )
     # the grouped map ships the RAW embedding column (float32 off
     # parquet = half the bytes of the prepped doubles) and casts
@@ -864,7 +916,8 @@ def cosine_near_dup_pairs_clustered_capped(
     # come from the frame already at hand — one row for dims, the
     # n_vectors hint (or one count) for rows.
     n_vec = embeddings.count() if n_vectors is None else n_vectors
-    dims = _vec_dims(embeddings, "embedding")
+    if dims <= 0:  # empty corpus trained no centroids — nothing to size
+        dims = _vec_dims(embeddings, "embedding")
     ex_bytes = n_vec * (assign_n * assign_n) * (dims * 4 + 64)
     n_part = int(min(32768, max(
         embeddings.sparkSession.sparkContext.defaultParallelism,
