@@ -639,18 +639,17 @@ def _probe_v4_fast(
         )
         .select("batch_doc", F.col("doc_id").alias("corpus_doc"))
         .distinct()
-        # ONE execution of the In-pruned scan: count and collect both
-        # read the checkpoint (the un-checkpointed pair re-ran the
-        # scan twice — 2 × ~6 s at the 50 M fixture; the checkpoint
-        # materializes candidate-pair-sized rows, ~0.2 s)
-        .localCheckpoint(eager=True)
     )
-    n_cand = cand.count()
-    if n_cand > VERIFY_COLLECT_MAX:
+    # ONE bounded limit-collect executes the In-pruned candidate scan
+    # exactly once and answers the size gate from the row count (round
+    # 11: the previous checkpoint-then-count-then-collect trio ran the
+    # same gate in three serial jobs per probe; the limit caps driver
+    # memory at VERIFY_COLLECT_MAX+1 pair rows either way)
+    crows = cand.limit(VERIFY_COLLECT_MAX + 1).collect()
+    if len(crows) > VERIFY_COLLECT_MAX:
         return None
-    if n_cand == 0:
+    if not crows:
         return spark.createDataFrame([], out_schema)
-    crows = cand.collect()
     cand_lit = F.broadcast(spark.createDataFrame(crows, cand.schema))
     ids = sorted({int(r["corpus_doc"]) for r in crows})
     barr_schema = (
@@ -743,10 +742,26 @@ def probe_prefix_index(
     bsh = shingle_table(batch_docs, n).select(
         F.col("doc_id").alias("batch_doc"), "shingle"
     )
+    if broadcast_batch is None:
+        from trignis_spark.operators.similarity import exceeds
+
+        # limit-bounded probe, not a full count: this gate runs on
+        # every poll-cycle probe and the batch plan can be expensive
+        broadcast_batch = not exceeds(bsh, MAX_BROADCAST_SHINGLES)
+    if broadcast_batch:
+        # batch-sized by the gate — materialize the shingle rows ONCE
+        # (round 11): the probe otherwise re-ran the batch's tokenize/
+        # hash/shingle pipeline per consumer (fast-path collect, sizes,
+        # candidate join, batch arrays — four to five executions of the
+        # same HOF plan per poll cycle, ~0.4 s each at the sf0.1 bench
+        # batch). Corpus-shaped batches (a Full resync routed through
+        # probe) keep the unmaterialized plan — the sort-merge path's
+        # scratch-disk profile is deliberate.
+        bsh = bsh.localCheckpoint(eager=True)
     full = spark.table(_full_table(table))
     if (
         "shs" in full.columns and "pb" not in full.columns
-        and broadcast_batch is not False
+        and broadcast_batch
     ):
         # v4 fast path: fully candidate-bounded probe (see
         # ``_probe_v4_fast``); falls through to the join path when the
@@ -754,12 +769,6 @@ def probe_prefix_index(
         fast = _probe_v4_fast(spark, table, full, bsh, threshold)
         if fast is not None:
             return fast
-    if broadcast_batch is None:
-        from trignis_spark.operators.similarity import exceeds
-
-        # limit-bounded probe, not a full count: this gate runs on
-        # every poll-cycle probe and the batch plan can be expensive
-        broadcast_batch = not exceeds(bsh, MAX_BROADCAST_SHINGLES)
 
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_batch else df
@@ -830,20 +839,17 @@ def probe_prefix_index(
             # once.
             scan = full
             if broadcast_batch:
-                # ONE bounded collect materializes the candidate pairs
-                # driver-side: it answers the size gate, supplies the
-                # pushed id filter, AND replaces the distributed
-                # candidate plan with a literal frame — so the whole
-                # probe is gate + collect + verify, three jobs total
-                # (a checkpoint-then-collect shape paid two extra
-                # serial jobs per poll cycle, measured +1.5 s at the
-                # 5 M fixture)
-                cand = cand.localCheckpoint(eager=True)
-                rows = (
-                    cand.collect()
-                    if cand.count() <= VERIFY_COLLECT_MAX else None
-                )
-                if rows is not None:
+                # ONE bounded limit-collect materializes the candidate
+                # pairs driver-side: it answers the size gate from the
+                # row count, supplies the pushed id filter, AND
+                # replaces the distributed candidate plan with a
+                # literal frame — so the whole probe is gate + collect
+                # + verify (round 11: the checkpoint-then-count-then-
+                # collect shape paid two extra serial jobs per poll
+                # cycle; the LocalLimit caps driver memory and stops a
+                # corpus-shaped candidate scan early)
+                rows = cand.limit(VERIFY_COLLECT_MAX + 1).collect()
+                if len(rows) <= VERIFY_COLLECT_MAX:
                     cand = spark.createDataFrame(rows, cand.schema)
                     ids = sorted({r["corpus_doc"] for r in rows})
                     if len(ids) <= VERIFY_IN_MAX:
@@ -852,10 +858,13 @@ def probe_prefix_index(
                         # bigger id set is corpus-shaped and the full
                         # narrow scan is the right cost model
                         scan = _in_scan(spark, full, "doc_id", ids)
-                # else: corpus-shaped candidate set (a Full resync
-                # routed through probe) — keep the distributed plan;
-                # its one broadcast executes it once, and the In
-                # filter would only bloat the plan
+                else:
+                    # corpus-shaped candidate set (a Full resync
+                    # routed through probe) — keep a distributed plan,
+                    # materialized once so the verify join does not
+                    # re-run the candidate scan; the In filter would
+                    # only bloat the plan
+                    cand = cand.localCheckpoint(eager=True)
             # else: corpus-shaped candidate set (a Full resync routed
             # through probe) — the broadcast/shuffle join below is the
             # right cost model and the In filter would only bloat the
