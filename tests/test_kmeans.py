@@ -301,50 +301,3 @@ def test_trained_frames_carry_rows_and_match_table(spark):
     from_frame = {int(r["cid"]): tuple(r["cvec"]) for r in cents.collect()}
     from_rows = {int(r["cid"]): tuple(r["cvec"]) for r in rows}
     assert from_rows == from_frame
-
-
-def test_chained_plan_training_matches_stepped_rounds(spark):
-    """Round-11 chained-plan dispatch: below the Arrow score threshold
-    `_train_vecs_rows` chains every Lloyd round into ONE collected plan
-    (`_update_plan`). Centroids must be BIT-identical to the stepped
-    per-round `_update_rows` loop, flat and 2-level fine alike."""
-    emb = load(spark, SF, "embeddings")
-    vecs = km._spread(km._as_double_vec(emb, "embedding")).localCheckpoint(
-        eager=True
-    )
-    k, iters = 8, 3
-    assert k * 64 < km.VECTORIZED_ASSIGN_MIN_SCORE  # chained path taken
-    chained = km._train_vecs_rows(vecs, k, iters)
-    stepped = km._init_rows(vecs, k)
-    for _ in range(iters):
-        stepped = km._update_rows(vecs, stepped)
-    assert [(int(r["cid"]), tuple(r["cvec"])) for r in chained] == [
-        (int(r["cid"]), tuple(r["cvec"])) for r in stepped
-    ]  # exact doubles, no rounding
-
-    # 2-level fine rounds: chained `_update_fine_plan` vs stepped.
-    # The stepped reference recomputes the SAME fine seed from the
-    # chained run's own assigned corpus (coarse training depends on
-    # iters, so a separate iters=0 core call would seed differently).
-    from pyspark.sql import Row, Window
-
-    coarse_c, fine_c, vecs_cc = km._train_2level_core(vecs, 3, 3, 2)
-    w = Window.partitionBy("ccid").orderBy("vec_id", "v")
-    seed = (
-        vecs_cc.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 3)
-        .select("ccid", (F.col("_rn") - 1).cast("int").alias("fid"),
-                F.col("v").alias("cvec"))
-        .collect()
-    )
-    fine_s = [
-        Row(ccid=int(r["ccid"]), fid=int(r["fid"]), cvec=list(r["cvec"]))
-        for r in sorted(seed, key=lambda r: (r["ccid"], r["fid"]))
-    ]
-    for _ in range(2):
-        fine_s = km._update_fine_rows(vecs_cc, fine_s)
-    assert sorted(
-        (int(r["ccid"]), int(r["fid"]), tuple(r["cvec"])) for r in fine_c
-    ) == sorted(
-        (int(r["ccid"]), int(r["fid"]), tuple(r["cvec"])) for r in fine_s
-    )

@@ -180,28 +180,3 @@ def test_arrow_encode_matches_hof_wide(spark):
             for r in ipq._wide_codes(rows, cb, 2).collect()
         )
     assert got == want and got
-
-
-def test_chained_plan_pq_training_matches_stepped_rounds(spark):
-    """Round-11 chained-plan dispatch in `train_pq`: below the encode
-    score threshold every Lloyd round chains into one collected plan
-    (`pq._update_plan`); the codebook must be BIT-identical to the
-    stepped per-round `_update_rows` loop."""
-    emb = load(spark, SF, "embeddings")
-    m, k, iters = 4, 4, 3
-    assert k * (64 // m) < pq.VECTORIZED_ENCODE_MIN_SCORE
-    chained = {
-        (int(r["sub"]), int(r["cid"]), tuple(r["cvec"]))
-        for r in pq.train_pq(emb, m=m, k=k, iters=iters).collect()
-    }
-    subvecs = pq._spread(pq.split_subvectors(emb, m)).localCheckpoint(
-        eager=True
-    )
-    stepped_rows = pq._init_rows(emb, m, k, "embedding")
-    for _ in range(iters):
-        stepped_rows = pq._update_rows(subvecs, stepped_rows)
-    stepped = {
-        (int(r["sub"]), int(r["cid"]), tuple(r["cvec"]))
-        for r in stepped_rows
-    }
-    assert chained == stepped  # exact doubles, no rounding

@@ -408,57 +408,8 @@ def _train_vecs(vecs: DataFrame, k: int, iters: int) -> DataFrame:
                          checkpoint=True)
 
 
-def _update_plan(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """One Lloyd round as a LAZY plan over a centroid frame (the
-    pre-round-11 formulation without its checkpoint): assignment via
-    the packed-centroid projection, exploded decimal means, left-join
-    coalesce merge. Used to CHAIN rounds into one collected plan on
-    the expression path (see ``_train_vecs_rows``)."""
-    packed = _pack(centroids, [], "cid")
-    assigned = vecs.crossJoin(F.broadcast(packed)).select(
-        "vec_id", "v", F.expr(_nearest_expr("cid", 1)).alias("cid")
-    ).filter(F.col("cid").isNotNull())
-    comp = assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-    means = (
-        _means_cvec(comp.groupBy("cid", "pos"))
-        .groupBy("cid")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, m))), "
-                "s -> s.m)"
-            ).alias("cvec")
-        )
-    )
-    return (
-        centroids.select("cid", F.col("cvec").alias("_old"))
-        .join(means, "cid", "left")
-        .select("cid", F.coalesce("cvec", "_old").alias("cvec"))
-    )
-
-
 def _train_vecs_rows(vecs: DataFrame, k: int, iters: int) -> list:
-    """Driver-carried training loop. Dispatch (round 11): on the
-    expression path (per-row score k×dims under
-    ``VECTORIZED_ASSIGN_MIN_SCORE`` — fixture-scale work, where a
-    fresh plan's analyze/optimize/schedule overhead of ~1 s dwarfs the
-    ~60 ms of actual aggregation) ALL rounds chain lazily and ONE
-    collect executes the whole loop; the chained plan is operator-for-
-    operator the pre-round-11 per-round plan, so centroids are
-    bit-identical. Past the score threshold (wide/hi-k corpora, where
-    per-round compute dominates and the Arrow assignment twin needs
-    the centroid values driver-side) rounds collect one by one."""
     rows = _init_rows(vecs, k)
-    if not rows:
-        return rows
-    if iters > 0 and \
-            len(rows) * len(rows[0]["cvec"]) < VECTORIZED_ASSIGN_MIN_SCORE:
-        cents = _centroids_df(vecs.sparkSession, rows)
-        for _ in range(iters):
-            cents = _update_plan(vecs, cents)
-        return [
-            Row(cid=int(r["cid"]), cvec=list(r["cvec"]))
-            for r in cents.orderBy("cid").collect()
-        ]
     for _ in range(iters):
         rows = _update_rows(vecs, rows)
     return rows
@@ -692,51 +643,9 @@ def _train_2level_core(
         Row(ccid=int(r["ccid"]), fid=int(r["fid"]), cvec=list(r["cvec"]))
         for r in sorted(seed, key=lambda r: (r["ccid"], r["fid"]))
     ]
-    if fine_rows and iters > 0:
-        from collections import Counter
-
-        kmax = max(Counter(r["ccid"] for r in fine_rows).values())
-        if kmax * len(fine_rows[0]["cvec"]) < VECTORIZED_ASSIGN_MIN_SCORE:
-            # expression path: chain every fine round into one
-            # collected plan — see _train_vecs_rows' dispatch note
-            fine = _fine_df(vecs.sparkSession, fine_rows)
-            for _ in range(iters):
-                fine = _update_fine_plan(vecs, fine)
-            return coarse_rows, [
-                Row(ccid=int(r["ccid"]), fid=int(r["fid"]),
-                    cvec=list(r["cvec"]))
-                for r in fine.orderBy("ccid", "fid").collect()
-            ], vecs
     for _ in range(iters):
         fine_rows = _update_fine_rows(vecs, fine_rows)
     return coarse_rows, fine_rows, vecs
-
-
-def _update_fine_plan(vecs: DataFrame, fine: DataFrame) -> DataFrame:
-    """One grouped fine Lloyd round as a LAZY plan (chained-round twin
-    of ``_update_fine_rows`` — see ``_update_plan``)."""
-    packed = _pack(fine, ["ccid"], "fid")
-    assigned = vecs.join(F.broadcast(packed), "ccid").select(
-        "vec_id", "ccid", "v",
-        F.expr(_nearest_expr("fid", 1)).alias("fid"),
-    )
-    comp = assigned.select("ccid", "fid",
-                           F.posexplode("v").alias("pos", "x"))
-    means = (
-        _means_cvec(comp.groupBy("ccid", "fid", "pos"))
-        .groupBy("ccid", "fid")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, m))), "
-                "s -> s.m)"
-            ).alias("cvec")
-        )
-    )
-    return (
-        fine.select("ccid", "fid", F.col("cvec").alias("_old"))
-        .join(means, ["ccid", "fid"], "left")
-        .select("ccid", "fid", F.coalesce("cvec", "_old").alias("cvec"))
-    )
 
 
 def flatten_2level(fine: DataFrame, k_fine: int) -> DataFrame:

@@ -311,59 +311,9 @@ def train_pq(embeddings: DataFrame, m: int = 8, k: int = 16,
         eager=True
     )
     rows = _init_rows(embeddings, m, k, emb_col)
-    spark = embeddings.sparkSession
-    if rows and iters > 0 and \
-            k * len(rows[0]["cvec"]) < VECTORIZED_ENCODE_MIN_SCORE:
-        # expression path: chain every Lloyd round into one collected
-        # plan (see kmeans._train_vecs_rows' dispatch note — a fresh
-        # plan's fixed overhead dwarfs the fixture-scale aggregation)
-        cb = _codebook_df(spark, rows)
-        for _ in range(iters):
-            cb = _update_plan(subvecs, cb)
-        rows = [
-            Row(sub=int(r["sub"]), cid=int(r["cid"]),
-                cvec=list(r["cvec"]))
-            for r in cb.orderBy("sub", "cid").collect()
-        ]
-    else:
-        for _ in range(iters):
-            rows = _update_rows(subvecs, rows)
-    return _codebook_df(spark, rows, checkpoint=True)
-
-
-def _update_plan(subvecs: DataFrame, codebook: DataFrame) -> DataFrame:
-    """One grouped Lloyd round as a LAZY plan (chained-round twin of
-    ``_update_rows`` — see ``kmeans._update_plan``)."""
-    from trignis_spark.operators.kmeans import _nearest_expr, _pack
-
-    packed = _pack(codebook, ["sub"], "cid")
-    assigned = subvecs.join(F.broadcast(packed), "sub").select(
-        "vec_id", "sub", "subv",
-        F.expr(_nearest_expr("cid", 1, vec_col="subv")).alias("cid"),
-    )
-    comp = assigned.select("sub", "cid",
-                           F.posexplode("subv").alias("pos", "x"))
-    means = (
-        comp.groupBy("sub", "cid", "pos")
-        .agg(
-            (
-                F.sum(F.col("x").cast(_ACC)).cast("double")
-                / F.count(F.lit(1))
-            ).alias("mval")
-        )
-        .groupBy("sub", "cid")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, mval))), "
-                "s -> s.mval)"
-            ).alias("cvec")
-        )
-    )
-    return (
-        codebook.select("sub", "cid", F.col("cvec").alias("_old"))
-        .join(means, ["sub", "cid"], "left")
-        .select("sub", "cid", F.coalesce("cvec", "_old").alias("cvec"))
-    )
+    for _ in range(iters):
+        rows = _update_rows(subvecs, rows)
+    return _codebook_df(embeddings.sparkSession, rows, checkpoint=True)
 
 
 def encode_pq(embeddings: DataFrame, codebook: DataFrame, m: int,
