@@ -19,6 +19,8 @@ oracle-checked queries rely on elsewhere in the repo.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Row, Window
 from pyspark.sql import functions as F
 
@@ -229,6 +231,58 @@ def assign_clusters_topn(embeddings: DataFrame, centroids: DataFrame,
 #: assignments interpreted.
 VECTORIZED_ASSIGN_MIN_SCORE = 16_384
 
+#: total literal count (centroid rows × dims) up to which a carried
+#: centroid set is embedded in the assignment expression as ONE parsed
+#: SQL literal instead of a broadcast-joined frame (round 12): the
+#: per-round broadcast of a LocalRelation codebook measured ~0.3–0.4 s
+#: slower than the same rows as an expression constant (interleaved
+#: 10-rep A/B, plans/r12), and the SQL string builds in <1 ms at
+#: fixture sizes vs ~1 ms *per literal* for a py4j-built Column. The
+#: cap bounds parser/codegen tree size; at-or-past
+#: ``VECTORIZED_ASSIGN_MIN_SCORE`` the Arrow twin dispatches first,
+#: so the flat/grouped paths only fall back to the broadcast frame for
+#: non-finite components (no SQL literal form) or fine tables whose
+#: *total* size crosses this while the largest cell stays under the
+#: Arrow gate.
+LITERAL_CENTS_MAX = 16_384
+
+
+def _cents_sql(rows, id_col: str) -> str | None:
+    """The packed ``array<struct<id, cvec>>`` of collected centroid
+    rows as one SQL literal expression, id-ascending (the order
+    ``_pack``'s array_sort yields for unique ids). Bit-exact: a
+    shortest-repr double literal parses back to the identical bits
+    (both sides correctly rounded). Returns None when any component is
+    non-finite — NaN/Infinity have no SQL literal form — and the
+    caller falls back to the broadcast frame."""
+    parts = []
+    for r in sorted(rows, key=lambda r: int(r[id_col])):
+        vec = [float(x) for x in r["cvec"]]
+        if not all(math.isfinite(x) for x in vec):
+            return None
+        arr = ",".join(repr(x) + "D" for x in vec)
+        parts.append(
+            f"named_struct('{id_col}',{int(r[id_col])},"
+            f"'cvec',array({arr}))"
+        )
+    return "array(" + ",".join(parts) + ")"
+
+
+def _cents_sql_by(rows, key_col: str, id_col: str) -> str | None:
+    """Per-``key_col`` packed centroid literals as one CASE expression
+    (NULL for keys absent from ``rows`` — callers filter those rows,
+    reproducing the broadcast join's inner semantics)."""
+    groups: dict[int, list] = {}
+    for r in rows:
+        groups.setdefault(int(r[key_col]), []).append(r)
+    whens = []
+    for kv in sorted(groups):
+        inner = _cents_sql(groups[kv], id_col)
+        if inner is None:
+            return None
+        whens.append(f"WHEN {key_col} = {kv} THEN {inner}")
+    return "CASE " + " ".join(whens) + " END"
+
 
 def _fold_sqdist(X, C, acc_out):
     """Squared-L2 scores of every row of ``X`` (b × dims) against every
@@ -324,10 +378,20 @@ def _assign_vecs_topn(vecs: DataFrame, centroids: DataFrame | None,
     if rows and len(rows) * len(rows[0]["cvec"]) >= \
             VECTORIZED_ASSIGN_MIN_SCORE:
         return _assign_vecs_topn_arrow(vecs, rows, n, carry)
-    if centroids is None:
-        centroids = _centroids_df(vecs.sparkSession, rows)
-    packed = _pack(centroids, [], "cid")
-    scored = vecs.crossJoin(F.broadcast(packed))
+    lit = (
+        _cents_sql(rows, "cid")
+        if rows and len(rows) * len(rows[0]["cvec"]) <= LITERAL_CENTS_MAX
+        else None
+    )
+    if lit is not None:
+        # carried rows under the cap: the packed set rides in the
+        # expression itself — no LocalRelation, no broadcast exchange
+        scored = vecs.withColumn("_cents", F.expr(lit))
+    else:
+        if centroids is None:
+            centroids = _centroids_df(vecs.sparkSession, rows)
+        packed = _pack(centroids, [], "cid")
+        scored = vecs.crossJoin(F.broadcast(packed))
     cols = ["vec_id", *carry]
     if n == 1:
         return scored.select(
@@ -525,10 +589,22 @@ def _assign_fine(vecs: DataFrame, fine: DataFrame | None, n: int = 1,
         kmax = max(Counter(r["ccid"] for r in rows).values())
         if kmax * len(rows[0]["cvec"]) >= VECTORIZED_ASSIGN_MIN_SCORE:
             return _assign_fine_arrow(vecs, rows, n, carry)
-    if fine is None:
-        fine = _fine_df(vecs.sparkSession, rows)
-    packed = _pack(fine, ["ccid"], "fid")
-    scored = vecs.join(F.broadcast(packed), "ccid")
+    lit = (
+        _cents_sql_by(rows, "ccid", "fid")
+        if rows and len(rows) * len(rows[0]["cvec"]) <= LITERAL_CENTS_MAX
+        else None
+    )
+    if lit is not None:
+        # NULL _cents = a ccid with no fine centroids; dropping those
+        # rows reproduces the broadcast join's inner semantics
+        scored = vecs.withColumn("_cents", F.expr(lit)).filter(
+            F.col("_cents").isNotNull()
+        )
+    else:
+        if fine is None:
+            fine = _fine_df(vecs.sparkSession, rows)
+        packed = _pack(fine, ["ccid"], "fid")
+        scored = vecs.join(F.broadcast(packed), "ccid")
     if n == 1:
         return scored.select(
             "vec_id", "ccid", *carry,

@@ -196,7 +196,9 @@ def assign_codes(subvecs: DataFrame, codebook: DataFrame | None,
     probe needs the codebook rows; callers that already hold them
     (driver-carried training, ``_codebook_df`` frames) pass/carry
     ``rows`` and skip the per-call collect job."""
-    from trignis_spark.operators.kmeans import _nearest_expr, _pack
+    from trignis_spark.operators.kmeans import (
+        LITERAL_CENTS_MAX, _cents_sql_by, _nearest_expr, _pack,
+    )
 
     cb_rows = rows
     if cb_rows is None:
@@ -210,10 +212,26 @@ def assign_codes(subvecs: DataFrame, codebook: DataFrame | None,
         )
         if k_max * len(cb_rows[0]["cvec"]) >= VECTORIZED_ENCODE_MIN_SCORE:
             return _assign_codes_arrow(subvecs, cb_rows, carry)
-    if codebook is None:
-        codebook = _codebook_df(subvecs.sparkSession, cb_rows)
-    packed = _pack(codebook, ["sub"], "cid")
-    return subvecs.join(F.broadcast(packed), "sub").select(
+    lit = (
+        _cents_sql_by(cb_rows, "sub", "cid")
+        if cb_rows
+        and len(cb_rows) * len(cb_rows[0]["cvec"]) <= LITERAL_CENTS_MAX
+        else None
+    )
+    if lit is not None:
+        # carried rows under the cap ride in the expression itself —
+        # no LocalRelation, no broadcast exchange (see
+        # kmeans.LITERAL_CENTS_MAX); NULL _cents = a sub with no
+        # centroids, dropped to match the join's inner semantics
+        scored = subvecs.withColumn("_cents", F.expr(lit)).filter(
+            F.col("_cents").isNotNull()
+        )
+    else:
+        if codebook is None:
+            codebook = _codebook_df(subvecs.sparkSession, cb_rows)
+        packed = _pack(codebook, ["sub"], "cid")
+        scored = subvecs.join(F.broadcast(packed), "sub")
+    return scored.select(
         "vec_id",
         "sub",
         *carry,
