@@ -49,6 +49,15 @@ SHINGLE_CHECKPOINT_MIN_PARTS = 4
 
 def _materialize_if_big(shingles: DataFrame) -> DataFrame:
     try:
+        # an input that is already a materialized scan (a caller-held
+        # localCheckpoint, or a driver-literal frame) gains nothing
+        # from a second checkpoint job — re-checkpointing it paid a
+        # redundant full materialization (ADVICE r11)
+        root = shingles._jdf.queryExecution().analyzed()
+        if root.getClass().getSimpleName() in (
+            "LogicalRDD", "LocalRelation"
+        ):
+            return shingles
         parts = shingles.rdd.getNumPartitions()
     except Exception:  # pragma: no cover — exotic plans; stay lazy
         parts = 1
@@ -104,6 +113,12 @@ def jaccard_pairs(
     prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index blocking.
+
+    Corpus-sized shingle inputs (≥ ``SHINGLE_CHECKPOINT_MIN_PARTS``
+    scan partitions) are materialized eagerly at *DataFrame-build*
+    time — constructing the result frame runs one localCheckpoint job
+    before any action on it (already-materialized inputs are passed
+    through untouched).
 
     Candidate generation uses **prefix filtering** (Chaudhuri et al.
     SSJoin / Bayardo et al. All-Pairs): shingles get a global canonical
@@ -237,7 +252,9 @@ def minhash_lsh_pairs(
     portable: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: 8 minhashes in 4 bands of 2; candidate
-    pairs share ≥1 band; verified with exact Jaccard ≥ threshold."""
+    pairs share ≥1 band; verified with exact Jaccard ≥ threshold.
+    Corpus-sized corpora pay one eager shingle materialization job at
+    DataFrame-build time (see ``SHINGLE_CHECKPOINT_MIN_PARTS``)."""
     # corpus-sized inputs: one materialization feeds the signature
     # pass and the three verify-side references — see
     # SHINGLE_CHECKPOINT_MIN_PARTS

@@ -559,6 +559,8 @@ def _in_scan(spark: SparkSession, df: DataFrame, col: str,
         df.filter(_in_pred(col, vals[i:i + IN_PUSHDOWN_LEG]))
         for i in range(0, len(vals), IN_PUSHDOWN_LEG)
     ]
+    if not legs:  # empty value set: no row can match (ADVICE r11)
+        return df.filter(F.lit(False))
     return reduce(DataFrame.unionByName, legs)
 
 
