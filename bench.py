@@ -17,7 +17,7 @@ import sys
 import time
 
 from trignis_spark import queries as q
-from trignis_spark.session import get_spark
+from trignis_spark.session import default_parallelism, get_spark
 
 # Headline set: the change-feed hot path + the heaviest relational,
 # dedup, similarity and text operators. Names must exist in q.QUERIES.
@@ -153,6 +153,9 @@ def main() -> int:
                 timings[name] = dt
 
     total = round(sum(timings.values()), 3)
+    # Echo the resolved core count and master so the driver can verify
+    # the $SPARK_GRAFT_CPUS contract from the JSON line itself (the
+    # scaling probe previously had to infer it from timings alone).
     print(
         json.dumps(
             {
@@ -161,6 +164,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "cpus": default_parallelism(),
+                "master": spark.sparkContext.master,
             }
         )
     )
