@@ -71,6 +71,10 @@ OPTIONAL = [
     "dedup_embedding_cosine_prod_wide",
     "dedup_embedding_cosine_prod_wide768",
     "dedup_embedding_cosine_clustered_capped",
+    # core-scaling probe: the one compute-bound row at fixture scale,
+    # so the driver's low-vs-high-core comparison has a query whose
+    # ratio reflects parallelism (round 12 — see the query docstring)
+    "ann_cosine_allpairs",
 ]
 
 

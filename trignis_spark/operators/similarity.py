@@ -205,10 +205,20 @@ def _verify_pairs(
 
 
 def cosine_topk(
-    embeddings: DataFrame, query_pred: str = "vec_id % 100 = 0", k: int = 10
+    embeddings: DataFrame, query_pred: str = "vec_id % 100 = 0", k: int = 10,
+    spread: bool = False,
 ) -> DataFrame:
-    """Brute-force cosine top-k: (query_id, neighbor_id, rank)."""
-    base = _prep(embeddings)
+    """Brute-force cosine top-k: (query_id, neighbor_id, rank).
+
+    ``spread=True`` round-robins the corpus to the session's
+    shuffle-partition count before scoring (one narrow N-row shuffle):
+    the scoring crossJoin is a pure projection whose parallelism is
+    otherwise whatever the scan provides — a single-file corpus scores
+    N·Q distances on one core (see ``kmeans._spread``). Results are
+    row-wise and unaffected."""
+    from trignis_spark.operators.kmeans import _spread
+
+    base = _prep(_spread(embeddings) if spread else embeddings)
     q = base.filter(F.expr(query_pred)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
