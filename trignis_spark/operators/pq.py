@@ -390,6 +390,17 @@ def ivfpq_topk(
     # freshly-trained codebook already knows the width (m × sub_dims)
     # — skip the 1-row probe job then.
     cb_rows = getattr(codebook, "_local_rows", None)
+    if cb_rows:
+        # the m·sub_dims shortcut is only the corpus width when the
+        # codebook was trained with THIS m over evenly-split vectors;
+        # a codebook carrying a different sub count (or ragged
+        # sub-widths) falls back to the 1-row probe instead of binding
+        # a wrong literal the per-row width guard would then raise on
+        # every row (ADVICE r11)
+        subs = {int(r["sub"]) for r in cb_rows}
+        widths = {len(r["cvec"]) for r in cb_rows}
+        if subs != set(range(m)) or len(widths) != 1:
+            cb_rows = None
     dims = (m * len(cb_rows[0]["cvec"]) if cb_rows
             else _vec_dims(vecs))
     bucket = bucket_expr("{v}", n_buckets, dims=dims)

@@ -152,6 +152,26 @@ def exceeds(df: DataFrame, limit: int) -> bool:
     return df.limit(limit + 1).count() > limit
 
 
+def _rows_upper_bound(df: DataFrame, dims: int) -> int | None:
+    """Conservative row-count UPPER bound from the optimizer's size
+    statistics — driver-side, no Spark job. Assumes ×4 compression of
+    the ``dims``-float payload (embedding floats are near-
+    incompressible, so the bound typically overshoots 2–8×), which is
+    the safe direction for anything that splits work finer as the
+    count grows. Returns None when statistics are absent or absurd
+    (callers fall back to a real ``count()``). Sizing only — never
+    feed this into anything that changes results."""
+    try:
+        sz = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover — exotic plans
+        return None
+    if sz <= 0 or sz > 1 << 50:
+        return None
+    return max(1, (4 * sz) // max(1, dims * 4))
+
+
 def _verify_pairs(
     cand: DataFrame, base: DataFrame, threshold: float,
     broadcast_corpus: bool | None = None,
@@ -924,10 +944,21 @@ def cosine_near_dup_pairs_clustered_capped(
     # exchange) and pins ~SCORE_PARTITION_BYTES per partition; AQE
     # leaves explicit repartition counts alone. Row count and width
     # come from the frame already at hand — one row for dims, the
-    # n_vectors hint (or one count) for rows.
-    n_vec = embeddings.count() if n_vectors is None else n_vectors
+    # n_vectors hint (or a driver-side stats bound) for rows.
     if dims <= 0:  # empty corpus trained no centroids — nothing to size
         dims = _vec_dims(embeddings, "embedding")
+    if n_vectors is not None:
+        n_vec = n_vectors
+    else:
+        # the count only SIZES the exchange (results are partition-
+        # count independent), so a conservative upper bound from the
+        # optimizer's size statistics replaces the per-call count job
+        # (round 12 — a full source scan on stream/JDBC-backed frames,
+        # a job even on parquet); overestimating splits finer, which
+        # is the safe direction for the whole-input group sort
+        n_vec = _rows_upper_bound(embeddings, dims)
+        if n_vec is None:
+            n_vec = embeddings.count()
     ex_bytes = n_vec * (assign_n * assign_n) * (dims * 4 + 64)
     n_part = int(min(32768, max(
         embeddings.sparkSession.sparkContext.defaultParallelism,
