@@ -209,6 +209,15 @@ def _verify_pairs(
         F.col("vec_id").alias("d2"), F.col("v").alias("yv"),
         F.col("n2").alias("yn2"),
     )
+    # Round 12 NEGATIVE result, kept as the expression fold on purpose:
+    # an Arrow twin of this cosine (bit-identical cumsum fold, verified
+    # 0 mismatches over 499 widened pairs) measured ~10× SLOWER at
+    # 468 k pairs × 768 dims — 1.6 s expr vs 16.9 s shipping the two
+    # vectors per pair across the boundary, and 29.8 s for a
+    # payload-free variant shipping only (d1, d2) with the corpus as a
+    # Python broadcast. The interpreted fold costs ~3.5 µs/pair wall at
+    # local[32] on Spark 4.1 — this stage is join/shuffle-bound, not
+    # lambda-bound, so the JVM→Python transfer can only lose.
     return (
         cand.join(_b(x), "d1")
         .join(_b(y), "d2")
