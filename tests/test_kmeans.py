@@ -291,13 +291,17 @@ def test_rows_carried_round_matches_checkpointed_form(spark):
 
 
 def test_trained_frames_carry_rows_and_match_table(spark):
-    """Public trainers return checkpointed frames whose carried
-    `_local_rows` equal the frame's own rows (the side-channel skips
+    """Public trainers return checkpointed CarriedFrames whose
+    `local_rows` equal the frame's own rows (the carrier skips
     dispatch-probe collects — it must never drift from the frame)."""
     emb = load(spark, SF, "embeddings")
     cents = km.train_kmeans(emb, k=5, iters=2)
-    rows = cents._local_rows
+    assert isinstance(cents, km.CarriedFrame)
+    rows = km.carried_rows(cents)
     assert rows is not None
+    # a derived frame no longer carries rows (they describe the exact
+    # contents of the frame they were attached to)
+    assert km.carried_rows(cents.limit(3)) is None
     from_frame = {int(r["cid"]): tuple(r["cvec"]) for r in cents.collect()}
     from_rows = {int(r["cid"]): tuple(r["cvec"]) for r in rows}
     assert from_rows == from_frame

