@@ -305,3 +305,40 @@ def test_trained_frames_carry_rows_and_match_table(spark):
     from_frame = {int(r["cid"]): tuple(r["cvec"]) for r in cents.collect()}
     from_rows = {int(r["cid"]): tuple(r["cvec"]) for r in rows}
     assert from_rows == from_frame
+
+
+def test_literal_cents_assignment_matches_broadcast_frame(spark):
+    """The SQL-literal packed-centroid path (round 12) assigns
+    bit-identically to the broadcast-frame path it replaces, including
+    nasty doubles (subnormals, -0.0, huge magnitudes) that exercise
+    the shortest-repr -> parse round trip."""
+    from pyspark.sql import Row
+
+    vec_rows = [
+        Row(vec_id=i, v=[float(x) for x in
+                         (i * 0.1 - 2, -i * 1e-300, (i % 3) - 1.0,
+                          1e308 / (i + 1))])
+        for i in range(40)
+    ]
+    vecs = spark.createDataFrame(vec_rows, "vec_id long, v array<double>")
+    cents = [
+        Row(cid=0, cvec=[0.1 + 0.2, -0.0, 5e-324, 1e308]),
+        Row(cid=1, cvec=[-1.5, 1 / 3, 2.0, 0.0]),
+        Row(cid=2, cvec=[0.0, 0.0, -1e-300, 9e307]),
+    ]
+    lit_sql = km._cents_sql(cents, "cid")
+    assert lit_sql is not None
+    # literal path (what _assign_vecs_topn takes below the cap)
+    got = km._assign_vecs_topn(vecs, None, 1, rows=cents)
+    # broadcast-frame path, forced by a zero-size literal cap
+    old_cap = km.LITERAL_CENTS_MAX
+    km.LITERAL_CENTS_MAX = 0
+    try:
+        want = km._assign_vecs_topn(vecs, None, 1, rows=cents)
+    finally:
+        km.LITERAL_CENTS_MAX = old_cap
+    assert {(r["vec_id"], r["cid"]) for r in got.collect()} == \
+        {(r["vec_id"], r["cid"]) for r in want.collect()}
+    # non-finite components must refuse the literal form
+    bad = [Row(cid=0, cvec=[1.0, float("nan")])]
+    assert km._cents_sql(bad, "cid") is None
