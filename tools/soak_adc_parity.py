@@ -86,6 +86,15 @@ def main() -> int:
     from pyspark.sql import SparkSession, functions as F
 
     from trignis_spark.operators import ivfpq_index as ipq
+
+    if os.environ.get("SPARK_GRAFT_BAND_OFF"):
+        # A/B hook (round 12): disarm the margin-band float gather so
+        # the exact gate takes the classic broadcast-join scan over the
+        # SAME build — the before-leg of the deferred-gather A/B.
+        # Ingest's cache decision reads the same dial, so the disarmed
+        # run also pins the float base exactly as round 11 did.
+        ipq.BAND_MARGIN_MAX = -1.0
+        print(json.dumps({"leg": "band", "armed": False}), flush=True)
     from trignis_spark.streaming.ingest import (
         EmbeddingIngestStats, make_embedding_ingest_fn,
     )

@@ -383,7 +383,9 @@ class ParquetCompactor(GenerationStore):
 
 
 def compact_partitioned_table(
-    spark: SparkSession, table: str, part_col: str
+    spark: SparkSession, table: str, part_col: str,
+    sort_cols: list[str] | None = None,
+    write_options: dict[str, str] | None = None,
 ) -> int:
     """`compact_bucketed_table`'s twin for *partitioned* managed tables
     (the v2 prefix index's verify table is partitioned on
@@ -498,23 +500,32 @@ def compact_partitioned_table(
         # snapshot below carries them whether or not we crash next.
         for t in (apx_stage, apx):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+        snap = spark.table(table).repartition(F.col(part_col))
+        if sort_cols:
+            # preserve a within-partition sort the layout depends on
+            # (the ivfpq float base's v_sorted row-group pruning) —
+            # an unsorted rewrite would silently strand the property
+            # the meta row still declares
+            snap = snap.sortWithinPartitions(part_col, *sort_cols)
+        w = snap.write.mode("overwrite")
+        for opt, val in (write_options or {}).items():
+            w = w.option(opt, val)
         (
-            spark.table(table)
-            .repartition(F.col(part_col))
-            .write.mode("overwrite")
-            .partitionBy(part_col)
+            w.partitionBy(part_col)
             .format("parquet")
             .saveAsTable(tmp)
         )
     src = spark.table(tmp).select(*cols)
     if extra is not None:
         src = src.unionByName(extra)
+    src = src.repartition(F.col(part_col))
+    if sort_cols:
+        src = src.sortWithinPartitions(part_col, *sort_cols)
+    w = src.write.mode("overwrite")
+    for opt, val in (write_options or {}).items():
+        w = w.option(opt, val)
     with _static_partition_overwrite(spark):
-        (
-            src.repartition(F.col(part_col))
-            .write.mode("overwrite")
-            .insertInto(table)
-        )
+        w.insertInto(table)
     spark.catalog.refreshTable(table)
     got = spark.table(table).count()
     want = spark.table(tmp).count() + (

@@ -163,6 +163,13 @@ def _probe_state(spark: SparkSession, table: str) -> dict:
             "bucket_v": int(meta["bucket_v"])
             if "bucket_v" in fields and meta["bucket_v"] is not None
             else 1,
+            # round-12 builds sort the float base by vec_id within
+            # each cell partition (512 KiB row groups), so the exact
+            # re-rank's pushed-In gather actually prunes; indexes
+            # persisted earlier keep the broadcast-join gather
+            "v_sorted": bool(meta["v_sorted"])
+            if "v_sorted" in fields and meta["v_sorted"] is not None
+            else False,
             "wide": "sub" not in spark.table(_codes_table(table)).columns,
             "cell_partitioned": _cell_partitioned(spark, table),
             "ids_bucketed": _is_bucketed(spark, _ids_table(table)),
@@ -347,6 +354,37 @@ RERANK_COLLECT_ROWS = 65536
 #: 512 MiB ≈ 1 M queries at the default m=8/k=64 layout — far past any
 #: poll batch.
 ADC_LUT_BROADCAST_BYTES = 512 * 1024 * 1024
+
+#: float-base parquet row-group size for v_sorted builds (round 12,
+#: VERDICT r11 #4 — the margin-band deferred gather). The exact-gate
+#: re-rank gathers a FEW rows per query out of the float base; pushed
+#: ``vec_id IN`` legs can only skip I/O at row-group granularity, and
+#: the default 128 MB groups hold ~20 k rows at 768 dims — every group
+#: then contains a gathered id and nothing prunes. 512 KiB groups
+#: (~85 rows at 768 dims, ~1 000 at 64) are the same size the text
+#: index's verify table measured effective at the 50 M-doc decade leg
+#: (``dedup_index.VERIFY_BLOCK_BYTES``); the small-batch probe path
+#: scans whole cells either way and its per-group overhead at this
+#: size measured in the noise there.
+FLOAT_BLOCK_BYTES = 512 * 1024
+
+#: widest certified ADC margin the band gather considers useful: at
+#: ±0.5 the cosine interval spans half the range and the per-query
+#: band keeps most of the shortlist — the full broadcast-join gather
+#: is then the simpler identical-cost plan. Gaussian fixtures certify
+#: ~1.3 and keep the classic path (and the pinned oracle plans);
+#: real manifolds certify ≪ 0.1 and prune to ~k rows per query.
+BAND_MARGIN_MAX = 0.5
+
+#: outward slack added to the certified margin before banding: the
+#: margin bounds the MATH-level |cos(q,x) − cos(q,x̂)|, while the
+#: banded bounds compare PLAN-computed doubles. Both sides' folds keep
+#: absolute cosine error ≤ ~dims·2⁻⁵² (partial sums are Cauchy-Schwarz
+#: -bounded by |q||x̂|, which the denominator normalizes away), ~2e-13
+#: at 768 dims — 1e-9 dwarfs it while staying far below any margin a
+#: gate can use. Non-finite computed bounds keep their rows
+#: unconditionally.
+BAND_SAFETY = 1e-9
 
 #: cell sub-split (round 11, VERDICT r10 #2): a build splits any cell
 #: whose occupancy exceeds this factor × the mean into hash sub-cells,
@@ -601,7 +639,7 @@ _MARGIN_SAMPLE = 65536
 #: their replay-duplicate guards when no tail exists.
 _META_SCHEMA = (
     "m int, k int, n_buckets int, adc_margin double, "
-    "base_distinct boolean, bucket_v int"
+    "base_distinct boolean, bucket_v int, v_sorted boolean"
 )
 
 
@@ -737,7 +775,8 @@ def stored_adc_margin(spark: SparkSession, table: str) -> float | None:
 
 def _rewrite_meta(spark: SparkSession, table: str, m: int, k: int,
                   n_buckets: int, adc_margin: float | None,
-                  base_distinct: bool, bucket_v: int = 1) -> None:
+                  base_distinct: bool, bucket_v: int = 1,
+                  v_sorted: bool = False) -> None:
     """Replace the one-row meta table, crash-safe (ADVICE r8): the new
     row is durably written to a ``__staged`` sidecar BEFORE the live
     table is dropped, so no crash point loses the metadata — a crash
@@ -752,7 +791,8 @@ def _rewrite_meta(spark: SparkSession, table: str, m: int, k: int,
     staged = f"{mt}__staged"
     drop_table_and_location(spark, staged)
     spark.createDataFrame(
-        [(m, k, n_buckets, adc_margin, base_distinct, bucket_v)],
+        [(m, k, n_buckets, adc_margin, base_distinct, bucket_v,
+          v_sorted)],
         _META_SCHEMA,
     ).write.format("parquet").saveAsTable(staged)
     drop_table_and_location(spark, mt)
@@ -834,9 +874,14 @@ def remeasure_adc_margin(
         if "bucket_v" in meta.__fields__ and meta["bucket_v"] is not None
         else 1
     )
+    v_sorted = (
+        bool(meta["v_sorted"])
+        if "v_sorted" in meta.__fields__ and meta["v_sorted"] is not None
+        else False
+    )
     _rewrite_meta(spark, table, int(meta["m"]), int(meta["k"]),
                   int(meta["n_buckets"]), margin, base_distinct,
-                  bucket_v)
+                  bucket_v, v_sorted)
     _refresh(spark, table)
     return margin
 
@@ -927,10 +972,17 @@ def build_ivfpq_index(
     # otherwise every writer task emits one file per cell it happens to
     # hold (measured 5 137 files for the 512-cell codes table — the
     # classic small-files blow-up); after repartition each cell lands
-    # in exactly one task, so file count == cell count
+    # in exactly one task, so file count == cell count. The float base
+    # additionally sorts by vec_id WITHIN each cell and bounds its row
+    # groups (round 12, VERDICT r11 #4): the exact re-rank's banded
+    # gather pushes collected shortlist ids into this scan as In legs,
+    # and min-max row-group pruning only bites when ids are locally
+    # contiguous — ``meta.v_sorted`` records the property.
     (
         rows.repartition("bucket")
+        .sortWithinPartitions("bucket", "vec_id")
         .write.mode("overwrite")
+        .option("parquet.block.size", str(FLOAT_BLOCK_BYTES))
         .partitionBy("bucket")
         .format("parquet")
         .saveAsTable(table)
@@ -987,7 +1039,7 @@ def build_ivfpq_index(
     # replay-duplicate guards whenever no tail exists. Indexes persisted
     # before this marker keep the guards (see ``_probe_state``).
     meta = spark.createDataFrame(
-        [(m, k, n_buckets, margin, True, bucket_version)],
+        [(m, k, n_buckets, margin, True, bucket_version, True)],
         _META_SCHEMA,
     )
     meta.write.mode("overwrite").format("parquet").saveAsTable(
@@ -1096,7 +1148,7 @@ def extend_ivfpq_index(
 
                 _rewrite_meta(spark, table, st["m"], st["k"],
                               st["n_buckets"], got, st["base_distinct"],
-                              st["bucket_v"])
+                              st["bucket_v"], st["v_sorted"])
                 st = _probe_state(spark, table)
                 warnings.warn(
                     f"extend_ivfpq_index({table}): batch residual "
@@ -1188,6 +1240,140 @@ def extend_ivfpq_index(
     for t in changed + [_ids_table(table)]:
         spark.catalog.refreshTable(t)
     return added
+
+
+#: id-count ceiling for the banded gather's pushed In legs — the same
+#: economics as ``dedup_index.VERIFY_IN_MAX``: past it the per-leg
+#: row-group stat evaluation and the union-plan construction outgrow
+#: the pruning, and the broadcast-join over the full scan is the right
+#: cost model. A poll-batch shortlist bands to ~k ids per query and
+#: stays far under this.
+BAND_IN_MAX = 16_384
+
+
+def _band_floats(spark: SparkSession, table: str, short: DataFrame,
+                 k: int, margin: float, has_tail: bool):
+    """Margin-banded float gather for the exact re-rank (round 12,
+    VERDICT r11 #4; guide §6 predicate pushdown + §2.3 scan fewer
+    bytes). ``short`` is the ADC shortlist carrying (query_id,
+    neighbor_id, nbucket, adot, qn2, xq2). One bounded limit-collect
+    materializes it; per query, rows whose certified upper bound
+    ``adc_cos + margin`` falls below the k-th largest lower bound
+    cannot reach the exact top-k (see the dispatch comment in
+    ``ivfpq_probe`` for the proof) and are dropped BEFORE any float
+    I/O; the survivors' ids are pushed into the vec_id-sorted float
+    base as chunked In legs (``dedup_index._in_scan`` — the measured
+    leg discipline) under a literal cell filter, so the gather reads
+    O(gathered rows), not the corpus. Returns the (query_id,
+    neighbor_id, xv, xn2) frame the exact scorers consume, or ``None``
+    when the shortlist outgrows the collect bound or the id list
+    outgrows ``BAND_IN_MAX`` — the broadcast-join path is the right
+    cost model there."""
+    import math
+
+    from pyspark.sql.types import IntegralType, StructType
+
+    src = spark.table(table)
+    if not isinstance(src.schema["vec_id"].dataType, IntegralType):
+        return None  # _in_scan's legs are integer-literal predicates
+    rows = short.limit(RERANK_COLLECT_ROWS + 1).collect()
+    if len(rows) > RERANK_COLLECT_ROWS:
+        return None
+    if not rows:
+        qt = short.schema["query_id"].dataType.simpleString()
+        nt = short.schema["neighbor_id"].dataType.simpleString()
+        vt = src.schema["v"].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id {qt}, neighbor_id {nt}, xv {vt}, xn2 double"
+        )
+    # outward-safe margin: BAND_SAFETY covers plan-computed-double vs
+    # math-level cosine drift on BOTH sides of the comparison
+    m_safe = margin + BAND_SAFETY + abs(margin) * 1e-12
+    byq: dict = {}
+    for r in rows:
+        byq.setdefault(r["query_id"], []).append(r)
+    kept = []
+    for rs in byq.values():
+        bounds = []
+        for r in rs:
+            try:
+                qcos = r["adot"] / math.sqrt(r["qn2"] * r["xq2"])
+            except (TypeError, ValueError, ZeroDivisionError):
+                qcos = float("nan")
+            if math.isfinite(qcos):
+                bounds.append((qcos - m_safe, qcos + m_safe, r))
+            else:
+                # a row the bound cannot place is kept unconditionally
+                # and never raises the cut
+                bounds.append((float("-inf"), float("inf"), r))
+        if len(bounds) > k:
+            los = sorted((b[0] for b in bounds), reverse=True)
+            cut = los[k - 1]
+            kept.extend(r for lo, hi, r in bounds if hi >= cut)
+        else:  # ≤ k candidates — every one can be in the top-k
+            kept.extend(r for _, _, r in bounds)
+    ids = sorted({int(r["neighbor_id"]) for r in kept})
+    if len(ids) > BAND_IN_MAX:
+        return None
+    id2b: dict = {}
+    for r in kept:
+        id2b.setdefault(int(r["neighbor_id"]), set()).add(r["nbucket"])
+    short_lit = F.broadcast(
+        spark.createDataFrame(
+            [(r["query_id"], r["neighbor_id"], r["nbucket"])
+             for r in kept],
+            StructType([short.schema[n]
+                        for n in ("query_id", "neighbor_id",
+                                  "nbucket")]),
+        )
+    )
+    from functools import reduce
+
+    from trignis_spark.operators.dedup_index import (
+        IN_PUSHDOWN_LEG,
+        _in_pred,
+        _in_pushdown_conf,
+    )
+
+    _in_pushdown_conf(spark)
+
+    def g(flosrc: DataFrame) -> DataFrame:
+        # ≤512-value In legs (dedup_index's measured leg discipline —
+        # past the parquet In threshold the pushed filter collapses to
+        # a useless [min,max] range, under it the OR tree overflows
+        # past ~2 k values), each under ITS OWN ids' literal cell
+        # filter: a leg only lists/stats the ≤512 cell files its ids
+        # live in, not every kept row's — the leg × file footer/task
+        # product is the gather's fixed overhead once row groups prune
+        legs = []
+        for i in range(0, len(ids), IN_PUSHDOWN_LEG):
+            chunk = ids[i:i + IN_PUSHDOWN_LEG]
+            bks = sorted({b for v in chunk for b in id2b[v]})
+            legs.append(
+                flosrc.filter(F.col("bucket").isin(bks))
+                .filter(_in_pred("vec_id", chunk))
+            )
+        scan = reduce(DataFrame.unionByName, legs)
+        return (
+            scan.join(
+                short_lit,
+                (scan["vec_id"] == short_lit["neighbor_id"])
+                & (scan["bucket"] == short_lit["nbucket"]),
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("v").alias("xv"),
+                F.col("n2").alias("xn2"),
+            )
+        )
+
+    flo = g(src)
+    if has_tail:
+        # the tail sidecar is cycle-sized and unsorted — the same legs
+        # are correct there and the scan is small either way
+        flo = flo.unionByName(g(spark.table(_tail_table(table))))
+    return flo
 
 
 def ivfpq_probe(
@@ -1289,6 +1475,32 @@ def ivfpq_probe(
     needs_guard = has_tail or not (
         st["wide"] and st["cell_partitioned"] and st["base_distinct"]
     )
+    # margin-band deferred float gather (round 12, VERDICT r11 #4):
+    # when the index certifies a *useful* ADC error bound and its float
+    # base is vec_id-sorted within cells, the re-rank collects the
+    # (bounded) shortlist, prunes it to the rows whose certified cosine
+    # interval [adc_cos ± margin] can still reach the per-query exact
+    # top-k, and gathers ONLY those rows' floats via pushed In legs —
+    # the float base stops being scanned per probe (it was the exact
+    # gate's floor: ~12 GB/poll at 2 M × 768, vs ~k rows per query
+    # actually needed). Results are identical by construction: ≥ k
+    # shortlist rows carry a lower bound ≥ L (the k-th largest lower
+    # bound), every excluded row's exact cosine is ≤ its upper bound
+    # < L, so the exact top-k — ties broken on neighbor_id among rows
+    # whose cosines are computed, which includes every possible member
+    # — cannot contain an excluded row. Margins are widened outward by
+    # BAND_SAFETY (see the constant) so plan-computed doubles cannot
+    # leak across the bound; non-finite bounds keep their rows.
+    band = (
+        rerank
+        and st["v_sorted"]
+        and st["adc_margin"] is not None
+        and st["adc_margin"] < BAND_MARGIN_MAX
+    )
+    # the banded shortlist needs per-candidate reconstruction norms
+    # (and qn2) to place the interval; rerank-free probes need the same
+    # columns for their quantized cosine — one flag drives both
+    carry = (not rerank) or band
     base = _prep(queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -1301,7 +1513,7 @@ def ivfpq_probe(
         for i in range(max(0, nprobe - 1))
     ]
     qb = base.withColumn("qbucket", F.explode(F.array(*flips))).select(
-        "query_id", "qbucket", *([] if rerank else ["qn2"])
+        "query_id", "qbucket", *(["qn2"] if carry else [])
     )
     if st["splits"]:
         # probed cells widen to their stored sub-cells (see
@@ -1395,7 +1607,7 @@ def ivfpq_probe(
         # — the denominator of the quantized cosine comes from the
         # broadcast codebook, never the float table
         nlut_flat = None
-        if not rerank:
+        if carry:
             nlut_flat = (
                 codebook.select(
                     "sub", "cid",
@@ -1464,7 +1676,7 @@ def ivfpq_probe(
                     qmap[r["query_id"]] = arr
                     if arr.size:
                         maxabs = max(maxabs, int(np.abs(arr).max()))
-                if not rerank:
+                if carry:
                     nl_arr = _dec12_quantize(nlut_flat.first()["nlut"])
                     if nl_arr.size:
                         maxabs = max(maxabs, int(np.abs(nl_arr).max()))
@@ -1520,7 +1732,7 @@ def ivfpq_probe(
             # broadcast instead of once per candidate row
             cand = cand.select(
                 "query_id", "vec_id", "codes", "bucket",
-                *([] if rerank else ["qn2"]),
+                *(["qn2"] if carry else []),
             )
             bq = spark.sparkContext.broadcast(qmap)
             bn = (
@@ -1535,7 +1747,7 @@ def ivfpq_probe(
                 StructField("adot", DoubleType()),
                 StructField("nbucket", cand.schema["bucket"].dataType),
             ]
-            if not rerank:
+            if carry:
                 out_fields += [
                     StructField("qn2", DoubleType()),
                     StructField("xq2", DoubleType()),
@@ -1597,7 +1809,7 @@ def ivfpq_probe(
             adc = cand.mapInPandas(gen, StructType(out_fields))
         else:
             qbl = qb.join(lut_flat, "query_id")
-            if not rerank:
+            if carry:
                 qbl = qbl.crossJoin(F.broadcast(nlut_flat))
             # the merge must return the accumulator's exact type, and
             # the sum type must never hit the precision-38 cap (Spark
@@ -1655,9 +1867,9 @@ def ivfpq_probe(
                     # partitions
                     F.col("bucket").alias("nbucket"),
                     *(
-                        []
-                        if rerank
-                        else ["qn2", F.expr(xq2).alias("xq2")]
+                        ["qn2", F.expr(xq2).alias("xq2")]
+                        if carry
+                        else []
                     ),
                 )
             )
@@ -1740,32 +1952,46 @@ def ivfpq_probe(
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("adot"), F.asc("neighbor_id")
     )
-    short = (
-        adc.withColumn("_srn", F.row_number().over(ws))
-        .filter(F.col("_srn") <= shortlist)
-        .select("query_id", "neighbor_id", "nbucket")
+    ranked = adc.withColumn("_srn", F.row_number().over(ws)).filter(
+        F.col("_srn") <= shortlist
     )
-    def _floats(src: DataFrame) -> DataFrame:
-        return (
-            src.join(
-                F.broadcast(short),
-                (src["vec_id"] == short["neighbor_id"])
-                & (src["bucket"] == short["nbucket"]),
-            )
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.col("v").alias("xv"),
-                F.col("n2").alias("xn2"),
-            )
+    flo = None
+    if band:
+        flo = _band_floats(
+            spark, table,
+            ranked.select("query_id", "neighbor_id", "nbucket",
+                          "adot", "qn2", "xq2"),
+            k, st["adc_margin"], has_tail,
         )
+    if flo is None:
+        # classic gather: broadcast the shortlist against the (cell-
+        # pruned) float scan — the path every pre-round-12 layout and
+        # every banded fallback takes
+        short = ranked.select("query_id", "neighbor_id", "nbucket")
 
-    flo = _floats(spark.table(table))
-    if has_tail:
-        # vectors accepted since the last compaction live in the tail
-        # sidecar — the re-rank must see them (a near-dup of a vector
-        # admitted one cycle ago must still gate as a near-dup)
-        flo = flo.unionByName(_floats(spark.table(_tail_table(table))))
+        def _floats(src: DataFrame) -> DataFrame:
+            return (
+                src.join(
+                    F.broadcast(short),
+                    (src["vec_id"] == short["neighbor_id"])
+                    & (src["bucket"] == short["nbucket"]),
+                )
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    F.col("v").alias("xv"),
+                    F.col("n2").alias("xn2"),
+                )
+            )
+
+        flo = _floats(spark.table(table))
+        if has_tail:
+            # vectors accepted since the last compaction live in the
+            # tail sidecar — the re-rank must see them (a near-dup of a
+            # vector admitted one cycle ago must still gate as one)
+            flo = flo.unionByName(
+                _floats(spark.table(_tail_table(table)))
+            )
     exact = None
     if rerank_impl == "arrow" or (rerank_impl == "auto" and use_arrow):
         # Arrow exact-dot twin (see docstring): bit-identical doubles
@@ -1972,11 +2198,26 @@ def compact_ivfpq_index(spark: SparkSession, table: str) -> int:
 
     meta = spark.table(_meta_table(table)).first()
     nb = meta["n_buckets"]
+    v_sorted = (
+        bool(meta["v_sorted"])
+        if "v_sorted" in meta.__fields__ and meta["v_sorted"] is not None
+        else False
+    )
     fold_ivfpq_tail(spark, table)
     n = 0
     for name in (table, _codes_table(table)):
         if _cell_partitioned(spark, name):
-            n += compact_partitioned_table(spark, name, "bucket")
+            # a v_sorted float base re-sorts and keeps its bounded row
+            # groups through the rewrite (folded tail files were the
+            # unsorted part — compaction restores full prunability)
+            sort_cols = ["vec_id"] if v_sorted and name == table else None
+            opts = (
+                {"parquet.block.size": str(FLOAT_BLOCK_BYTES)}
+                if sort_cols else None
+            )
+            n += compact_partitioned_table(spark, name, "bucket",
+                                           sort_cols=sort_cols,
+                                           write_options=opts)
         else:  # pre-partitioned-layout index — rewrite with its own spec
             n += compact_bucketed_table(spark, name, "bucket", nb)
     if _is_bucketed(spark, _ids_table(table)):

@@ -504,7 +504,22 @@ def make_embedding_ingest_fn(
                 "pyspark.StorageLevel name (e.g. MEMORY_AND_DISK, "
                 "MEMORY_ONLY, DISK_ONLY)"
             ) from None
-        if precision != "adc":
+        banded = False
+        if is_pq and precision != "adc":
+            # round 12: a v_sorted index with a usable certified margin
+            # serves the exact re-rank through the banded In-leg gather
+            # (``ipq._band_floats``) — a few pushed-In rows per query,
+            # never a base scan. Caching the float base would both
+            # waste the storage memory AND replace the parquet scan the
+            # pushed legs prune with an InMemoryRelation whose 10 k-row
+            # cached batches prune nothing.
+            bst = ipq._probe_state(spark, ann_table)
+            banded = (
+                bst["v_sorted"]
+                and bst["adc_margin"] is not None
+                and bst["adc_margin"] < ipq.BAND_MARGIN_MAX
+            )
+        if precision != "adc" and not banded:
             # the rerank-free adc probe never reads the float base —
             # pinning it (5.9 GB at 2 M × 768) wastes storage memory
             # and can evict the ~50 MB codes table the probe DOES read
