@@ -275,8 +275,12 @@ def test_prefix_index_probe_pushes_candidate_ids_into_verify_scan(spark):
         plan = buf.getvalue().lower()
         # the collected candidate ids must reach the verify scan as a
         # pushed parquet filter — row-group min-max pruning on the
-        # sorted table is what keeps verify I/O O(candidates)
-        assert "pushedfilters: [in(doc_id" in plan
+        # sorted table is what keeps verify I/O O(candidates). (Round
+        # 12's leg range bound adds IsNotNull/range conjuncts ahead of
+        # the In in the pushed list, so match the In anywhere in it.)
+        import re as _re
+
+        assert _re.search(r"pushedfilters: \[[^\]]*in\(doc_id", plan)
         # round-10 verify shape: the doc-array layout computes the
         # exact intersection inside a projection off broadcast
         # joins — a sort-merge join against the corpus table or a

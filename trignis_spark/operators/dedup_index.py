@@ -499,10 +499,27 @@ def attach_prefix_index(spark: SparkSession, table: str,
 
 
 def _in_pred(col: str, values) -> str:
-    """One parsed ``col IN (...)`` SQL expression over BIGINT values —
-    ``Column.isin`` pays a py4j round trip per literal (~2 s of pure
-    plan construction at 3.5 k ids, measured at the 5 M fixture)."""
-    return "%s IN (%s)" % (col, ",".join(str(int(v)) for v in values))
+    """One parsed ``col IN (...) AND col BETWEEN min AND max`` SQL
+    expression over BIGINT values — ``Column.isin`` pays a py4j round
+    trip per literal (~2 s of pure plan construction at 3.5 k ids,
+    measured at the 5 M fixture).
+
+    The range bound is IMPLIED by the In set (identical row sets) but
+    does real work at the parquet stats layer (round 12): a leg's
+    pushed In is evaluated as an OR tree against EVERY row group's
+    stats — ~512 comparisons × groups × legs, the probe's remaining
+    corpus-LINEAR term (measured: the 5 M-doc candidate scan spent
+    ~5.4 s warm, ~80 % of the probe; 50 M would pay 10×). parquet's
+    StatisticsFilter visits an AND's children with a short-circuiting
+    ``||``, and sorted chunking makes each leg's values a contiguous
+    slice of the value space — so a group outside the leg's [min, max]
+    now drops after 2 comparisons instead of 512, and only the ~1/legs
+    in-range slice pays the OR tree."""
+    vals = [int(v) for v in values]
+    lo, hi = min(vals), max(vals)
+    return "%s IN (%s) AND %s BETWEEN %d AND %d" % (
+        col, ",".join(str(v) for v in vals), col, lo, hi,
+    )
 
 
 #: values per ``In`` pushdown leg (round 11). Two Spark limits shape
@@ -621,8 +638,32 @@ def _probe_v4_fast(
             "shingle bigint, szb bigint",
         )
     )
+    # candidate-scan cost dispatch (round 12, measured at the 5 M-doc
+    # leg): row-group pruning can only skip I/O when the batch's
+    # shingles leave most groups untouched — each pushed value costs
+    # up to one whole group (PROBE_BLOCK_BYTES) of read+filter, so a
+    # batch whose estimated leg read covers a third of the table
+    # "prunes" nothing and pays the per-leg In evaluation ON TOP of
+    # the bytes (measured warm at 5 M docs, 2 485 shingles: 5-leg
+    # union 3.8 s vs 0.9 s for the SAME broadcast join over the plain
+    # full scan — the join is the filter either way; the In legs are
+    # only a scan pre-filter). Size estimate is driver-side catalog
+    # stats — no job.
+    src = spark.table(table)
+    try:
+        tbytes = int(
+            src._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes()
+        )
+    except Exception:
+        tbytes = None
+    blanket = (
+        tbytes is not None
+        and len(shingles) * PROBE_BLOCK_BYTES * 3 >= tbytes
+    )
     cand = (
-        _in_scan(spark, spark.table(table), "shingle", shingles)
+        (src if blanket
+         else _in_scan(spark, src, "shingle", shingles))
         .join(bsh_lit, "shingle")
         # lossless SSJoin length filter (Arasu/Chaudhuri prefix-filter
         # family, public algorithm): jaccard ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t
