@@ -638,32 +638,23 @@ def _probe_v4_fast(
             "shingle bigint, szb bigint",
         )
     )
-    # candidate-scan cost dispatch (round 12, measured at the 5 M-doc
-    # leg): row-group pruning can only skip I/O when the batch's
-    # shingles leave most groups untouched — each pushed value costs
-    # up to one whole group (PROBE_BLOCK_BYTES) of read+filter, so a
-    # batch whose estimated leg read covers a third of the table
-    # "prunes" nothing and pays the per-leg In evaluation ON TOP of
-    # the bytes (measured warm at 5 M docs, 2 485 shingles: 5-leg
-    # union 3.8 s vs 0.9 s for the SAME broadcast join over the plain
-    # full scan — the join is the filter either way; the In legs are
-    # only a scan pre-filter). Size estimate is driver-side catalog
-    # stats — no job.
-    src = spark.table(table)
-    try:
-        tbytes = int(
-            src._jdf.queryExecution().optimizedPlan().stats()
-            .sizeInBytes()
-        )
-    except Exception:
-        tbytes = None
-    blanket = (
-        tbytes is not None
-        and len(shingles) * PROBE_BLOCK_BYTES * 3 >= tbytes
-    )
+    # candidate scan: broadcast-join the batch shingles over the PLAIN
+    # narrow posting scan — never In legs here (round 12, measured at
+    # the regenerated 5 M and 20 M decade legs). The join is the
+    # filter either way (the legs were only a scan pre-filter), and
+    # the legs lose at every scale measured: a poll batch's ~2.5 k
+    # shingles blanket the 256 KiB row groups so pruning skips almost
+    # nothing while every surviving row pays the pushed In's row-level
+    # evaluation — warm candidate phase at 5 M docs 3.8 s (5-leg
+    # union) vs 0.9 s (join); at 20 M on the single-shot build's
+    # many-file-per-bucket layout the legs degenerated super-linearly
+    # to 217 s vs the join's 2.4 s, identical 4 571 candidates. The
+    # pushed-In leg machinery remains the right tool where it was
+    # measured to win and is plan-locked: the doc_id-sorted WIDE
+    # verify table below, where each pruned row group saves a whole
+    # shingle-array payload, not an 18-byte posting row.
     cand = (
-        (src if blanket
-         else _in_scan(spark, src, "shingle", shingles))
+        spark.table(table)
         .join(bsh_lit, "shingle")
         # lossless SSJoin length filter (Arasu/Chaudhuri prefix-filter
         # family, public algorithm): jaccard ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t
